@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL over the same tables. Spatial operators run on
+deterministic integer micro-degree coordinates derived from stable keys
+(geowave_spark/sources/testgeo.py) so both engines are bit-exact.
 """
 
 from __future__ import annotations
@@ -12,27 +12,364 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geowave_spark.geom.wkb import polygon
+from geowave_spark.operators.binning import bbox_agg, bin_by_cell
+from geowave_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from geowave_spark.operators.distance_join import point_distance_join
+from geowave_spark.operators.knn import knn
+from geowave_spark.operators.similarity import dot_col, topk_brute
+from geowave_spark.operators.spatial_join import box_point_join
+from geowave_spark.operators.spatial_query import bbox_query, polygon_query
+from geowave_spark.operators.text import fingerprint, lang_id, quality_features, token_count
+from geowave_spark.sources.testgeo import (
+    customer_boxes,
+    customer_boxes_sql,
+    events_points,
+    events_points_sql,
+    xy_sql,
+)
+from geowave_spark.index.native import grid_coord_sql
+
+# ---------------------------------------------------------------- fixtures
+
+BBOX = (-60_000_000, -40_000_000, 70_000_000, 55_000_000)
+# convex pentagon, CCW, micro-degrees
+PENTA = [
+    (-50_000_000, -30_000_000),
+    (60_000_000, -40_000_000),
+    (75_000_000, 20_000_000),
+    (0, 60_000_000),
+    (-65_000_000, 15_000_000),
+]
+T_LO, T_HI = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+KNN_QUERIES = [(1, 0, 0), (2, -73_950_000, 40_700_000), (3, 150_000_000, -60_000_000)]
+KNN_K = 10
+DIST_RADIUS_U = 2_000_000
+TILE_RES = 7
+BIN_RES = 4
+JACCARD_T = 600
+SIM_QUERY_MOD = 100  # vec_id % 100 == 0 are the query vectors
+SIM_K = 5
+SIM_PAIR_T = 450  # dot*1000 threshold for the all-pairs similarity query
+
+
+def _penta_halfplane_sql(x: str, y: str) -> str:
+    """CCW convex polygon containment as AND of integer cross products."""
+    conds = []
+    n = len(PENTA)
+    for i in range(n):
+        x1, y1 = PENTA[i]
+        x2, y2 = PENTA[(i + 1) % n]
+        conds.append(f"(({x2 - x1}) * ({y} - {y1}) - ({y2 - y1}) * ({x} - {x1})) >= 0")
+    return " AND ".join(conds)
+
+
+EVENTS_PTS = "pts"  # CTE name used in oracle SQL
+
+
+def _pts_cte() -> str:
+    return f"WITH {EVENTS_PTS} AS {events_points_sql('')}"
+
+
+def _boxes_cte() -> str:
+    return f"boxes AS {customer_boxes_sql('')}"
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: polygon spatial query (coarse SFC constraint + exact
+    vectorized refinement) on sf0.001."""
+    pts = events_points(spark, "/root/testdata/sf0.001")
+    poly = polygon([[x, y] for x, y in PENTA])
+    return polygon_query(pts, poly).select("event_id", "x_u", "y_u")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_bbox(spark, sf):
+    x0, y0, x1, y1 = BBOX
+    return bbox_query(events_points(spark, sf), x0, y0, x1, y1).select("event_id")
+
+
+def _q_polygon(spark, sf):
+    poly = polygon([[x, y] for x, y in PENTA])
+    return polygon_query(events_points(spark, sf), poly).select("event_id")
+
+
+def _q_bbox_time(spark, sf):
+    x0, y0, x1, y1 = BBOX
+    df = bbox_query(events_points(spark, sf), x0, y0, x1, y1)
+    return df.where(
+        F.expr(f"ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'")
+    ).select("event_id")
+
+
+def _q_spatial_join(spark, sf):
+    return box_point_join(events_points(spark, sf), customer_boxes(spark, sf))
+
+
+def _q_spatial_join_semi(spark, sf):
+    return box_point_join(
+        events_points(spark, sf), customer_boxes(spark, sf), how="leftsemi"
+    ).select("event_id")
+
+
+def _q_spatial_join_anti(spark, sf):
+    return box_point_join(
+        events_points(spark, sf), customer_boxes(spark, sf), how="leftanti"
+    ).select("event_id")
+
+
+def _q_distance_join(spark, sf):
+    pts = events_points(spark, sf)
+    cust = customer_boxes(spark, sf).select(
+        "c_custkey",
+        ((F.col("x_lo") + F.col("x_hi")) / 2).cast("long").alias("x_u"),
+        ((F.col("y_lo") + F.col("y_hi")) / 2).cast("long").alias("y_u"),
+    )
+    return point_distance_join(pts, cust, DIST_RADIUS_U)
+
+
+def _q_knn(spark, sf):
+    return knn(spark, events_points(spark, sf), KNN_QUERIES, KNN_K)
+
+
+def _q_tile_assign(spark, sf):
+    from geowave_spark.index.native import grid_coord_col
+    from geowave_spark import LAT_OFF_U, LON_OFF_U
+
+    pts = events_points(spark, sf)
+    return pts.select(
+        "event_id",
+        grid_coord_col(F.col("x_u"), TILE_RES, LON_OFF_U).alias("tx"),
+        grid_coord_col(F.col("y_u"), TILE_RES, LAT_OFF_U).alias("ty"),
+    )
+
+
+def _q_spatial_bin(spark, sf):
+    return bin_by_cell(
+        events_points(spark, sf),
+        BIN_RES,
+        [F.count("*").alias("n"), F.sum("user_id").alias("sum_user")],
+    )
+
+
+def _q_bbox_agg(spark, sf):
+    return bbox_agg(events_points(spark, sf))
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _q_doc_tokens(spark, sf):
+    return token_count(_docs(spark, sf)).select("doc_id", "n_tokens")
+
+
+def _q_doc_quality(spark, sf):
+    return quality_features(_docs(spark, sf))
+
+
+def _q_lang_id(spark, sf):
+    return lang_id(_docs(spark, sf))
+
+
+def _q_dedup_exact(spark, sf):
+    return exact_dup_groups(_docs(spark, sf))
+
+
+def _q_doc_fingerprint(spark, sf):
+    return fingerprint(_docs(spark, sf))
+
+
+def _q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=JACCARD_T / 1000)
+
+
+def _q_minhash(spark, sf):
+    return minhash_signatures(_docs(spark, sf), num_hashes=4)
+
+
+def _q_simhash(spark, sf):
+    return simhash(_docs(spark, sf), bits=16)
+
+
+def _q_sim_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % SIM_QUERY_MOD == 0)
+    return topk_brute(emb, queries, SIM_K)
+
+
+def _q_sim_pairs(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "score_x1000", F.floor(dot_col(F.col("va"), F.col("vb")) * 1000).cast("long")
+        )
+        .where(F.col("score_x1000") >= SIM_PAIR_T)
+        .select("id_a", "id_b", "score_x1000")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bbox": _q_bbox,
+        "polygon": _q_polygon,
+        "bbox_time": _q_bbox_time,
+        "spatial_join": _q_spatial_join,
+        "spatial_join_semi": _q_spatial_join_semi,
+        "spatial_join_anti": _q_spatial_join_anti,
+        "distance_join": _q_distance_join,
+        "knn": _q_knn,
+        "tile_assign": _q_tile_assign,
+        "spatial_bin": _q_spatial_bin,
+        "bbox_agg": _q_bbox_agg,
+        "doc_tokens": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash": _q_minhash,
+        "simhash": _q_simhash,
+        "sim_topk": _q_sim_topk,
+        "sim_pairs": _q_sim_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+
+def _stop_list_sql(words):
+    return ", ".join(f"'{w}'" for w in words)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    x0, y0, x1, y1 = BBOX
+    pts = _pts_cte()
+    boxes = _boxes_cte()
+    contains = (
+        "p.x_u BETWEEN b.x_lo AND b.x_hi AND p.y_u BETWEEN b.y_lo AND b.y_hi"
+    )
+    knn_vals = ", ".join(f"({q}, {qx}, {qy})" for q, qx, qy in KNN_QUERIES)
+    h64 = lambda e, s: (
+        f"CAST(concat('0x', substr(md5(concat('s{s}:', {e})), 1, 15)) AS BIGINT)"
+    )
+    shingles = (
+        "list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
+        " i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],"
+        " string_split(text,' ')[i+2]))"
+    )
+    from geowave_spark.operators.text import LANGS
+
+    lang_hits = {
+        code: f"len(list_filter(string_split(text,' '), x -> x IN ({_stop_list_sql(words)})))"
+        for code, words in LANGS
+    }
+    lang_best = f"greatest({', '.join(lang_hits.values())})"
+    lang_case = f"CASE WHEN {lang_best} = 0 THEN 'und'"
+    for code, _ in LANGS:
+        lang_case += f" WHEN {lang_hits[code]} = {lang_best} THEN '{code}'"
+    lang_case += " END"
+
+    simhash_bits = []
+    toks_d = "list_distinct(string_split(text,' '))"
+    for b in range(16):
+        ones = (
+            f"list_sum(list_transform({toks_d}, t -> ({h64('t', 999)} >> {b}) & 1))"
+        )
+        simhash_bits.append(
+            f"(CASE WHEN {ones} * 2 >= len({toks_d}) THEN {1 << b} ELSE 0 END)"
+        )
+    simhash_expr = " + ".join(simhash_bits)
+
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {h64('s', i)})) AS mh_{i}" for i in range(4)
+    )
+
+    return {
+        "bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
+        "polygon": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE {_penta_halfplane_sql('x_u', 'y_u')}",
+        "bbox_time": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
+        "spatial_join": f"{pts}, {boxes} SELECT p.event_id, b.c_custkey "
+        f"FROM {EVENTS_PTS} p, boxes b WHERE {contains}",
+        "spatial_join_semi": f"{pts}, {boxes} SELECT event_id FROM {EVENTS_PTS} p "
+        f"WHERE EXISTS (SELECT 1 FROM boxes b WHERE {contains})",
+        "spatial_join_anti": f"{pts}, {boxes} SELECT event_id FROM {EVENTS_PTS} p "
+        f"WHERE NOT EXISTS (SELECT 1 FROM boxes b WHERE {contains})",
+        "distance_join": f"{pts}, {boxes} SELECT p.event_id, b.c_custkey, "
+        f"(p.x_u - (b.x_lo + b.x_hi)//2) * (p.x_u - (b.x_lo + b.x_hi)//2) + "
+        f"(p.y_u - (b.y_lo + b.y_hi)//2) * (p.y_u - (b.y_lo + b.y_hi)//2) AS dist2 "
+        f"FROM {EVENTS_PTS} p, boxes b WHERE "
+        f"(p.x_u - (b.x_lo + b.x_hi)//2) * (p.x_u - (b.x_lo + b.x_hi)//2) + "
+        f"(p.y_u - (b.y_lo + b.y_hi)//2) * (p.y_u - (b.y_lo + b.y_hi)//2) "
+        f"<= {DIST_RADIUS_U}::BIGINT * {DIST_RADIUS_U}::BIGINT",
+        "knn": f"{pts}, q(query_id, qx, qy) AS (VALUES {knn_vals}), "
+        f"d AS (SELECT q.query_id, p.event_id, "
+        f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy) AS dist2, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy), p.event_id) AS rank "
+        f"FROM {EVENTS_PTS} p, q) "
+        f"SELECT query_id, event_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {KNN_K}",
+        "tile_assign": f"{pts} SELECT event_id, "
+        f"{grid_coord_sql('x_u', TILE_RES)} AS tx, "
+        f"{grid_coord_sql('y_u', TILE_RES)} AS ty FROM {EVENTS_PTS}",
+        "spatial_bin": f"{pts} SELECT {grid_coord_sql('x_u', BIN_RES)} AS gx, "
+        f"{grid_coord_sql('y_u', BIN_RES)} AS gy, count(*) AS n, "
+        f"CAST(sum(user_id) AS BIGINT) AS sum_user FROM {EVENTS_PTS} GROUP BY 1, 2",
+        "bbox_agg": f"{pts} SELECT min(x_u) AS x_min, max(x_u) AS x_max, "
+        f"min(y_u) AS y_min, max(y_u) AS y_max FROM {EVENTS_PTS}",
+        "doc_tokens": "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens "
+        "FROM documents",
+        "doc_quality": "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_q, "
+        "CAST(len(string_split(text,' ')) AS INT) AS n_tokens, "
+        f"CAST(len(list_filter(string_split(text,' '), x -> x IN ({_stop_list_sql(['the','and','of','to','a','in','is','it','for','on'])}))) AS INT) AS n_stop_en, "
+        "(length(text) - len(string_split(text,' ')) + 1) * 100 // greatest(len(string_split(text,' ')), 1) AS mean_tok_len_x100 "
+        "FROM documents",
+        "lang_id": f"SELECT doc_id, {lang_case} AS pred_lang FROM documents",
+        "dedup_exact": "SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id "
+        "FROM documents GROUP BY 1",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp, "
+        "md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_norm FROM documents",
+        "ngram_jaccard": f"WITH sh AS (SELECT doc_id, list_distinct({shingles}) AS sh FROM documents), "
+        "e AS (SELECT doc_id, unnest(sh) AS s FROM sh), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
+        "FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, len(sh) AS sz FROM sh) "
+        "SELECT doc_a, doc_b, n_inter * 1000 // (sa.sz + sb.sz - n_inter) AS jaccard_x1000 "
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b "
+        f"WHERE n_inter * 1000 // (sa.sz + sb.sz - n_inter) >= {JACCARD_T}",
+        "minhash": f"WITH s AS (SELECT doc_id, {shingles} AS sh FROM documents) "
+        f"SELECT doc_id, {mh_cols} FROM s",
+        "simhash": f"SELECT doc_id, CAST({simhash_expr} AS BIGINT) AS simhash FROM documents",
+        "sim_topk": f"WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        f"WHERE vec_id % {SIM_QUERY_MOD} = 0), "
+        "d AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS score, "
+        "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, e.vec_id) AS rank "
+        "FROM embeddings e, q WHERE e.vec_id <> q.query_id) "
+        f"SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM d WHERE rank <= {SIM_K}",
+        "sim_pairs": "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT) AS score_x1000 "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        f"AND floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000) >= {SIM_PAIR_T}",
+    }

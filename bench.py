@@ -1,0 +1,102 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports rows/sec for the two north-rule metrics (spatial join +
+tile assignment) inside the JSON as "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geowave-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from geowave_spark.operators.tiling import tile_cut_and_merge
+    from geowave_spark.sources.images import images_table
+
+    qs = e.queries()
+    bench_names = [
+        "bbox",
+        "polygon",
+        "bbox_time",
+        "spatial_join",
+        "distance_join",
+        "knn",
+        "tile_assign",
+        "spatial_bin",
+        "bbox_agg",
+        "doc_tokens",
+        "dedup_exact",
+        "ngram_jaccard",
+        "minhash",
+        "simhash",
+        "sim_topk",
+    ]
+
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in bench_names:
+        t0 = time.time()
+        counts[name] = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+
+    # raster pipeline: generate + cut + merge synthetic images (north-rule
+    # tile-assignment throughput)
+    n_img = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "2000"))
+    t0 = time.time()
+    imgs = images_table(spark, n_img, w=64, h=64, partitions=int(cpus))
+    counts["tile_cut_merge"] = tile_cut_and_merge(imgs, 600_000, tile_size=64).count()
+    times["tile_cut_merge"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    join_rps = round(n_events / max(times["spatial_join"], 1e-9), 1)
+    tile_rps = round(n_img / max(times["tile_cut_merge"], 1e-9), 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "geowave_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+                "extra": {
+                    "cpus": int(cpus),
+                    "counts": counts,
+                    "spatial_join_input_rows_per_sec": join_rps,
+                    "tile_assign_images_per_sec": tile_rps,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

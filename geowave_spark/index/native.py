@@ -1,0 +1,66 @@
+"""Native Spark column expressions for SFC cell assignment.
+
+The executor hot path of cell assignment is pure JVM bitwise arithmetic
+(whole-stage codegen, zero Python) — this replaces the reference's
+per-row Java ``ZOrderSFC.getId`` / ``HilbertSFC.getId`` calls
+(core/index/src/main/java/org/locationtech/geowave/core/index/sfc/zorder/ZOrderSFC.java)
+with Catalyst expressions. For 100 TB inputs this keeps the indexing
+stage at parquet-scan speed instead of Arrow round-trip speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U
+
+_M1 = 0x5555555555555555
+_M2 = 0x3333333333333333
+_M4 = 0x0F0F0F0F0F0F0F0F
+_M8 = 0x00FF00FF00FF00FF
+_M16 = 0x0000FFFF0000FFFF
+_M32 = 0x00000000FFFFFFFF
+
+
+def _spread_col(c: Column) -> Column:
+    c = c.bitwiseAND(F.lit(_M32))
+    c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(_M16))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(_M8))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(_M4))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(_M2))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(_M1))
+    return c
+
+
+def grid_coord_col(x_u: Column, res: int, off: int = LON_OFF_U) -> Column:
+    """Micro-degree BIGINT -> grid coord at ``res`` bits; exact integer
+    arithmetic identical to zorder.grid_coord and the DuckDB oracle SQL."""
+    n = 1 << res
+    # exact 64-bit integer division — (x+off)*2^res overflows the double
+    # mantissa for res ≥ 24, so floating floor() would mis-assign cells
+    g = F.call_function(
+        "div", (x_u.cast("long") + F.lit(off)) * F.lit(n), F.lit(WORLD_X_U)
+    )
+    return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1))
+
+
+def cell_col(x_u: Column, y_u: Column, res: int) -> Column:
+    """Morton cell id at ``res`` from micro-degree columns — pure JVM."""
+    gx = grid_coord_col(x_u, res, LON_OFF_U)
+    gy = grid_coord_col(y_u, res, LAT_OFF_U)
+    return _spread_col(gx).bitwiseOR(F.shiftleft(_spread_col(gy), 1))
+
+
+def parent_cell_col(cell: Column, d_res: int) -> Column:
+    """Ancestor derivation, the reprojectToTier analog
+    (TieredSFCIndexStrategy.java:514-535) as a shift expression."""
+    return F.shiftright(cell, 2 * d_res)
+
+
+def grid_coord_sql(expr: str, res: int, off: int = LON_OFF_U) -> str:
+    """The same grid-coord computation as ANSI SQL text (DuckDB oracle)."""
+    n = 1 << res
+    g = f"(({expr} + {off}) * {n}) // {WORLD_X_U}"
+    # DuckDB: // is integer floor-div for integer operands
+    return f"least(greatest({g}, 0), {n - 1})"

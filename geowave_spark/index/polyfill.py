@@ -1,0 +1,92 @@
+"""Polygon → cell-set cover ("polyfill") at a resolution.
+
+Replaces the reference's insertion-id computation for extents
+(TieredSFCIndexStrategy.getRowIdsAtTier / decomposeRangesForEntry,
+core/index/.../sfc/tiered/TieredSFCIndexStrategy.java:369-407) and the
+H3 polyfill-with-edge-buffer over-approximation the reference uses for
+spatial binning (core/geotime/.../binning/H3BinningHelper.java:41-185):
+cells whose rectangle intersects the geometry are kept (superset-safe —
+exact refinement runs after the index join).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U, X_SCALE
+from geowave_spark.geom.predicates import intersects
+from geowave_spark.geom.wkb import Geometry, box, wkb_loads
+from geowave_spark.index.zorder import (
+    grid_coord,
+    morton_encode,
+    pick_res_for_extent,
+)
+
+
+def cell_rect_deg(gx: int, gy: int, res: int) -> tuple[float, float, float, float]:
+    n = 1 << res
+    x_lo = gx * WORLD_X_U / n - LON_OFF_U
+    x_hi = (gx + 1) * WORLD_X_U / n - LON_OFF_U
+    y_lo = gy * WORLD_X_U / n - LAT_OFF_U
+    y_hi = (gy + 1) * WORLD_X_U / n - LAT_OFF_U
+    return x_lo / X_SCALE, y_lo / X_SCALE, x_hi / X_SCALE, y_hi / X_SCALE
+
+
+def polyfill(geom: Geometry, res: int, exact_trim: bool = True) -> list[int]:
+    """Cells at ``res`` whose rect intersects ``geom`` (degree coords).
+
+    ``exact_trim=False`` returns the bbox cover (cheaper; still a
+    superset). With trim, each candidate cell rect is tested against the
+    geometry — the RDDUtils.trimIndexIds analog
+    (analytics/spark/.../RDDUtils.java:158-184).
+    """
+    x0, y0, x1, y1 = geom.bounds
+    gx0 = int(grid_coord(round(x0 * X_SCALE), res))
+    gx1 = int(grid_coord(round(x1 * X_SCALE), res))
+    gy0 = int(grid_coord(round(y0 * X_SCALE), res))
+    gy1 = int(grid_coord(round(y1 * X_SCALE), res))
+    out = []
+    for gy in range(gy0, gy1 + 1):
+        for gx in range(gx0, gx1 + 1):
+            if exact_trim and not (gx0 == gx1 and gy0 == gy1):
+                rect = cell_rect_deg(gx, gy, res)
+                if not intersects(geom, box(*rect)):
+                    continue
+            out.append(int(morton_encode(gx, gy)))
+    return out
+
+
+def cells_for_geom(
+    geom: Geometry, max_cells: int = 64, finest_res: int = 20
+) -> tuple[int, list[int]]:
+    """(res, cells) for an extent geometry: finest resolution whose bbox
+    cover stays ≤ max_cells (tier-selection semantics,
+    TieredSFCIndexStrategy.java:345-367; cap ≙ the 80-id join cap of
+    GeoWaveIndexedRDD.java:119)."""
+    x0, y0, x1, y1 = geom.bounds
+    res = pick_res_for_extent(
+        int((x1 - x0) * X_SCALE), int((y1 - y0) * X_SCALE), max_cells
+    )
+    res = min(res, finest_res)
+    return res, polyfill(geom, res)
+
+
+@lru_cache(maxsize=500)  # mirrors HilbertSFC's 500-entry LRU (HilbertSFC.java:97-100)
+def cells_for_wkb_cached(wkb: bytes, max_cells: int = 64, finest_res: int = 20):
+    return cells_for_geom(wkb_loads(wkb), max_cells, finest_res)
+
+
+def polyfill_batch(
+    wkbs, max_cells: int = 64, finest_res: int = 20
+) -> tuple[np.ndarray, list[list[int]]]:
+    """Vectorized-ish batch entry point for pandas UDFs: list of WKB →
+    (res array, list of cell lists)."""
+    res_out = np.empty(len(wkbs), dtype=np.int32)
+    cells_out = []
+    for i, b in enumerate(wkbs):
+        r, cells = cells_for_wkb_cached(bytes(b), max_cells, finest_res)
+        res_out[i] = r
+        cells_out.append(cells)
+    return res_out, cells_out

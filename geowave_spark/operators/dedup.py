@@ -1,0 +1,157 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline extensions over the documents table. Design is
+shuffle-lean: candidate generation is an equi-join on band/bucket keys
+(never a cross join), verification runs only on candidates — the same
+coarse-key-then-refine shape as the spatial join.
+
+Hashing uses md5 (identical output in Spark and DuckDB) so every stage
+is oracle-checkable; MinHash permutations are simulated with salted
+md5, a standard public construction (Broder 1997).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash: (fp, n_docs, keep_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (n consecutive tokens joined)."""
+    toks = F.split(text, " ")
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    # try_element_at: out-of-range -> NULL (ANSI-safe); concat_ws skips
+    # nulls, so a doc shorter than n tokens yields one truncated shingle
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def _h64(c: Column, salt: int) -> Column:
+    """64-bit salted hash via md5 prefix (portable to the SQL oracle)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{salt}:"), c)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}): per-permutation min over shingle hashes."""
+    sh = shingles_col(F.col(text_col), shingle_n)
+    cols = [
+        F.array_min(F.transform(sh, lambda s: _h64(s, i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select("doc_id", *cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, verified with the
+    exact shingle-set Jaccard. Returns (doc_a, doc_b, jaccard_x1000)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, num_hashes, shingle_n).cache()
+
+    cand = None
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias("band_key")
+        left = sig.select(F.col("doc_id").alias("doc_a"), key)
+        right = sig.select(F.col("doc_id").alias("doc_b"), key)
+        pairs = left.join(right, "band_key").where(F.col("doc_a") < F.col("doc_b"))
+        pairs = pairs.select("doc_a", "doc_b")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+
+    # exact verification: shingle-set Jaccard, all native array ops
+    sh = df.select(
+        F.col("doc_id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b2 = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac_x1000 = F.call_function("div", inter * 1000, F.greatest(union, F.lit(1)))
+    return (
+        cand.join(a, "doc_a")
+        .join(b2, "doc_b")
+        .withColumn("jaccard_x1000", jac_x1000)
+        .where(F.col("jaccard_x1000") >= int(jaccard_threshold * 1000))
+        .select("doc_a", "doc_b", "jaccard_x1000")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle
+    (inverted-index join — shuffle on shingle, no cross join)."""
+    sh = df.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac_x1000 = F.call_function(
+        "div",
+        F.col("n_inter") * 1000,
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter"),
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_x1000", jac_x1000)
+        .where(F.col("jaccard_x1000") >= int(threshold * 1000))
+        .select("doc_a", "doc_b", "jaccard_x1000")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash document sketch: sign-sum of per-token hash bits
+    (Charikar 2002). Native: per-bit majority vote over token hashes."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    h = F.transform(toks, lambda t: _h64(t, 999))
+    # majority vote per bit: sum of bit b over tokens vs half the count
+    n = F.size(h)
+    bit_cols = []
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc + F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        sig = sig.bitwiseOR(
+            F.when(ones * 2 >= n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine/dot top-k as the exactness baseline, plus an
+LSH-bucketed variant (random-hyperplane signs, Charikar 2002) as the
+scale path — candidate generation is an equi-join on bucket key with
+multi-probe, never a cross join against the full corpus.
+
+All arithmetic is double-precision sequential fold (F.aggregate over
+zip_with), which makes the scores bit-identical to the DuckDB oracle's
+``list_dot_product(a::DOUBLE[], b::DOUBLE[])``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by dot product: (query_id, neighbor_id, rank).
+
+    The query side is broadcast (small dim table); the corpus side
+    streams — one pass, no shuffle except the per-query top-k."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", dot_col(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def sign_lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane sign bucket id (one int) — native fold per plane."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = key.bitwiseOR(F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return key
+
+
+def topk_lsh(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: bucket join on hyperplane-sign key, with
+    Hamming-1 multiprobe (flip each bit) to raise recall. Scale path:
+    corpus bucketed once (write-time), queries probe ~n_planes buckets."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("b0"),
+    )
+    # probe set: own bucket + Hamming-1 neighbors
+    probes = [F.col("b0")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("b0").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)
+        ]
+    q = F.broadcast(
+        qb.withColumn("bucket", F.explode(F.array(*probes))).select(
+            "query_id", "qv", "bucket"
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", dot_col(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold_x1000: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket candidates (+Hamming-1)
+    verified by exact double dot ≥ threshold (unit vectors → cosine)."""
+    planes = _hyperplanes(dim, n_planes)
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        sign_lsh_bucket(F.col(vec_col), planes).alias("b0"),
+    )
+    probes = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)]
+    )
+    a = base.withColumn("bucket", F.explode(probes)).select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("b0").alias("bucket"))
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score_x1000", F.floor(dot_col(F.col("va"), F.col("vb")) * 1000).cast("long"))
+        .where(F.col("score_x1000") >= threshold_x1000)
+    )
+    return pairs.select("id_a", "id_b", "score_x1000")

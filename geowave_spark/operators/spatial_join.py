@@ -1,0 +1,150 @@
+"""Distributed spatial join — the engine's flagship operator.
+
+Re-expresses the reference's TieredSpatialJoin
+(analytics/spark/src/main/java/org/locationtech/geowave/analytic/spark/spatial/TieredSpatialJoin.java:59-552)
+as ONE Catalyst equi-join:
+
+  reference                              engine
+  ---------                              ------
+  tiered-SFC insertion ids (≤80/geom)    per-row resolution + ≤4 corner
+                                         cells (boxes) / polyfill (polys)
+  collect distinct tiers per side        tiny distinct-res dimension,
+                                         broadcast-crossed onto points
+  reprojectToTier for cross-tier         parent-cell shift of the finer
+                                         side (exact Morton right-shift)
+  same-tier cogroup + nested loop        single equi-join on (res, cell)
+                                         + native BETWEEN refinement
+  reduceByKey keep-first + DedupeFilter  dropDuplicates on key pair
+  semi-join / subtractByKey outputs      how='leftsemi' / 'leftanti'
+
+Why one join instead of a per-tier union: each union branch is its own
+shuffle + codegen unit; at 1000 executors the branch barrier serializes
+tiers. A (res, cell) equi-join is one shuffle, AQE-balanced, and the
+point side is duplicated only |distinct res| times (≤ a handful — the
+duplication-cap analog of the reference's 80-id limit).
+
+Skew: dense cells (hotspots) are handled by AQE skew-join plus optional
+explicit salting (geowave_spark.plans.stats), the HashKeyIndexStrategy
+analog (core/index/.../simple/HashKeyIndexStrategy.java:44-70).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U
+from geowave_spark.index.native import _spread_col, cell_col, grid_coord_col
+
+POINT_RES = 16  # finest ("full precision") resolution for the point side
+
+
+def _res_for_span_col(span) -> Column:
+    """Per-row resolution pick: finest res whose cell span ≥ extent span,
+    so the bbox never covers more than 2 cells per axis (≤4 total) —
+    the tier-selection rule of TieredSFCIndexStrategy.getRowIds
+    (TieredSFCIndexStrategy.java:345-367) with maxDuplicates=4.
+
+    log2 on integer spans ≤ 2^29 is exact in double → stays JVM-side.
+    """
+    ratio = F.lit(WORLD_X_U) / F.greatest(span.cast("double"), F.lit(1.0))
+    return F.least(
+        F.greatest(F.floor(F.log2(ratio)).cast("int"), F.lit(0)), F.lit(POINT_RES)
+    )
+
+
+def _factor_for_res(res: Column) -> Column:
+    """4^(POINT_RES - res) as a literal lookup (shift factor to coarsen a
+    POINT_RES Morton cell to ``res``)."""
+    return F.element_at(
+        F.array(*[F.lit(1 << (2 * (POINT_RES - r))) for r in range(POINT_RES + 1)]),
+        res + 1,
+    )
+
+
+def boxes_with_cells(boxes: DataFrame) -> DataFrame:
+    """Index an extent table (x_lo..y_hi µdeg): per-row ``res`` + exploded
+    candidate ``cell`` — entirely native. At the chosen res a box spans
+    ≤ 2 cells per axis, so its cover is the ≤4 distinct corner cells.
+
+    Corner cells are computed at POINT_RES from 4 shared bit-spreads and
+    coarsened by one exact integer division (floor-div composition:
+    floor(floor(a*2^R/W) / 4^(R-r)) pairs == floor(a*2^r/W) per dim), which
+    keeps the codegen method small."""
+    span = F.greatest(F.col("x_hi") - F.col("x_lo"), F.col("y_hi") - F.col("y_lo"))
+    sx_lo = _spread_col(grid_coord_col(F.col("x_lo"), POINT_RES, LON_OFF_U))
+    sx_hi = _spread_col(grid_coord_col(F.col("x_hi"), POINT_RES, LON_OFF_U))
+    sy_lo = F.shiftleft(_spread_col(grid_coord_col(F.col("y_lo"), POINT_RES, LAT_OFF_U)), 1)
+    sy_hi = F.shiftleft(_spread_col(grid_coord_col(F.col("y_hi"), POINT_RES, LAT_OFF_U)), 1)
+    df = (
+        boxes.withColumn("res", _res_for_span_col(span))
+        .withColumn("_c0", sx_lo.bitwiseOR(sy_lo))
+        .withColumn("_c1", sx_hi.bitwiseOR(sy_lo))
+        .withColumn("_c2", sx_lo.bitwiseOR(sy_hi))
+        .withColumn("_c3", sx_hi.bitwiseOR(sy_hi))
+    )
+    factor = _factor_for_res(F.col("res"))
+    cells = F.array_distinct(
+        F.array(
+            *[F.call_function("div", F.col(f"_c{i}"), factor) for i in range(4)]
+        )
+    )
+    return (
+        df.withColumn("cell", F.explode(cells))
+        .drop("_c0", "_c1", "_c2", "_c3")
+    )
+
+
+def points_keyed_by_res(points: DataFrame, res_dim: DataFrame) -> DataFrame:
+    """Re-key points at every resolution present on the extent side:
+    broadcast-cross with the tiny distinct-res dimension and coarsen the
+    full-precision cell by an exact shift — the reprojectToTier analog
+    (TieredSFCIndexStrategy.java:514-535) without a driver round-trip."""
+    pts = points.withColumn(
+        "_pcell", cell_col(F.col("x_u"), F.col("y_u"), POINT_RES)
+    )
+    keyed = pts.crossJoin(F.broadcast(res_dim))
+    return keyed.withColumn(
+        "_jcell", F.call_function("div", F.col("_pcell"), _factor_for_res(F.col("res")))
+    )
+
+
+def box_point_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    how: str = "inner",
+    point_key: str = "event_id",
+    box_key: str = "c_custkey",
+    broadcast_boxes: bool | None = None,
+) -> DataFrame:
+    """Join points (x_u, y_u) to boxes (x_lo, y_lo, x_hi, y_hi) on
+    containment. ``how``:
+
+      'inner'    -> matched (point_key, box_key) pairs
+      'leftsemi' -> points matching ≥1 box (per-side semi output form,
+                    TieredSpatialJoin.java:362-378)
+      'leftanti' -> points matching no box (negative-predicate form,
+                    subtractByKey analog :362-368)
+    """
+    b = boxes_with_cells(boxes)
+    if broadcast_boxes:
+        b = F.broadcast(b)
+    res_dim = b.select("res").distinct()
+    keyed = points_keyed_by_res(points, res_dim)
+
+    j = keyed.join(
+        b.withColumnRenamed("res", "_bres"),
+        (keyed["res"] == F.col("_bres")) & (keyed["_jcell"] == b["cell"]),
+        "inner",
+    ).where(
+        F.col("x_u").between(F.col("x_lo"), F.col("x_hi"))
+        & F.col("y_u").between(F.col("y_lo"), F.col("y_hi"))
+    )
+    # DedupeFilter analog: one logical pair may match in several cells
+    matched = j.select(point_key, box_key).dropDuplicates([point_key, box_key])
+
+    if how == "inner":
+        return matched
+    if how in ("leftsemi", "leftanti"):
+        return points.join(matched.select(point_key).distinct(), point_key, how)
+    raise ValueError(how)

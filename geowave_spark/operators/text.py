@@ -1,0 +1,80 @@
+"""Text-analysis operators for a large-scale training-data pipeline
+(documents table): token counting, quality scoring, language ID,
+fingerprinting. All native Spark SQL expressions (JVM codegen) — no
+Python in the hot path. The reference's nearest analog is its text
+index layer (core/index/.../text/TextIndexStrategy.java — n-gram
+keying for contains/begins-with search); everything beyond that is the
+engine's training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword lists (public-knowledge function words)
+STOP_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+STOP_ES = ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"]
+STOP_FR = ["le", "la", "de", "et", "un", "en", "est", "que", "pour", "dans"]
+STOP_DE = ["der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "auf"]
+
+LANGS = [("en", STOP_EN), ("es", STOP_ES), ("fr", STOP_FR), ("de", STOP_DE)]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (exact; matches the SQL oracle formula
+    ``length(t) - length(replace(t,' ','')) + 1`` on single-spaced text)."""
+    return df.withColumn("n_tokens", F.size(tokens_col(F.col(text_col))))
+
+
+def _stop_hits(text_col: Column, words: list[str]) -> Column:
+    toks = tokens_col(text_col)
+    in_list = " OR ".join([f"x = '{w}'" for w in words])
+    return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality features (exact → oracle-matchable): char count,
+    token count, stopword hits, mean token length ×100 (int)."""
+    toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        _stop_hits(F.col(text_col), STOP_EN).alias("n_stop_en"),
+        F.call_function(
+            "div", (n_chars - n_tok + 1) * 100, F.greatest(n_tok, F.lit(1))
+        ).alias("mean_tok_len_x100"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits, ties
+    broken by list order (en > es > fr > de), 'und' when all zero."""
+    hit_cols = [
+        _stop_hits(F.col(text_col), words).alias(f"h_{code}") for code, words in LANGS
+    ]
+    tmp = df.select("doc_id", *hit_cols)
+    best = F.greatest(*[F.col(f"h_{c}") for c, _ in LANGS])
+    pred = F.when(best == 0, F.lit("und"))
+    for code, _ in LANGS:
+        pred = pred.when(F.col(f"h_{code}") == best, F.lit(code))
+    return tmp.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint (md5 — portable across Spark
+    and the DuckDB oracle) + a normalized variant (lowercase, collapsed
+    whitespace) for normalization-level dedup."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fp"),
+        F.md5(norm).alias("fp_norm"),
+    )

@@ -1,0 +1,268 @@
+"""Raster tiling: tile assignment, mosaicking/merge, re-tile (resize).
+
+Reference semantics (extensions/adapters/raster/.../RasterDataAdapter.java):
+
+- convertToIndex (:444-550): a coverage is clamped to index bounds, the
+  pyramid level whose cell resolution best matches the native resolution
+  is chosen (ratio closest to 1.0 from below — substrategyMap.floorEntry),
+  and for each grid cell covering the coverage's footprint a
+  tileSize×tileSize tile is cut out by resampling, with background fill
+  outside the footprint (MosaicPerPyramidLevelBuilder :552-830).
+- merge (merge/NoDataMergeStrategy.java): colliding writes to one cell
+  keep, per pixel, the first non-no-data sample.
+- resize (analytics/spark/.../resize/RasterTileResizeSparkRunner.java:100-180):
+  flatMap to the new grid's keys → group by new key → mosaic per key.
+
+Engine: cells are the engine's Morton grid at the chosen level; the
+pixel work is Arrow-batched (applyInPandas / mapInPandas over numpy),
+the keying/grouping is native. Tile IDs are (level, gx, gy) — the
+row-for-row comparable output the north rule requires.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U
+from geowave_spark.raster.codec import decode_image, resample_nearest
+
+TILE_SIZE = 256  # default tile size, RasterDataAdapter.java:152
+NO_DATA = 0  # background/no-data sample value for merges
+
+
+def pick_level(extent_x_u: int, native_px: int, tile_size: int = TILE_SIZE, max_level: int = 24) -> int:
+    """Pyramid-level choice: finest level whose tile ground-resolution is
+    not finer than the native pixel resolution (ratio ≤ 1 closest to 1,
+    the floorEntry(1.0+ε) rule of RasterDataAdapter.java:495-534).
+
+    native ground-res = extent/native_px; level ground-res =
+    (world/2^ℓ)/tile_size. Choose max ℓ with level_res ≥ native_res."""
+    native_res = extent_x_u / max(native_px, 1)
+    for lvl in range(max_level, -1, -1):
+        level_res = (WORLD_X_U / (1 << lvl)) / tile_size
+        if level_res >= native_res:
+            return lvl
+    return 0
+
+
+def image_extent_cols(half_span_u: int):
+    """Extent box of a geo-located image around its center point."""
+    return [
+        (F.col("x_u") - half_span_u).alias("x_lo"),
+        (F.col("y_u") - half_span_u).alias("y_lo"),
+        (F.col("x_u") + half_span_u).alias("x_hi"),
+        (F.col("y_u") + half_span_u).alias("y_hi"),
+    ]
+
+
+def tile_assign(
+    images: DataFrame,
+    half_span_u: int,
+    tile_size: int = TILE_SIZE,
+    level: int | None = None,
+) -> DataFrame:
+    """Assign each image to the grid tiles its footprint covers at the
+    chosen pyramid level. Pure JVM: corner grid coords + sequence-explode
+    (a footprint spans a small rectangle of tiles at the chosen level).
+
+    Output: (image_id, level, tx, ty) — comparable row-for-row."""
+    if level is None:
+        # fixture images share w (native px) and extent — one level for all
+        w0 = images.select(F.first("w")).first()[0]
+        level = pick_level(2 * half_span_u, int(w0), tile_size)
+    n = 1 << level
+    ext = images.select("image_id", *image_extent_cols(half_span_u))
+
+    def grid(col, off):
+        g = F.call_function(
+            "div", (F.col(col).cast("long") + F.lit(off)) * F.lit(n), F.lit(WORLD_X_U)
+        )
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1))
+
+    g = (
+        ext.withColumn("tx0", grid("x_lo", LON_OFF_U))
+        .withColumn("tx1", grid("x_hi", LON_OFF_U))
+        .withColumn("ty0", grid("y_lo", LAT_OFF_U))
+        .withColumn("ty1", grid("y_hi", LAT_OFF_U))
+    )
+    return (
+        g.withColumn("tx", F.explode(F.sequence("tx0", "tx1")))
+        .withColumn("ty", F.explode(F.sequence("ty0", "ty1")))
+        .select("image_id", F.lit(level).alias("level"), "tx", "ty")
+    )
+
+
+def _tile_bounds(level: int, tx: int, ty: int):
+    n = 1 << level
+    x_lo = tx * WORLD_X_U // n - LON_OFF_U
+    x_hi = (tx + 1) * WORLD_X_U // n - LON_OFF_U
+    y_lo = ty * WORLD_X_U // n - LAT_OFF_U
+    y_hi = (ty + 1) * WORLD_X_U // n - LAT_OFF_U
+    return x_lo, y_lo, x_hi, y_hi
+
+
+def cut_tile(
+    img: np.ndarray,
+    img_box: tuple[int, int, int, int],
+    level: int,
+    tx: int,
+    ty: int,
+    tile_size: int = TILE_SIZE,
+    background: int = NO_DATA,
+) -> np.ndarray:
+    """Resample the overlapping part of ``img`` (covering img_box in µdeg,
+    row 0 = north/y_hi) into the (level, tx, ty) tile; background fill
+    outside the footprint — the MosaicPerPyramidLevelBuilder per-cell cut
+    (RasterDataAdapter.java:552-830), nearest-neighbor, integer math."""
+    ix_lo, iy_lo, ix_hi, iy_hi = img_box
+    tx_lo, ty_lo, tx_hi, ty_hi = _tile_bounds(level, tx, ty)
+    h, w = img.shape[:2]
+    out = np.full((tile_size, tile_size), background, dtype=np.uint8)
+    # tile pixel centers in µdeg
+    px = tx_lo + ((np.arange(tile_size) * 2 + 1) * (tx_hi - tx_lo)) // (2 * tile_size)
+    py = ty_hi - ((np.arange(tile_size) * 2 + 1) * (ty_hi - ty_lo)) // (2 * tile_size)
+    # map to source pixel indices
+    sx = ((px - ix_lo) * w) // max(ix_hi - ix_lo, 1)
+    sy = ((iy_hi - py) * h) // max(iy_hi - iy_lo, 1)
+    mx = (sx >= 0) & (sx < w)
+    my = (sy >= 0) & (sy < h)
+    if mx.any() and my.any():
+        sub = img[np.clip(sy, 0, h - 1)][:, np.clip(sx, 0, w - 1)]
+        mask = my[:, None] & mx[None, :]
+        out = np.where(mask, sub, out)
+    return out
+
+
+def tile_cut_and_merge(
+    images: DataFrame,
+    half_span_u: int,
+    tile_size: int = TILE_SIZE,
+    level: int | None = None,
+) -> DataFrame:
+    """Full raster ingest: assign → cut pixel tiles (Arrow batches) →
+    merge collisions per tile with no-data-first-wins
+    (NoDataMergeStrategy semantics). Returns
+    (level, tx, ty, n_contrib, tile bytes-as-binary)."""
+    if level is None:
+        w0 = images.select(F.first("w")).first()[0]
+        level = pick_level(2 * half_span_u, int(w0), tile_size)
+    assigned = tile_assign(images, half_span_u, tile_size, level)
+    joined = assigned.join(
+        images.select("image_id", "bytes", "fmt", *image_extent_cols(half_span_u)),
+        "image_id",
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        lvl = int(pdf["level"].iloc[0])
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
+        # deterministic merge order: first writer wins per pixel where
+        # the earlier write was no-data (NoDataMergeStrategy)
+        pdf = pdf.sort_values("image_id")
+        for _, row in pdf.iterrows():
+            img = decode_image(row["bytes"], row["fmt"])
+            t = cut_tile(
+                img,
+                (row["x_lo"], row["y_lo"], row["x_hi"], row["y_hi"]),
+                lvl,
+                tx,
+                ty,
+                tile_size,
+            )
+            acc = np.where(acc == NO_DATA, t, acc)
+        return pd.DataFrame(
+            {
+                "level": [lvl],
+                "tx": [tx],
+                "ty": [ty],
+                "n_contrib": [len(pdf)],
+                "tile": [acc.tobytes()],
+            }
+        )
+
+    return joined.groupBy("level", "tx", "ty").applyInPandas(
+        merge_group, "level int, tx long, ty long, n_contrib int, tile binary"
+    )
+
+
+def retile(
+    tiles: DataFrame,
+    from_level: int,
+    to_level: int,
+    tile_size: int = TILE_SIZE,
+) -> DataFrame:
+    """Re-tile a (level, tx, ty, tile) table to a different pyramid level
+    (RasterTileResizeSparkRunner semantics: flatMap to new keys → group →
+    mosaic). Coarsening: 4^(Δ) children collapse into one parent with
+    nearest-neighbor decimation; refining: one parent explodes into
+    children upsampled from its quadrant."""
+    if to_level == from_level:
+        return tiles
+    d = abs(to_level - from_level)
+    if to_level < from_level:  # coarsen: child -> parent quadrant
+        keyed = tiles.select(
+            F.call_function("div", F.col("tx"), F.lit(1 << d)).alias("ptx"),
+            F.call_function("div", F.col("ty"), F.lit(1 << d)).alias("pty"),
+            "tx",
+            "ty",
+            "tile",
+        )
+
+        def merge_parent(pdf: pd.DataFrame) -> pd.DataFrame:
+            ptx = int(pdf["ptx"].iloc[0])
+            pty = int(pdf["pty"].iloc[0])
+            k = 1 << d
+            sub = tile_size // k
+            acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["tile"], dtype=np.uint8).reshape(
+                    tile_size, tile_size
+                )
+                small = resample_nearest(img, sub, sub)
+                ox = (int(row["tx"]) - ptx * k) * sub
+                # y axis: ty grows north; row 0 of the tile is north
+                oy = (pty * k + k - 1 - int(row["ty"])) * sub
+                acc[oy : oy + sub, ox : ox + sub] = small
+            return pd.DataFrame(
+                {"level": [to_level], "tx": [ptx], "ty": [pty], "tile": [acc.tobytes()]}
+            )
+
+        return keyed.groupBy("ptx", "pty").applyInPandas(
+            merge_parent, "level int, tx long, ty long, tile binary"
+        )
+
+    # refine: parent -> 4^d children
+    k = 1 << d
+
+    def split_parent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = np.frombuffer(row["tile"], dtype=np.uint8).reshape(
+                    tile_size, tile_size
+                )
+                sub = tile_size // k
+                for cy in range(k):
+                    for cx in range(k):
+                        # child (cx, cy) with cy in grid coords (north-up)
+                        oy = (k - 1 - cy) * sub
+                        patch = img[oy : oy + sub, cx * sub : cx * sub + sub]
+                        up = resample_nearest(patch, tile_size, tile_size)
+                        rows.append(
+                            (
+                                to_level,
+                                int(row["tx"]) * k + cx,
+                                int(row["ty"]) * k + cy,
+                                up.tobytes(),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=["level", "tx", "ty", "tile"])
+
+    return tiles.mapInPandas(split_parent, "level int, tx long, ty long, tile binary")

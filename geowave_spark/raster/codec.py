@@ -1,0 +1,97 @@
+"""Image decode/encode dispatch for the image+caption table
+(BASELINE.json input_hint: bytes binary + fmt string).
+
+PNG is real (geowave_spark.raster.png). JPEG decode is stubbed behind
+an import-try + NotImplementedError per the task constraints (no
+imaging libs in the container); the Spark-side plumbing — schema,
+Arrow batch shape, UDF signatures — is identical for both formats, so
+swapping in a real JPEG codec is a leaf change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geowave_spark.raster.png import png_decode, png_encode
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+_RAW_MAGIC = b"RAW1"
+
+
+def encode_raw(img: np.ndarray) -> bytes:
+    """Engine-native uncompressed container: magic + h,w,c (u32 LE) + pixels.
+    Stands in for additional compressed formats in this container."""
+    import struct
+
+    if img.dtype != np.uint8:
+        raise ValueError("uint8 only")
+    if img.ndim == 2:
+        h, w = img.shape
+        c = 1
+    else:
+        h, w, c = img.shape
+    return _RAW_MAGIC + struct.pack("<III", h, w, c) + img.tobytes()
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    import struct
+
+    if bytes(data[:4]) != _RAW_MAGIC:
+        raise ValueError("not RAW1")
+    h, w, c = struct.unpack_from("<III", data, 4)
+    img = np.frombuffer(data, dtype=np.uint8, offset=16).reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(bytes(data))
+    if fmt == "png":
+        return png_decode(bytes(data))
+    if fmt in ("jpeg", "jpg"):
+        if _HAS_PIL:  # pragma: no cover
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)))
+        raise NotImplementedError(
+            "JPEG decode requires an imaging library not present in this "
+            "container; PNG path is fully implemented"
+        )
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(img)
+    if fmt == "png":
+        return png_encode(img)
+    raise NotImplementedError(f"encode for {fmt!r} not available here")
+
+
+def resample_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample (integer index math only —
+    FIXTURES.md asks for fixed interpolation so PSNR bounds reproduce;
+    the reference's configurable Interpolation default for tiles)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (fidelity gate: ≥40 dB lossy)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

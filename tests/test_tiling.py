@@ -1,0 +1,155 @@
+"""Tiling semantics vs plain-Python oracles (GeoWaveBasicRasterIT-style
+analytically-known expectations, GeoWaveBasicRasterIT.java:118-404)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U
+from geowave_spark.operators.tiling import (
+    NO_DATA,
+    cut_tile,
+    pick_level,
+    retile,
+    tile_assign,
+    tile_cut_and_merge,
+)
+from geowave_spark.raster.codec import decode_image
+from geowave_spark.sources.images import dhash64, images_pdf, images_table
+from geowave_spark.sources.testgeo import xy_numpy
+
+HALF_SPAN = 600_000  # 0.6 deg half-span per image
+N_IMG = 60
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return images_table(spark, N_IMG, w=32, h=32, partitions=4).cache()
+
+
+def test_images_fixture_deterministic(spark, images):
+    got = images.select("image_id", "phash", "x_u", "y_u", "fmt", "caption").toPandas()
+    exp = images_pdf(N_IMG, w=32, h=32)
+    got = got.sort_values("image_id").reset_index(drop=True)
+    exp2 = exp[["image_id", "phash", "x_u", "y_u", "fmt", "caption"]].sort_values(
+        "image_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp2)
+
+
+def test_image_bytes_roundtrip_fidelity(images):
+    """Per-row fidelity: decoded pixels bit-exact (lossless formats),
+    caption equality, phash equality — the FIXTURES.md §4 gate."""
+    from geowave_spark.sources.images import caption_for, render_pixels
+
+    rows = images.collect()
+    assert len(rows) == N_IMG
+    for r in rows:
+        i = int(r["image_id"][3:])
+        img = decode_image(r["bytes"], r["fmt"])
+        assert np.array_equal(img, render_pixels(i, 32, 32))
+        assert r["caption"] == caption_for(i)
+        assert r["phash"] == dhash64(img)
+
+
+def test_pick_level_ratio_rule():
+    # extent 1.2 deg, 32 px native -> native res 37500 µdeg/px
+    lvl = pick_level(2 * HALF_SPAN, 32)
+    # level res must be >= native res, and one level finer must be < native
+    assert (WORLD_X_U / (1 << lvl)) / 256 >= 2 * HALF_SPAN / 32
+    assert (WORLD_X_U / (1 << (lvl + 1))) / 256 < 2 * HALF_SPAN / 32
+
+
+def test_tile_assign_matches_python_oracle(spark, images):
+    got = tile_assign(images, HALF_SPAN).toPandas()
+    level = int(got["level"].iloc[0])
+    n = 1 << level
+    ids = np.arange(N_IMG)
+    xs, ys = xy_numpy(ids)
+    exp_rows = set()
+    for i in ids:
+        tx0 = min(max((int(xs[i]) - HALF_SPAN + LON_OFF_U) * n // WORLD_X_U, 0), n - 1)
+        tx1 = min(max((int(xs[i]) + HALF_SPAN + LON_OFF_U) * n // WORLD_X_U, 0), n - 1)
+        ty0 = min(max((int(ys[i]) - HALF_SPAN + LAT_OFF_U) * n // WORLD_X_U, 0), n - 1)
+        ty1 = min(max((int(ys[i]) + HALF_SPAN + LAT_OFF_U) * n // WORLD_X_U, 0), n - 1)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                exp_rows.add((f"img{i:012d}", level, tx, ty))
+    got_rows = set(map(tuple, got[["image_id", "level", "tx", "ty"]].itertuples(index=False)))
+    assert got_rows == exp_rows
+
+
+def test_cut_tile_geometry():
+    """A tile fully inside the image footprint gets no background; one
+    fully outside is all background."""
+    img = np.full((32, 32), 200, dtype=np.uint8)
+    level = 8
+    n = 1 << level
+    # image covering exactly tile (tx=130, ty=140) plus margin
+    tx, ty = 130, 140
+    x_lo = tx * WORLD_X_U // n - LON_OFF_U - 100_000
+    x_hi = (tx + 1) * WORLD_X_U // n - LON_OFF_U + 100_000
+    y_lo = ty * WORLD_X_U // n - LAT_OFF_U - 100_000
+    y_hi = (ty + 1) * WORLD_X_U // n - LAT_OFF_U + 100_000
+    t = cut_tile(img, (x_lo, y_lo, x_hi, y_hi), level, tx, ty, tile_size=64)
+    assert (t == 200).all()
+    t_far = cut_tile(img, (x_lo, y_lo, x_hi, y_hi), level, tx + 5, ty, tile_size=64)
+    assert (t_far == NO_DATA).all()
+
+
+def test_merge_no_data_first_wins():
+    """Two images over the same tile: pixels covered by the first (by id)
+    keep its values; holes fill from the second."""
+    level = 6
+    n = 1 << level
+    tx, ty = 20, 30
+    tx_lo = tx * WORLD_X_U // n - LON_OFF_U
+    tx_hi = (tx + 1) * WORLD_X_U // n - LON_OFF_U
+    ty_lo = ty * WORLD_X_U // n - LAT_OFF_U
+    ty_hi = (ty + 1) * WORLD_X_U // n - LAT_OFF_U
+    span = tx_hi - tx_lo
+    img_a = np.full((16, 16), 50, dtype=np.uint8)
+    img_b = np.full((16, 16), 99, dtype=np.uint8)
+    # a covers west half, b covers the full tile
+    box_a = (tx_lo, ty_lo, tx_lo + span // 2, ty_hi)
+    box_b = (tx_lo, ty_lo, tx_hi, ty_hi)
+    ta = cut_tile(img_a, box_a, level, tx, ty, tile_size=32)
+    tb = cut_tile(img_b, box_b, level, tx, ty, tile_size=32)
+    merged = np.where(ta == NO_DATA, tb, ta)
+    west = merged[:, : 32 // 2 - 1]
+    east = merged[:, 32 // 2 + 1 :]
+    assert (west == 50).all()
+    assert (east == 99).all()
+
+
+def test_tile_cut_and_merge_end_to_end(spark, images):
+    tiles = tile_cut_and_merge(images, HALF_SPAN, tile_size=32).cache()
+    pdf = tiles.toPandas()
+    assert len(pdf) > 0
+    # every tile decodes to the right shape and has some real pixels
+    any_multi = (pdf["n_contrib"] > 1).any()
+    for _, r in pdf.iterrows():
+        t = np.frombuffer(r["tile"], dtype=np.uint8).reshape(32, 32)
+        assert t.shape == (32, 32)
+    # tile ids must equal the assignment output exactly (row-for-row rule)
+    assigned = (
+        tile_assign(images, HALF_SPAN, tile_size=32).select("level", "tx", "ty").distinct()
+    )
+    got_ids = set(map(tuple, pdf[["level", "tx", "ty"]].itertuples(index=False)))
+    exp_ids = set(map(tuple, assigned.toPandas().itertuples(index=False)))
+    assert got_ids == exp_ids
+
+
+def test_retile_roundtrip_shape(spark, images):
+    tiles = tile_cut_and_merge(images, HALF_SPAN, tile_size=32)
+    lvl = tiles.select(F.first("level")).first()[0]
+    coarser = retile(tiles, lvl, lvl - 1, tile_size=32)
+    pdf = coarser.toPandas()
+    assert (pdf["level"] == lvl - 1).all()
+    # parent keys are the shifted child keys
+    child = tiles.select("tx", "ty").toPandas()
+    exp_parents = set(zip(child["tx"] // 2, child["ty"] // 2))
+    assert set(zip(pdf["tx"], pdf["ty"])) == exp_parents
+    finer = retile(tiles, lvl, lvl + 1, tile_size=32)
+    assert finer.count() == tiles.count() * 4
