@@ -33,6 +33,9 @@ from geowave_spark.sources.testgeo import (
     customer_boxes_sql,
     events_points,
     events_points_sql,
+    octagon_vertices_sql,
+    supplier_octagons,
+    supplier_octagons_sql,
     xy_sql,
 )
 from geowave_spark.index.native import grid_coord_sql
@@ -225,6 +228,126 @@ def _q_sim_pairs(spark, sf):
     )
 
 
+KDE_LEVEL = 6
+HIST_BIN_W = 50.0
+HIST_MAX_BIN = 9
+TOVL_LO, TOVL_HI = "2024-01-10 00:00:00", "2024-01-10 06:00:00"
+LSH_JACCARD_T = 500
+
+
+def _q_time_bin(spark, sf):
+    from geowave_spark.operators.temporal import time_bin_col
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(time_bin_col(F.col("ts"), "DAY").alias("bin_day")).agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("sum_user")
+    )
+
+
+def _q_temporal_overlaps(spark, sf):
+    from geowave_spark.operators.temporal import interval_end_col, time_overlaps
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    end = interval_end_col(F.col("ts"), F.col("user_id"))
+    return ev.where(
+        time_overlaps(
+            F.col("ts"),
+            end,
+            F.lit(TOVL_LO).cast("timestamp"),
+            F.lit(TOVL_HI).cast("timestamp"),
+        )
+    ).select("event_id")
+
+
+def _q_text_prefix(spark, sf):
+    from geowave_spark.operators.text_search import prefix_search
+
+    return prefix_search(_docs(spark, sf), "text", "key").select("doc_id")
+
+
+def _q_text_suffix(spark, sf):
+    from geowave_spark.operators.text_search import suffix_search
+
+    return suffix_search(_docs(spark, sf), "text", "row").select("doc_id")
+
+
+def _q_text_contains(spark, sf):
+    from geowave_spark.operators.text_search import contains_search
+
+    return contains_search(_docs(spark, sf), "text", "doc_id", "spark join").select(
+        "doc_id"
+    )
+
+
+def _q_poly_join(spark, sf):
+    from geowave_spark.operators.poly_join import octagon_point_join
+
+    return octagon_point_join(events_points(spark, sf), supplier_octagons(spark, sf))
+
+
+def _q_kde(spark, sf):
+    from geowave_spark.operators.kde import kde_level
+
+    return kde_level(events_points(spark, sf), KDE_LEVEL)
+
+
+def _q_tile_cover(spark, sf):
+    from geowave_spark.operators.tiling import box_tile_cover
+
+    return box_tile_cover(customer_boxes(spark, sf), TILE_RES)
+
+
+def _q_histogram(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    bin_c = F.least(
+        F.floor(F.col("value") / F.lit(HIST_BIN_W)).cast("int"), F.lit(HIST_MAX_BIN)
+    )
+    return ev.groupBy(bin_c.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def _q_stats_summary(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+    )
+
+
+def _q_minhash_lsh(spark, sf):
+    from geowave_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf),
+        num_hashes=4,
+        bands=2,
+        jaccard_threshold=LSH_JACCARD_T / 1000,
+    )
+
+
+def _q_sim_topk_lsh(spark, sf):
+    """Approximate ANN (LSH bucket + Hamming-1 multiprobe) — candidate
+    set is data-dependent, so this is a rows-only driver check; recall
+    vs brute force is asserted in tests/test_similarity_lsh.py."""
+    from geowave_spark.operators.similarity import topk_lsh
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % SIM_QUERY_MOD == 0)
+    return topk_lsh(spark, emb, queries_df, SIM_K)
+
+
+def _q_cos_dedup(spark, sf):
+    """Embedding-cosine near-duplicate pairs via LSH candidates +
+    exact verification (rows-only driver check; the exact-threshold
+    all-pairs twin `sim_pairs` is fully oracle-checked)."""
+    from geowave_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return cosine_near_dup_pairs(emb, threshold_x1000=SIM_PAIR_T)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -248,6 +371,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "sim_topk": _q_sim_topk,
         "sim_pairs": _q_sim_pairs,
+        "time_bin": _q_time_bin,
+        "temporal_overlaps": _q_temporal_overlaps,
+        "text_prefix": _q_text_prefix,
+        "text_suffix": _q_text_suffix,
+        "text_contains": _q_text_contains,
+        "poly_join": _q_poly_join,
+        "kde": _q_kde,
+        "tile_cover": _q_tile_cover,
+        "histogram": _q_histogram,
+        "stats_summary": _q_stats_summary,
+        "minhash_lsh": _q_minhash_lsh,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "cos_dedup": _q_cos_dedup,
     }
 
 
@@ -372,4 +508,82 @@ def oracle_sql() -> dict[str, str]:
         "CAST(floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000) AS BIGINT) AS score_x1000 "
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
         f"AND floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000) >= {SIM_PAIR_T}",
+        **_oracle_sql_round2(),
+    }
+
+
+def _oracle_sql_round2() -> dict[str, str]:
+    """Oracles for the temporal / text / polygon / raster-cover /
+    statistics query surface."""
+    from geowave_spark.operators.kde import _K
+    from geowave_spark.operators.poly_join import convex_contains_sql
+
+    pts = _pts_cte()
+    boxes = _boxes_cte()
+
+    oct_contains = convex_contains_sql(
+        octagon_vertices_sql("o.cx", "o.cy", "o.r", "o.a"), "p.x_u", "p.y_u"
+    )
+
+    n_kde = 1 << KDE_LEVEL
+    kde_kernel = ", ".join(
+        f"({dx - 2}, {dy - 2}, {int(_K[dy, dx])})" for dy in range(5) for dx in range(5)
+    )
+
+    shingles = (
+        "list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
+        " i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],"
+        " string_split(text,' ')[i+2]))"
+    )
+    h64 = lambda e, s: (
+        f"CAST(concat('0x', substr(md5(concat('s{s}:', {e})), 1, 15)) AS BIGINT)"
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> {h64('s', i)})) AS mh_{i}" for i in range(4)
+    )
+    lsh_jac = (
+        "(len(list_intersect(sa.sh, sb.sh)) * 1000) // "
+        "greatest(len(list_distinct(list_cat(sa.sh, sb.sh))), 1)"
+    )
+
+    return {
+        "time_bin": "SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS bin_day, "
+        "count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events GROUP BY 1",
+        "temporal_overlaps": f"SELECT event_id FROM events "
+        f"WHERE ts < TIMESTAMP '{TOVL_HI}' "
+        f"AND ts + to_seconds(user_id) > TIMESTAMP '{TOVL_LO}'",
+        "text_prefix": "SELECT doc_id FROM documents WHERE text LIKE 'key%'",
+        "text_suffix": "SELECT doc_id FROM documents WHERE text LIKE '%row'",
+        "text_contains": "SELECT doc_id FROM documents WHERE text LIKE '%spark join%'",
+        "poly_join": f"{pts}, octs AS {supplier_octagons_sql('')} "
+        f"SELECT p.event_id, o.s_suppkey FROM {EVENTS_PTS} p, octs o "
+        f"WHERE {oct_contains}",
+        "kde": f"{pts}, g AS (SELECT {grid_coord_sql('x_u', KDE_LEVEL)} AS cx, "
+        f"{grid_coord_sql('y_u', KDE_LEVEL)} AS cy FROM {EVENTS_PTS}), "
+        f"k(dx, dy, w) AS (VALUES {kde_kernel}), "
+        f"s AS (SELECT cx + dx AS gx, cy + dy AS gy, w FROM g, k "
+        f"WHERE cx + dx BETWEEN 0 AND {n_kde - 1} AND cy + dy BETWEEN 0 AND {n_kde - 1}), "
+        "a AS (SELECT gx, gy, CAST(sum(w) AS BIGINT) AS weight FROM s GROUP BY 1, 2) "
+        "SELECT gx, gy, weight, percent_rank() OVER (ORDER BY weight) AS pct FROM a",
+        "tile_cover": f"WITH {boxes}, g AS (SELECT c_custkey, "
+        f"{grid_coord_sql('x_lo', TILE_RES)} AS tx0, {grid_coord_sql('x_hi', TILE_RES)} AS tx1, "
+        f"{grid_coord_sql('y_lo', TILE_RES)} AS ty0, {grid_coord_sql('y_hi', TILE_RES)} AS ty1 "
+        "FROM boxes) SELECT c_custkey, tx, ty FROM g, "
+        "unnest(generate_series(tx0, tx1)) AS t1(tx), "
+        "unnest(generate_series(ty0, ty1)) AS t2(ty)",
+        "histogram": f"SELECT least(CAST(floor(value / {HIST_BIN_W}) AS INT), {HIST_MAX_BIN}) AS bin, "
+        "count(*) AS n FROM events GROUP BY 1",
+        "stats_summary": "SELECT event_type, count(*) AS n, "
+        "count(DISTINCT user_id) AS n_users, min(ts) AS min_ts, max(ts) AS max_ts, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100 "
+        "FROM events GROUP BY 1",
+        "minhash_lsh": f"WITH s0 AS (SELECT doc_id, {shingles} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, {mh_cols} FROM s0), "
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "
+        "ON a.doc_id < b.doc_id AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1) "
+        "OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3))), "
+        "ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s0) "
+        f"SELECT doc_a, doc_b, {lsh_jac} AS jaccard_x1000 "
+        "FROM cand JOIN ds sa ON sa.doc_id = doc_a JOIN ds sb ON sb.doc_id = doc_b "
+        f"WHERE {lsh_jac} >= {LSH_JACCARD_T}",
     }

@@ -98,6 +98,34 @@ def tile_assign(
     )
 
 
+def box_tile_cover(
+    boxes: DataFrame,
+    level: int,
+    key: str = "c_custkey",
+) -> DataFrame:
+    """Tiles covered by each extent box (x_lo..y_hi µdeg) at ``level`` —
+    the vector-side tile assignment (raster↔vector join keying,
+    RasterDataAdapter.convertToIndex footprint walk :444-550). Native
+    corner grid coords + sequence-explode; output (key, tx, ty)."""
+    n = 1 << level
+
+    def grid(col, off):
+        g = F.call_function(
+            "div", (F.col(col).cast("long") + F.lit(off)) * F.lit(n), F.lit(WORLD_X_U)
+        )
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1))
+
+    return (
+        boxes.withColumn("_tx0", grid("x_lo", LON_OFF_U))
+        .withColumn("_tx1", grid("x_hi", LON_OFF_U))
+        .withColumn("_ty0", grid("y_lo", LAT_OFF_U))
+        .withColumn("_ty1", grid("y_hi", LAT_OFF_U))
+        .withColumn("tx", F.explode(F.sequence("_tx0", "_tx1")))
+        .withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
+        .select(key, "tx", "ty")
+    )
+
+
 def _tile_bounds(level: int, tx: int, ty: int):
     n = 1 << level
     x_lo = tx * WORLD_X_U // n - LON_OFF_U

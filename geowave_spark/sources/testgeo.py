@@ -128,6 +128,68 @@ def customer_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OCT_R_MOD = 3_000_000
+OCT_R_MIN = 500_000
+
+
+def supplier_octagons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-polygon-side fixture: one octagon per supplier — center at
+    the derived point, radius 0.5°–3.5° from the key, diagonal offset
+    a = r*707//1000 (integer cos45 approximation, keeps every vertex and
+    every half-plane test in exact BIGINT arithmetic)."""
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    x, y = xy_cols(F.col("s_suppkey"))
+    r = (
+        F.pmod(F.col("s_suppkey").cast("long") * F.lit(K2), F.lit(OCT_R_MOD))
+        + F.lit(OCT_R_MIN)
+    ).alias("r")
+    out = df.select("s_suppkey", x, y, r)
+    return out.select(
+        "s_suppkey",
+        F.col("x_u").alias("cx"),
+        F.col("y_u").alias("cy"),
+        "r",
+        F.call_function("div", F.col("r") * 707, F.lit(1000)).alias("a"),
+    )
+
+
+def supplier_octagons_sql(sf_dir: str) -> str:
+    x, y = xy_sql("s_suppkey")
+    r = f"(((s_suppkey * {K2}) % {OCT_R_MOD}) + {OCT_R_MIN})"
+    return (
+        f"(SELECT s_suppkey, {x} AS cx, {y} AS cy, {r} AS r, "
+        f"({r} * 707) // 1000 AS a FROM supplier)"
+    )
+
+
+def octagon_vertices(cx, cy, r, a):
+    """CCW vertex list (expressions or ints) starting due east."""
+    return [
+        (cx + r, cy),
+        (cx + a, cy + a),
+        (cx, cy + r),
+        (cx - a, cy + a),
+        (cx - r, cy),
+        (cx - a, cy - a),
+        (cx, cy - r),
+        (cx + a, cy - a),
+    ]
+
+
+def octagon_vertices_sql(cx: str, cy: str, r: str, a: str) -> list[tuple[str, str]]:
+    """SQL-text twin of octagon_vertices (string expressions)."""
+    return [
+        (f"({cx} + {r})", cy),
+        (f"({cx} + {a})", f"({cy} + {a})"),
+        (cx, f"({cy} + {r})"),
+        (f"({cx} - {a})", f"({cy} + {a})"),
+        (f"({cx} - {r})", cy),
+        (f"({cx} - {a})", f"({cy} - {a})"),
+        (cx, f"({cy} - {r})"),
+        (f"({cx} + {a})", f"({cy} - {a})"),
+    ]
+
+
 def customer_boxes_sql(sf_dir: str) -> str:
     x, y = xy_sql("c_custkey")
     hw = f"(((c_custkey * {K1}) % 2000000) + 200000)"

@@ -1,0 +1,112 @@
+"""Octagon polygon join (brute-force oracle) + streaming ingest +
+SQL function registry."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import register_all
+from geowave_spark.operators.poly_join import (
+    convex_contains_pred,
+    octagon_point_join,
+)
+from geowave_spark.sources.testgeo import (
+    events_points,
+    octagon_vertices,
+    supplier_octagons,
+)
+
+
+def test_octagon_join_matches_bruteforce(spark, sf_dir):
+    """The reference's own correctness bar: indexed join ≡ cross join +
+    same predicate (GeoWaveSparkSpatialJoinIT.java:104-172)."""
+    pts = events_points(spark, sf_dir)
+    octs = supplier_octagons(spark, sf_dir)
+    got = octagon_point_join(pts, octs)
+
+    verts = octagon_vertices(F.col("cx"), F.col("cy"), F.col("r"), F.col("a"))
+    brute = (
+        pts.crossJoin(octs)
+        .where(convex_contains_pred(verts, F.col("x_u"), F.col("y_u")))
+        .select("event_id", "s_suppkey")
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_octagon_contains_center_not_far_corner(spark, sf_dir):
+    octs = supplier_octagons(spark, sf_dir).limit(5)
+    verts = octagon_vertices(F.col("cx"), F.col("cy"), F.col("r"), F.col("a"))
+    inside = octs.where(
+        convex_contains_pred(verts, F.col("cx"), F.col("cy"))
+    ).count()
+    outside = octs.where(
+        convex_contains_pred(verts, F.col("cx") + F.col("r"), F.col("cy") + F.col("r"))
+    ).count()
+    assert inside == 5 and outside == 0
+
+
+def test_stream_ingest_matches_batch_index(spark, sf_dir, tmp_path):
+    from geowave_spark.operators.spatial_query import with_cell
+    from geowave_spark.streaming.ingest import stream_ingest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    pts = events_points(spark, sf_dir).limit(500)
+    pts.write.parquet(src)
+
+    q = stream_ingest(spark, src, pts.schema, out, cp, res=12)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out)
+    batch = with_cell(pts, 12)
+    assert streamed.count() == 500
+    sk = {(r.event_id, r.cell) for r in streamed.select("event_id", "cell").collect()}
+    bk = {(r.event_id, r.cell) for r in batch.select("event_id", "cell").collect()}
+    assert sk == bk
+
+
+def test_sql_function_registry(spark, sf_dir):
+    register_all(spark)
+    from geowave_spark.geom.wkb import point, polygon, wkb_dumps
+
+    poly = wkb_dumps(polygon([[0, 0], [10, 0], [10, 10], [0, 10]]))
+    pt_in = wkb_dumps(point(5, 5))
+    pt_out = wkb_dumps(point(20, 20))
+    df = spark.createDataFrame(
+        [(1, pt_in, poly), (2, pt_out, poly)], "id int, g binary, p binary"
+    )
+    df.createOrReplaceTempView("t_geom")
+    rows = spark.sql(
+        "SELECT id FROM t_geom WHERE GeomIntersects(g, p)"
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    rows = spark.sql(
+        "SELECT id FROM t_geom WHERE GeomWithin(g, p) AND GeomDistance(g, p) = 0.0"
+    ).collect()
+    assert [r.id for r in rows] == [1]
+    wkt = spark.sql(
+        "SELECT GeomFromWKT('POINT (5 5)') AS g"
+    ).first()
+    assert bytes(wkt.g) == pt_in
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("t_docs")
+    n_sql = spark.sql(
+        "SELECT count(*) AS n FROM t_docs WHERE strStartsWith(text, 'key')"
+    ).first().n
+    n_col = docs.where(F.col("text").startswith("key")).count()
+    assert n_sql == n_col
+
+
+def test_bbox_loose_superset(spark, sf_dir):
+    from geowave_spark.functions.registry import bbox, bbox_loose
+
+    pts = events_points(spark, sf_dir)
+    x0, y0, x1, y1 = -60_000_000, -40_000_000, 70_000_000, 55_000_000
+    exact = pts.where(bbox(F.col("x_u"), F.col("y_u"), x0, y0, x1, y1))
+    loose = pts.where(bbox_loose(F.col("x_u"), F.col("y_u"), x0, y0, x1, y1, res=8))
+    assert exact.exceptAll(loose).count() == 0  # loose ⊇ exact
+    assert loose.count() >= exact.count()

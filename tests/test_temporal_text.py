@@ -1,0 +1,139 @@
+"""Temporal predicates/binning and text-search index strategies."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from geowave_spark.operators import temporal as T
+from geowave_spark.operators.text_search import (
+    contains_search,
+    exact_search,
+    ngram_index,
+    prefix_search,
+    suffix_search,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- temporal
+
+
+def test_temporal_between_matches_python(spark, sf_dir):
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    df = _events(spark, sf_dir)
+    got = df.where(
+        T.temporal_between(F.col("ts"), F.lit(lo), F.lit(hi))
+    ).count()
+    rows = df.select("ts").collect()
+    want = sum(1 for r in rows if lo <= r.ts < hi)
+    assert got == want > 0
+
+
+def test_time_overlaps_half_open(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 5)),
+        (2, dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 8)),  # abuts: no overlap
+        (3, dt.datetime(2024, 1, 4), dt.datetime(2024, 1, 6)),
+    ]
+    df = spark.createDataFrame(rows, "id int, s timestamp, e timestamp")
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 5)
+    got = {
+        r.id
+        for r in df.where(
+            T.time_overlaps(F.col("s"), F.col("e"), F.lit(lo), F.lit(hi))
+        ).collect()
+    }
+    assert got == {1, 3}
+
+
+def test_during_and_directional(spark):
+    rows = [(1, dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3))]
+    df = spark.createDataFrame(rows, "id int, s timestamp, e timestamp")
+    lo, hi = F.lit(dt.datetime(2024, 1, 1)), F.lit(dt.datetime(2024, 1, 5))
+    assert df.where(T.during(F.col("s"), F.col("e"), lo, hi)).count() == 1
+    assert df.where(T.before_or_during(F.col("e"), hi)).count() == 1
+    assert df.where(T.during_or_after(F.col("s"), lo)).count() == 1
+    assert df.where(T.after(F.col("s"), hi)).count() == 0
+    assert df.where(T.before(F.col("e"), lo)).count() == 0
+
+
+def test_time_bins_consistent(spark, sf_dir):
+    df = _events(spark, sf_dir).select("ts")
+    binned = df.select(
+        T.time_bin_col(F.col("ts"), "YEAR").alias("y"),
+        T.time_bin_col(F.col("ts"), "MONTH").alias("m"),
+        T.time_bin_col(F.col("ts"), "DAY").alias("d"),
+        T.time_bin_col(F.col("ts"), "HOUR").alias("h"),
+        "ts",
+    )
+    for r in binned.limit(50).collect():
+        assert r.y == r.ts.year
+        assert r.m == r.ts.year * 12 + r.ts.month - 1
+        assert r.d == (r.ts.date() - dt.date(1970, 1, 1)).days
+        assert r.h == r.d * 24 + r.ts.hour
+
+
+def test_interval_end_preserves_micros(spark):
+    ts = dt.datetime(2024, 1, 1, 0, 0, 7, 179575)
+    df = spark.createDataFrame([(ts, 90)], "ts timestamp, secs long")
+    out = df.select(T.interval_end_col(F.col("ts"), F.col("secs")).alias("e")).first()
+    assert out.e == ts + dt.timedelta(seconds=90)
+
+
+# ------------------------------------------------------------- text search
+
+
+def test_prefix_search_matches_like(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {r.doc_id for r in prefix_search(docs, "text", "key").collect()}
+    want = {r.doc_id for r in docs.where(F.col("text").like("key%")).collect()}
+    assert got == want
+
+
+def test_suffix_search_matches_like(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {r.doc_id for r in suffix_search(docs, "text", "row").collect()}
+    want = {r.doc_id for r in docs.where(F.col("text").like("%row")).collect()}
+    assert got == want
+
+
+def test_contains_search_matches_like(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {r.doc_id for r in contains_search(docs, "text", "doc_id", "spark join").collect()}
+    want = {
+        r.doc_id for r in docs.where(F.col("text").contains("spark join")).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_contains_with_prebuilt_index_and_short_needle(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    idx = ngram_index(docs, "text", "doc_id", n=3)
+    got = {
+        r.doc_id
+        for r in contains_search(docs, "text", "doc_id", "agg", index=idx).collect()
+    }
+    want = {r.doc_id for r in docs.where(F.col("text").contains("agg")).collect()}
+    assert got == want
+    # needle shorter than the gram -> exact-scan fallback
+    got2 = contains_search(docs, "text", "doc_id", "ag").count()
+    want2 = docs.where(F.col("text").contains("ag")).count()
+    assert got2 == want2
+
+
+def test_case_insensitive_and_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ci = prefix_search(docs, "text", "KEY", case_sensitive=False).count()
+    cs = prefix_search(docs, "text", "KEY", case_sensitive=True).count()
+    assert ci > 0 and cs == 0
+    first = docs.select("text").first().text
+    assert exact_search(docs, "text", first).count() >= 1
