@@ -316,6 +316,22 @@ def _q_stats_summary(spark, sf):
     )
 
 
+NN_MAX_D = 2_000_000
+NN_K = 4
+NN_LEFT_MOD = 20
+
+
+def _q_nn_join(spark, sf):
+    from geowave_spark.operators.nn_join import nn_self_join
+
+    return nn_self_join(
+        events_points(spark, sf),
+        NN_MAX_D,
+        NN_K,
+        left_filter=F.col("event_id") % NN_LEFT_MOD == 0,
+    )
+
+
 def _q_minhash_lsh(spark, sf):
     from geowave_spark.operators.dedup import minhash_lsh_pairs
 
@@ -381,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover": _q_tile_cover,
         "histogram": _q_histogram,
         "stats_summary": _q_stats_summary,
+        "nn_join": _q_nn_join,
         "minhash_lsh": _q_minhash_lsh,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "cos_dedup": _q_cos_dedup,
@@ -577,6 +594,16 @@ def _oracle_sql_round2() -> dict[str, str]:
         "count(DISTINCT user_id) AS n_users, min(ts) AS min_ts, max(ts) AS max_ts, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100 "
         "FROM events GROUP BY 1",
+        "nn_join": f"{pts}, a AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay "
+        f"FROM {EVENTS_PTS} WHERE event_id % {NN_LEFT_MOD} = 0), "
+        f"d AS (SELECT a_id, p.event_id AS b_id, "
+        "(ax - p.x_u)*(ax - p.x_u) + (ay - p.y_u)*(ay - p.y_u) AS dist2, "
+        "row_number() OVER (PARTITION BY a_id ORDER BY "
+        "(ax - p.x_u)*(ax - p.x_u) + (ay - p.y_u)*(ay - p.y_u), p.event_id) AS rank "
+        f"FROM a, {EVENTS_PTS} p WHERE a_id <> p.event_id "
+        f"AND (ax - p.x_u)*(ax - p.x_u) + (ay - p.y_u)*(ay - p.y_u) "
+        f"<= {NN_MAX_D}::BIGINT * {NN_MAX_D}::BIGINT) "
+        f"SELECT a_id, b_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {NN_K}",
         "minhash_lsh": f"WITH s0 AS (SELECT doc_id, {shingles} AS sh FROM documents), "
         f"sig AS (SELECT doc_id, {mh_cols} FROM s0), "
         "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "

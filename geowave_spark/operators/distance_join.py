@@ -43,7 +43,10 @@ def point_distance_join(
         (F.col("x_u") + r).alias("x_hi"),
         (F.col("y_u") + r).alias("y_hi"),
     )
-    b = boxes_with_cells(right_boxed).withColumnRenamed("res", "_bres")
+    # broadcast the buffered side: no shuffle, and hotspot cells fan out
+    # across stream partitions (see box_point_join on strategy + why no
+    # DedupeFilter stage is needed: ≤1 (res, cell) match per pair)
+    b = F.broadcast(boxes_with_cells(right_boxed).withColumnRenamed("res", "_bres"))
     keyed = points_keyed_by_res(left_points, b.select(F.col("_bres").alias("res")).distinct())
     dx = F.col("x_u") - F.col("rx")
     dy = F.col("y_u") - F.col("ry")
@@ -56,10 +59,7 @@ def point_distance_join(
         .withColumn("dist2", dx * dx + dy * dy)
         .where(F.col("dist2") <= F.lit(r * r))
         .select(left_key, right_key, "dist2")
-        .dropDuplicates([left_key, right_key])
     )
     if negative:
-        return left_points.join(
-            matched.select(left_key).distinct(), left_key, "leftanti"
-        )
+        return left_points.join(matched.select(left_key), left_key, "leftanti")
     return matched

@@ -63,9 +63,37 @@ def kde_level(points: DataFrame, level: int) -> DataFrame:
         )
         .where(F.col("gx").between(0, n - 1) & F.col("gy").between(0, n - 1))
     )
-    agg = splat.groupBy("gx", "gy").agg(F.sum("w").alias("weight"))
-    win = Window.orderBy("weight")
-    return agg.withColumn("pct", F.percent_rank().over(win))
+    # persist the aggregated grid: it feeds both the weight histogram
+    # (build side) and the final join (probe side) — without this the
+    # full splat+shuffle runs twice (the reference persists at the same
+    # point, KDERunner.java:310 persist on the combined grid)
+    agg = splat.groupBy("gx", "gy").agg(F.sum("w").alias("weight")).persist()
+    # percentile normalization WITHOUT a global single-partition window:
+    # percent_rank = (rank-1)/(N-1) with rank = 1 + #cells of smaller
+    # weight, so it is a pure function of the *weight histogram* — tiny
+    # (distinct weights ≪ cells). The window below runs over that
+    # histogram only and the result is broadcast-joined back, replacing
+    # the reference's global sortByKey (KDERunner.java:251-259) with a
+    # plan that stays parallel at any grid size.
+    hist = agg.groupBy("weight").agg(F.count("*").alias("_cnt"))
+    w_all = Window.orderBy("weight").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_below = Window.orderBy("weight").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.select(
+        "weight",
+        F.coalesce(F.sum("_cnt").over(w_below), F.lit(0)).alias("_smaller"),
+        F.sum("_cnt").over(w_all).alias("_total"),
+    )
+    pct = F.when(
+        F.col("_total") > 1,
+        F.col("_smaller").cast("double") / (F.col("_total") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.join(F.broadcast(hist), "weight").select(
+        "gx", "gy", "weight", pct.alias("pct")
+    )
 
 
 def kde_pyramid(points: DataFrame, min_level: int = 5, max_level: int = 8) -> DataFrame:

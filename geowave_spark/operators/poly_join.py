@@ -76,7 +76,10 @@ def octagon_point_join(
         (F.col("cx") + F.col("r")).alias("x_hi"),
         (F.col("cy") + F.col("r")).alias("y_hi"),
     )
-    b = boxes_with_cells(boxes)
+    # broadcast + no dedupe: same reasoning as box_point_join (distinct
+    # cells at one res per polygon → ≤1 key match per pair; broadcast
+    # keeps dense hotspot cells parallel across stream partitions)
+    b = F.broadcast(boxes_with_cells(boxes))
     res_dim = b.select("res").distinct()
     keyed = points_keyed_by_res(points, res_dim)
 
@@ -87,4 +90,4 @@ def octagon_point_join(
         (keyed["res"] == F.col("_bres")) & (keyed["_jcell"] == b["cell"]),
         "inner",
     ).where(refine)
-    return j.select(point_key, poly_key).dropDuplicates([point_key, poly_key])
+    return j.select(point_key, poly_key)

@@ -125,9 +125,27 @@ def box_point_join(
                     TieredSpatialJoin.java:362-378)
       'leftanti' -> points matching no box (negative-predicate form,
                     subtractByKey analog :362-368)
+
+    No DedupeFilter stage is needed, by construction: each box carries
+    *distinct* cells at exactly one resolution, and a point maps to
+    exactly one cell per resolution, so a (point, box) pair can satisfy
+    the (res, cell) equality at most once. (The reference needs
+    DedupeFilter because its tiered decomposition can insert one entry
+    under many ranges — our ≤4-distinct-corner-cells scheme cannot.)
+    Skipping it removes the join's only wide shuffle: measured at sf0.1
+    / local[32], join+refine is ~5 s while the redundant
+    dropDuplicates added ~130 s of 52M-row shuffle for zero removals.
+
+    Join-strategy selection (the two-phase broadcast-vs-SMJ rule):
+    ``broadcast_boxes=None`` (default) broadcasts the exploded box side
+    — extent/dimension tables are small relative to the point table,
+    and a broadcast-hash join has no shuffle and no skewed-key problem
+    (dense hotspot cells parallelize across *stream-side* partitions).
+    Pass False when the extent side is too big to broadcast; the plan
+    falls back to a shuffled join where AQE skew-split applies.
     """
     b = boxes_with_cells(boxes)
-    if broadcast_boxes:
+    if broadcast_boxes is None or broadcast_boxes:
         b = F.broadcast(b)
     res_dim = b.select("res").distinct()
     keyed = points_keyed_by_res(points, res_dim)
@@ -140,11 +158,10 @@ def box_point_join(
         F.col("x_u").between(F.col("x_lo"), F.col("x_hi"))
         & F.col("y_u").between(F.col("y_lo"), F.col("y_hi"))
     )
-    # DedupeFilter analog: one logical pair may match in several cells
-    matched = j.select(point_key, box_key).dropDuplicates([point_key, box_key])
+    matched = j.select(point_key, box_key)
 
     if how == "inner":
         return matched
     if how in ("leftsemi", "leftanti"):
-        return points.join(matched.select(point_key).distinct(), point_key, how)
+        return points.join(matched.select(point_key), point_key, how)
     raise ValueError(how)

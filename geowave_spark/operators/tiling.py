@@ -173,50 +173,154 @@ def tile_cut_and_merge(
     tile_size: int = TILE_SIZE,
     level: int | None = None,
 ) -> DataFrame:
-    """Full raster ingest: assign → cut pixel tiles (Arrow batches) →
-    merge collisions per tile with no-data-first-wins
-    (NoDataMergeStrategy semantics). Returns
-    (level, tx, ty, n_contrib, tile bytes-as-binary)."""
+    """Full raster ingest: assign → cut pixel tiles → merge collisions
+    per tile with no-data-first-wins (NoDataMergeStrategy semantics).
+    Returns (level, tx, ty, n_contrib, tile bytes-as-binary).
+
+    Execution shape — TWO-PHASE merge, the reference's server-side
+    mergeable-tile pattern (core/store/.../aggregate/MergingAggregation.java
+    + RasterTileMergeStrategy: partial tile merges happen where the data
+    lives, only merged partials cross the network):
+
+      phase 1 (map side, NO shuffle): cut + merge each input
+        partition's contributions per tile into ONE partial tile —
+        all the pixel work happens here, balanced by input partitions,
+        so a dense hotspot tile with thousands of contributors is
+        partially merged in parallel instead of serializing in one
+        reduce task;
+      phase 2: shuffle only the partials (one ~tile_size² row per
+        (tile, partition) — orders of magnitude fewer rows/bytes than
+        the raw contributions) and fold them in ``min_id`` order.
+
+    Correctness of the split: the per-pixel rule "first non-no-data
+    writer wins, writers ordered by image_id" is associative, and the
+    image table's partitions are contiguous image_id ranges (and rows
+    arrive id-ordered within a partition/batch), so every partial
+    covers a disjoint id interval and folding partials by their min id
+    reproduces the exact sequential merge — bit-identical to the
+    single-phase result."""
     if level is None:
         w0 = images.select(F.first("w")).first()[0]
         level = pick_level(2 * half_span_u, int(w0), tile_size)
-    assigned = tile_assign(images, half_span_u, tile_size, level)
-    joined = assigned.join(
-        images.select("image_id", "bytes", "fmt", *image_extent_cols(half_span_u)),
-        "image_id",
+    lvl = int(level)
+    # carry the payload through the explode — narrow op, no join, keeps
+    # the source's id-range partitioning (required by the phase split)
+    assigned = images.select(
+        "image_id", "bytes", "fmt", *image_extent_cols(half_span_u)
+    )
+    n = 1 << lvl
+
+    def grid(col, off):
+        g = F.call_function(
+            "div", (F.col(col).cast("long") + F.lit(off)) * F.lit(n), F.lit(WORLD_X_U)
+        )
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1))
+
+    pairs = (
+        assigned.withColumn("_tx0", grid("x_lo", LON_OFF_U))
+        .withColumn("_tx1", grid("x_hi", LON_OFF_U))
+        .withColumn("_ty0", grid("y_lo", LAT_OFF_U))
+        .withColumn("_ty1", grid("y_hi", LAT_OFF_U))
+        .withColumn("tx", F.explode(F.sequence("_tx0", "_tx1")))
+        .withColumn("ty", F.explode(F.sequence("_ty0", "_ty1")))
+        .select("tx", "ty", "image_id", "bytes", "fmt", "x_lo", "y_lo", "x_hi", "y_hi")
     )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        lvl = int(pdf["level"].iloc[0])
-        tx = int(pdf["tx"].iloc[0])
-        ty = int(pdf["ty"].iloc[0])
-        acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
-        # deterministic merge order: first writer wins per pixel where
-        # the earlier write was no-data (NoDataMergeStrategy)
-        pdf = pdf.sort_values("image_id")
-        for _, row in pdf.iterrows():
-            img = decode_image(row["bytes"], row["fmt"])
-            t = cut_tile(
-                img,
-                (row["x_lo"], row["y_lo"], row["x_hi"], row["y_hi"]),
-                lvl,
-                tx,
-                ty,
-                tile_size,
+    def cut_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Phase 1: per Arrow batch, merge contributions per tile into
+        one partial (batches are id-contiguous → disjoint id ranges)."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["tx", "ty", "image_id"], kind="stable")
+            out = []
+            for (tx, ty), g in pdf.groupby(["tx", "ty"], sort=False):
+                acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
+                for row in g.itertuples(index=False):
+                    img = decode_image(row.bytes, row.fmt)
+                    t = cut_tile(
+                        img,
+                        (row.x_lo, row.y_lo, row.x_hi, row.y_hi),
+                        lvl,
+                        int(tx),
+                        int(ty),
+                        tile_size,
+                    )
+                    acc = np.where(acc == NO_DATA, t, acc)
+                out.append(
+                    (int(tx), int(ty), str(g["image_id"].iloc[0]), len(g), acc.tobytes())
+                )
+            yield pd.DataFrame(
+                out, columns=["tx", "ty", "min_id", "n_part", "ptile"]
             )
-            acc = np.where(acc == NO_DATA, t, acc)
-        return pd.DataFrame(
-            {
-                "level": [lvl],
-                "tx": [tx],
-                "ty": [ty],
-                "n_contrib": [len(pdf)],
-                "tile": [acc.tobytes()],
-            }
-        )
 
-    return joined.groupBy("level", "tx", "ty").applyInPandas(
-        merge_group, "level int, tx long, ty long, n_contrib int, tile binary"
+    partials = pairs.mapInPandas(
+        cut_partial, "tx long, ty long, min_id string, n_part int, ptile binary"
+    )
+    arranged = partials.repartition("tx", "ty").sortWithinPartitions(
+        "tx", "ty", "min_id"
+    )
+
+    def _fold_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (tx, ty), g in pdf.groupby(["tx", "ty"], sort=False):
+            acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
+            total = 0
+            for row in g.itertuples(index=False):
+                t = np.frombuffer(row.ptile, dtype=np.uint8).reshape(
+                    tile_size, tile_size
+                )
+                acc = np.where(acc == NO_DATA, t, acc)
+                total += int(row.n_part)
+            out.append((lvl, int(tx), int(ty), total, acc.tobytes()))
+        return pd.DataFrame(out, columns=["level", "tx", "ty", "n_contrib", "tile"])
+
+    def fold_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Phase 2: fold partials per tile; a tile's partials never
+        split across partitions (hash repartition on the full key), and
+        the trailing partial group is carried across batch bounds."""
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            ltx, lty = pdf["tx"].iloc[-1], pdf["ty"].iloc[-1]
+            tail = (pdf["tx"] == ltx) & (pdf["ty"] == lty)
+            pending = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _fold_tiles(body)
+        if pending is not None and len(pending):
+            yield _fold_tiles(pending)
+
+    return arranged.mapInPandas(
+        fold_stream, "level int, tx long, ty long, n_contrib int, tile binary"
+    )
+
+
+def tile_range_query(
+    tiles: DataFrame,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    level: int,
+) -> DataFrame:
+    """Bbox query over a (level, tx, ty, …) tile table — the WMS read
+    path (GeoWaveRasterReader bbox → cell ranges). Pure native range
+    predicate on the tile grid coords; with the table written sorted by
+    (level, tx, ty) this prunes parquet row groups / Iceberg files."""
+    n = 1 << level
+
+    def g(v: int, off: int) -> int:
+        return max(0, min(n - 1, (v + off) * n // WORLD_X_U))
+
+    return tiles.where(
+        (F.col("level") == level)
+        & F.col("tx").between(g(x_lo, LON_OFF_U), g(x_hi, LON_OFF_U))
+        & F.col("ty").between(g(y_lo, LAT_OFF_U), g(y_hi, LAT_OFF_U))
     )
 
 

@@ -42,6 +42,29 @@ def salt_column(df: DataFrame, hot: DataFrame, n_salts: int, key: str) -> DataFr
     ).drop("_hot")
 
 
+def table_stats(points: DataFrame, res: int = 8, ts_col: str | None = "ts") -> DataFrame:
+    """One-pass table statistics row — the maintained-statistics analog
+    (core/store/.../statistics/): row count, bounding box
+    (BoundingBoxStatistic), time range (TimeRangeStatistic), HyperLogLog
+    distinct cells (HyperLogLogStatistic → approx_count_distinct), and
+    occupied-cell count at ``res`` (Partitions/IndexMetaDataSet — the
+    tier-occupancy stat that prunes empty join branches,
+    TieredSFCIndexStrategy.java:125-127). Persist the output to the
+    metrics table; readers use it for join pruning and split planning."""
+    cell = cell_col(F.col("x_u"), F.col("y_u"), res)
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.min("x_u").alias("x_min"),
+        F.max("x_u").alias("x_max"),
+        F.min("y_u").alias("y_min"),
+        F.max("y_u").alias("y_max"),
+        F.approx_count_distinct(cell).alias("approx_cells"),
+    ]
+    if ts_col is not None and ts_col in points.columns:
+        aggs += [F.min(ts_col).alias("t_min"), F.max(ts_col).alias("t_max")]
+    return points.agg(*aggs).withColumn("res", F.lit(res))
+
+
 def explode_salts(df: DataFrame, hot: DataFrame, n_salts: int) -> DataFrame:
     """Build-side twin of salt_column: replicate hot-cell rows across all
     salt values so the salted equi-join stays complete."""

@@ -39,11 +39,13 @@ sys.path.insert(0, "/root/repo")
 cpus = sys.argv[1]
 sf_dir = sys.argv[2]
 n_img = int(sys.argv[3])
+scale = int(sys.argv[4])
+jobs = set(sys.argv[5].split(",")) if len(sys.argv) > 5 and sys.argv[5] else None
 from pyspark.sql import SparkSession
 spark = (
     SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling-bench-{cpus}")
-    .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+    .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 8, 16)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.driver.memory", "48g")
@@ -52,31 +54,58 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
+from pyspark.sql import functions as F
 from geowave_spark.operators.spatial_join import box_point_join
 from geowave_spark.operators.poly_join import octagon_point_join
 from geowave_spark.operators.kde import kde_level
 from geowave_spark.operators.tiling import tile_cut_and_merge
 from geowave_spark.sources.images import images_table
-from geowave_spark.sources.testgeo import customer_boxes, events_points, supplier_octagons
+from geowave_spark.sources.testgeo import customer_boxes, events_points, supplier_octagons, xy_cols
 
-pts = events_points(spark, sf_dir)
 boxes = customer_boxes(spark, sf_dir)
 octs = supplier_octagons(spark, sf_dir)
-n_pts = pts.count()  # warmup + input size
+n_base = events_points(spark, sf_dir).count()  # warmup + base size
+# scaled point side: the SAME deterministic key->coordinate derivation
+# as events_points, extended to scale*N ids (identical distribution and
+# hotspot skew) — big enough that compute dominates fixed overhead, so
+# the two-parallelism comparison measures the jobs, not job setup
+n_pts = n_base * scale
+pts = spark.range(0, n_pts, numPartitions=int(cpus) * 8).select(
+    F.col("id").alias("event_id"), *xy_cols(F.col("id"))
+)
 
 times, counts = {}, {}
 
-def run(name, df):
-    t0 = time.time()
-    counts[name] = df.count()
-    times[name] = round(time.time() - t0, 3)
+def run(name, make_df):
+    # best of 2: the first execution pays one-time JIT/codegen compile,
+    # which amortizes away on a long-running cluster; the second run
+    # measures steady-state throughput at this parallelism. make_df is
+    # called fresh per iteration so operator-internal persists (e.g.
+    # kde's grid cache) cannot leak one run's work into the next.
+    if jobs is not None and name not in jobs:
+        return
+    best = None
+    for _ in range(2):
+        if name != "tile_cut_merge":
+            # CacheManager matches by logical plan — without this the
+            # second kde run would read the first run's persisted grid.
+            # (The tile job keeps its cache: the persisted IMAGE INPUT
+            # is deliberately outside the timed cut+merge.)
+            spark.catalog.clearCache()
+        df = make_df()
+        t0 = time.time()
+        counts[name] = df.count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    times[name] = round(best, 3)
 
-run("spatial_join", box_point_join(pts, boxes))
-run("poly_join", octagon_point_join(pts, octs))
-run("kde", kde_level(pts, 10))
-imgs = images_table(spark, n_img, w=64, h=64, partitions=int(cpus) * 4)
-imgs = imgs.persist(); imgs.count()  # materialize generation outside the timed cut+merge
-run("tile_cut_merge", tile_cut_and_merge(imgs, 600_000, tile_size=64))
+run("spatial_join", lambda: box_point_join(pts, boxes))
+run("poly_join", lambda: octagon_point_join(pts, octs))
+run("kde", lambda: kde_level(pts, 10))
+if jobs is None or "tile_cut_merge" in jobs:
+    imgs = images_table(spark, n_img, w=64, h=64, partitions=int(cpus) * 4)
+    imgs = imgs.persist(); imgs.count()  # materialize generation outside the timed cut+merge
+    run("tile_cut_merge", lambda: tile_cut_and_merge(imgs, 600_000, tile_size=64))
 
 print(json.dumps({
     "cpus": int(cpus),
@@ -86,10 +115,14 @@ print(json.dumps({
     "times": times,
     "counts": counts,
     "throughput": {
-        "spatial_join_pts_per_sec": round(n_pts / times["spatial_join"], 1),
-        "poly_join_pts_per_sec": round(n_pts / times["poly_join"], 1),
-        "kde_pts_per_sec": round(n_pts / times["kde"], 1),
-        "tile_images_per_sec": round(n_img / times["tile_cut_merge"], 1),
+        k: v
+        for k, v in [
+            ("spatial_join_pts_per_sec", round(n_pts / times["spatial_join"], 1) if "spatial_join" in times else None),
+            ("poly_join_pts_per_sec", round(n_pts / times["poly_join"], 1) if "poly_join" in times else None),
+            ("kde_pts_per_sec", round(n_pts / times["kde"], 1) if "kde" in times else None),
+            ("tile_images_per_sec", round(n_img / times["tile_cut_merge"], 1) if "tile_cut_merge" in times else None),
+        ]
+        if v is not None
     },
 }))
 spark.stop()
@@ -100,14 +133,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--n-images", type=int, default=4000)
+    ap.add_argument("--n-images", type=int, default=16000)
+    ap.add_argument("--scale", type=int, default=16, help="point-side replication")
+    ap.add_argument("--jobs", default="", help="comma-separated job subset")
     args = ap.parse_args()
     levels = [c.strip() for c in args.cpus.split(",")]
 
     results = []
     for cpus in levels:
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, cpus, args.sf, str(args.n_images)],
+            [sys.executable, "-c", WORKER, cpus, args.sf, str(args.n_images), str(args.scale), args.jobs],
             capture_output=True,
             text=True,
             timeout=3600,
