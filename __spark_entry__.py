@@ -316,6 +316,26 @@ def _q_stats_summary(spark, sf):
     )
 
 
+RASTER_N = 300  # synthetic images for the oracle-checked raster pipeline
+RASTER_HALF = 600_000  # image half-span, µdeg
+RASTER_TS = 32  # tile size (pixels) — also the fixture image size
+
+
+def _q_raster_tiles(spark, sf):
+    """Full raster ingest pipeline (generate → assign → cut → mosaic
+    merge), exposed to the oracle gate via its deterministic metadata:
+    tile IDs and per-tile contributor counts are pure functions of the
+    image-id → coordinate derivation, so DuckDB can reproduce them
+    row-for-row (pixel fidelity is covered by golden tests +
+    PSNR assertions in tests/test_tiling.py / test_png.py)."""
+    from geowave_spark.operators.tiling import tile_cut_and_merge
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS)
+    return tiles.select("level", "tx", "ty", "n_contrib")
+
+
 NN_MAX_D = 2_000_000
 NN_K = 4
 NN_LEFT_MOD = 20
@@ -397,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover": _q_tile_cover,
         "histogram": _q_histogram,
         "stats_summary": _q_stats_summary,
+        "raster_tiles": _q_raster_tiles,
         "nn_join": _q_nn_join,
         "minhash_lsh": _q_minhash_lsh,
         "sim_topk_lsh": _q_sim_topk_lsh,
@@ -529,6 +550,27 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _raster_tiles_oracle() -> str:
+    from geowave_spark.operators.tiling import pick_level
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    x, y = xy_sql("id")
+    g = lambda e: grid_coord_sql(e, level)
+    return (
+        f"WITH ids AS (SELECT unnest(generate_series(0, {RASTER_N - 1})) AS id), "
+        f"img AS (SELECT id, {x} AS x_u, {y} AS y_u FROM ids), "
+        f"b AS (SELECT id, {g(f'(x_u - {RASTER_HALF})')} AS tx0, "
+        f"{g(f'(x_u + {RASTER_HALF})')} AS tx1, "
+        f"{g(f'(y_u - {RASTER_HALF})')} AS ty0, "
+        f"{g(f'(y_u + {RASTER_HALF})')} AS ty1 FROM img), "
+        "t AS (SELECT id, tx, ty FROM b, "
+        "unnest(generate_series(tx0, tx1)) AS t1(tx), "
+        "unnest(generate_series(ty0, ty1)) AS t2(ty)) "
+        f"SELECT {level} AS level, tx, ty, CAST(count(*) AS INT) AS n_contrib "
+        "FROM t GROUP BY 2, 3"
+    )
+
+
 def _oracle_sql_round2() -> dict[str, str]:
     """Oracles for the temporal / text / polygon / raster-cover /
     statistics query surface."""
@@ -594,6 +636,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         "count(DISTINCT user_id) AS n_users, min(ts) AS min_ts, max(ts) AS max_ts, "
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100 "
         "FROM events GROUP BY 1",
+        "raster_tiles": _raster_tiles_oracle(),
         "nn_join": f"{pts}, a AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay "
         f"FROM {EVENTS_PTS} WHERE event_id % {NN_LEFT_MOD} = 0), "
         f"d AS (SELECT a_id, p.event_id AS b_id, "

@@ -45,8 +45,11 @@ def main():
         "polygon",
         "bbox_time",
         "spatial_join",
+        "poly_join",
         "distance_join",
         "knn",
+        "nn_join",
+        "kde",
         "tile_assign",
         "spatial_bin",
         "bbox_agg",
@@ -54,6 +57,8 @@ def main():
         "dedup_exact",
         "ngram_jaccard",
         "minhash",
+        "minhash_lsh",
+        "text_contains",
         "simhash",
         "sim_topk",
     ]

@@ -82,9 +82,14 @@ def minhash_lsh_pairs(
         pairs = left.join(right, "band_key").where(F.col("doc_a") < F.col("doc_b"))
         pairs = pairs.select("doc_a", "doc_b")
         cand = pairs if cand is None else cand.unionByName(pairs)
+    # the dedupe shuffle doubles as a REPARTITION of the candidate
+    # pairs: band buckets are skewed (a near-dup cluster of m docs
+    # yields m²/2 pairs in one bucket), and the verification below must
+    # not inherit that partitioning
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
 
     # exact verification: shingle-set Jaccard, all native array ops
+    # (shuffle joins on doc_id — hash-partitioned, skew-free keys)
     sh = df.select(
         F.col("doc_id"),
         F.array_distinct(shingles_col(F.col(text_col), shingle_n)).alias("sh"),

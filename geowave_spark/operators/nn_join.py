@@ -49,6 +49,7 @@ def nn_self_join(
     k: int,
     key: str = "event_id",
     left_filter=None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Top-k neighbors within max_dist for every point (or the subset
     matching ``left_filter``). Returns (a_id, b_id, dist2, rank).
@@ -69,37 +70,62 @@ def nn_self_join(
         F.col("y_u").alias("ay"),
         cell_col(F.col("x_u"), F.col("y_u"), res).alias("_cell"),
     )
+    # spread the query side across the cluster BEFORE the broadcast
+    # probe: a broadcast join inherits the stream side's partitioning,
+    # and a filtered query set may sit in a handful of input splits —
+    # without this the heavy probe fan-out (dense cells match thousands
+    # of candidates per query row) runs nearly serial
+    left = left.repartition("a_id")
 
     # candidate side: explode to the 3×3 neighborhood so every pair
-    # within max_dist shares ≥1 cell key (grid coords clamped at the
-    # domain edge; duplicates removed so border cells don't double-join)
-    gx = (F.col("_gx") + F.col("_dx")).alias("gx")
-    gy = (F.col("_gy") + F.col("_dy")).alias("gy")
-    right = (
-        points.select(
-            F.col(key).alias("b_id"),
-            F.col("x_u").alias("bx"),
-            F.col("y_u").alias("by"),
-        )
-        .withColumn("_gx", grid_coord_col(F.col("bx"), res, LON_OFF_U))
-        .withColumn("_gy", grid_coord_col(F.col("by"), res, LAT_OFF_U))
-        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
-        .select(
-            "b_id",
-            "bx",
-            "by",
-            F.least(F.greatest(gx, F.lit(0)), F.lit(n_side - 1)).alias("gx"),
-            F.least(F.greatest(gy, F.lit(0)), F.lit(n_side - 1)).alias("gy"),
-        )
-        .dropDuplicates(["b_id", "gx", "gy"])
-    )
-
+    # within max_dist shares ≥1 cell key. The 9 neighbor cells are made
+    # DISTINCT per row natively (array_distinct handles domain-edge
+    # clamping collisions) — combined with the left side's single cell
+    # per point, a pair can match at most ONE join key, so no dedupe
+    # stage is needed (same proof as box_point_join).
     from geowave_spark.index.native import _spread_col
 
-    right = right.withColumn(
-        "_cell", _spread_col(F.col("gx")).bitwiseOR(F.shiftleft(_spread_col(F.col("gy")), 1))
-    ).drop("gx", "gy")
+    gx0 = grid_coord_col(F.col("x_u"), res, LON_OFF_U)
+    gy0 = grid_coord_col(F.col("y_u"), res, LAT_OFF_U)
+
+    def clamp(g):
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
+
+    # two-step projection: materialize the SIX clamped bit-spreads
+    # (3 per axis) once, then OR-combine into the 9 neighbor cells.
+    # Inlining a spread chain per cell (18 total) explodes the codegen
+    # method past the JIT limit and Spark silently falls back to
+    # interpreted evaluation — measured ~80× slower on this expression.
+    spread = points.select(
+        F.col(key).alias("b_id"),
+        F.col("x_u").alias("bx"),
+        F.col("y_u").alias("by"),
+        *[_spread_col(clamp(gx0 + d)).alias(f"_sx{i}") for i, d in enumerate((-1, 0, 1))],
+        *[
+            F.shiftleft(_spread_col(clamp(gy0 + d)), 1).alias(f"_sy{i}")
+            for i, d in enumerate((-1, 0, 1))
+        ],
+    )
+    cells = F.array_distinct(
+        F.array(
+            *[
+                F.col(f"_sx{i}").bitwiseOR(F.col(f"_sy{j}"))
+                for i in range(3)
+                for j in range(3)
+            ]
+        )
+    )
+    right = spread.select(
+        "b_id", "bx", "by", F.explode(cells).alias("_cell")
+    )
+    if broadcast_candidates:
+        # the 9×-duplicated candidate side is narrow (id + 2 coords);
+        # broadcasting it keeps dense hotspot CELLS from becoming
+        # skewed shuffle keys — parallelism stays stream-side. For
+        # corpora too big to broadcast pass False: the plan falls back
+        # to a shuffled cell join where AQE skew-split + plans.stats
+        # salting apply (the reference's partitioner always shuffles).
+        right = F.broadcast(right)
 
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
@@ -108,8 +134,10 @@ def nn_self_join(
         .where(F.col("a_id") != F.col("b_id"))
         .withColumn("dist2", dx * dx + dy * dy)
         .where(F.col("dist2") <= F.lit(int(max_dist_u) * int(max_dist_u)))
-        # a pair can share up to 4 neighbor cells near borders
-        .dropDuplicates(["a_id", "b_id"])
+        # narrow projection before the top-k sort: the window only
+        # needs the keys + distance, and left is already
+        # hash-partitioned by a_id so no exchange is inserted
+        .select("a_id", "b_id", "dist2")
     )
     w = Window.partitionBy("a_id").orderBy("dist2", "b_id")
     return (

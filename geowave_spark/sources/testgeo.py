@@ -39,9 +39,12 @@ def _scatter_exprs(key: str) -> tuple[str, str]:
 
 
 def _hot_exprs(key: str) -> tuple[str, str]:
-    """SQL text: rows with key%5==0 snap near one of 5 hotspot centers."""
-    hx = f"CASE ({key} % {HOT_N})"
-    hy = f"CASE ({key} % {HOT_N})"
+    """SQL text: rows with key%5==0 snap near one of 5 hotspot centers.
+    The cluster index is (key//5)%5 — NOT key%5, which is always 0 for
+    the selected keys and would degenerate all hot rows into a single
+    cluster."""
+    hx = f"CASE (({key} // 5) % {HOT_N})"
+    hy = f"CASE (({key} // 5) % {HOT_N})"
     for i in range(HOT_N):
         hx += f" WHEN {i} THEN {HOT_CX[i]}"
         hy += f" WHEN {i} THEN {HOT_CY[i]}"
@@ -71,7 +74,7 @@ def xy_cols(key: Column) -> tuple[Column, Column]:
     key = key.cast("long")
     sx = F.pmod(key * F.lit(K1), F.lit(LON_SPAN)) - F.lit(LON_SPAN // 2)
     sy = F.pmod(key * F.lit(K2), F.lit(LAT_SPAN)) - F.lit(LAT_SPAN // 2)
-    m = F.pmod(key, F.lit(HOT_N)).cast("int")
+    m = F.pmod(F.call_function("div", key, F.lit(5)), F.lit(HOT_N)).cast("int")
     hx_c = F.element_at(F.array(*[F.lit(v) for v in HOT_CX]), m + 1)
     hy_c = F.element_at(F.array(*[F.lit(v) for v in HOT_CY]), m + 1)
     hx = hx_c + (key * F.lit(K2)) % F.lit(2 * HOT_RADIUS_U) - F.lit(HOT_RADIUS_U)
@@ -87,7 +90,7 @@ def xy_numpy(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     key = key.astype(np.int64)
     sx = (key * K1) % LON_SPAN - LON_SPAN // 2
     sy = (key * K2) % LAT_SPAN - LAT_SPAN // 2
-    m = key % HOT_N
+    m = (key // 5) % HOT_N
     hx = np.take(HOT_CX, m) + (key * K2) % (2 * HOT_RADIUS_U) - HOT_RADIUS_U
     hy = np.take(HOT_CY, m) + (key * K1) % (2 * HOT_RADIUS_U) - HOT_RADIUS_U
     hot = key % 5 == 0
