@@ -279,6 +279,18 @@ def _q_text_contains(spark, sf):
     )
 
 
+DL_X_LO, DL_X_HI = 150_000_000, -150_000_000  # antimeridian-crossing box
+DL_Y_LO, DL_Y_HI = -60_000_000, 60_000_000
+
+
+def _q_bbox_dateline(spark, sf):
+    from geowave_spark.operators.spatial_query import bbox_query_dateline
+
+    return bbox_query_dateline(
+        events_points(spark, sf), DL_X_LO, DL_Y_LO, DL_X_HI, DL_Y_HI
+    ).select("event_id")
+
+
 def _q_poly_join(spark, sf):
     from geowave_spark.operators.poly_join import octagon_point_join
 
@@ -412,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_prefix": _q_text_prefix,
         "text_suffix": _q_text_suffix,
         "text_contains": _q_text_contains,
+        "bbox_dateline": _q_bbox_dateline,
         "poly_join": _q_poly_join,
         "kde": _q_kde,
         "tile_cover": _q_tile_cover,
@@ -614,6 +627,9 @@ def _oracle_sql_round2() -> dict[str, str]:
         "text_prefix": "SELECT doc_id FROM documents WHERE text LIKE 'key%'",
         "text_suffix": "SELECT doc_id FROM documents WHERE text LIKE '%row'",
         "text_contains": "SELECT doc_id FROM documents WHERE text LIKE '%spark join%'",
+        "bbox_dateline": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE (x_u >= {DL_X_LO} OR x_u <= {DL_X_HI}) "
+        f"AND y_u BETWEEN {DL_Y_LO} AND {DL_Y_HI}",
         "poly_join": f"{pts}, octs AS {supplier_octagons_sql('')} "
         f"SELECT p.event_id, o.s_suppkey FROM {EVENTS_PTS} p, octs o "
         f"WHERE {oct_contains}",

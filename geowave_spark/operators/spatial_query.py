@@ -63,6 +63,45 @@ def bbox_query(
     )
 
 
+def dateline_split(x_lo: int, x_hi: int) -> list[tuple[int, int]]:
+    """Normalize an x-range that crosses the antimeridian into 1-2
+    in-domain ranges — the LongitudeDefinition bin split
+    (core/geotime/.../index/dimension/LongitudeDefinition.java:41-68:
+    a constraint spanning ±180 is decomposed into [x_lo, 180] and
+    [-180, x_hi] bins before SFC range decomposition)."""
+    from geowave_spark import LON_OFF_U
+
+    if x_lo <= x_hi:
+        return [(x_lo, x_hi)]
+    return [(x_lo, LON_OFF_U), (-LON_OFF_U, x_hi)]
+
+
+def bbox_query_dateline(
+    points: DataFrame,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+    cell_col_name: str | None = None,
+    res: int | None = None,
+) -> DataFrame:
+    """bbox query where ``x_lo > x_hi`` means the box crosses the
+    antimeridian: the OR of the split sub-ranges (each sub-range still
+    sargable/prunable on its own)."""
+    parts = dateline_split(int(x_lo), int(x_hi))
+    if len(parts) == 1:
+        return bbox_query(points, x_lo, y_lo, x_hi, y_hi, x_col, y_col, cell_col_name, res)
+    pred = None
+    for lo, hi in parts:
+        p = F.col(x_col).between(lo, hi)
+        pred = p if pred is None else pred | p
+    return points.where(
+        pred & F.col(y_col).between(int(y_lo), int(y_hi))
+    )
+
+
 def polygon_refine_udf(geom_wkb: bytes, x_col: str = "x_u", y_col: str = "y_u"):
     """Arrow-batched exact point-in-polygon refinement (the
     SpatialQueryFilter INTERSECTS accept, SpatialQueryFilter.java:254-297,

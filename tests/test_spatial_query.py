@@ -103,3 +103,31 @@ def test_polygon_query_empty_region(points):
     # a polygon in the unpopulated corner near the pole
     poly = polygon([[-179_000_000, 86_000_000], [-178_000_000, 86_000_000], [-178_000_000, 87_000_000]])
     assert polygon_query(points, poly).count() == 0
+
+
+def test_dateline_crossing_bbox(spark, sf_dir):
+    """Antimeridian-crossing box: x from 150E wrapping to -150W
+    (LongitudeDefinition bin-split semantics)."""
+    from geowave_spark.operators.spatial_query import (
+        bbox_query_dateline,
+        dateline_split,
+    )
+    from geowave_spark.sources.testgeo import events_points
+    from pyspark.sql import functions as F
+
+    assert dateline_split(10, 20) == [(10, 20)]
+    assert dateline_split(150_000_000, -150_000_000) == [
+        (150_000_000, 180_000_000),
+        (-180_000_000, -150_000_000),
+    ]
+
+    pts = events_points(spark, sf_dir)
+    got = bbox_query_dateline(
+        pts, 150_000_000, -60_000_000, -150_000_000, 60_000_000
+    )
+    want = pts.where(
+        ((F.col("x_u") >= 150_000_000) | (F.col("x_u") <= -150_000_000))
+        & F.col("y_u").between(-60_000_000, 60_000_000)
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
