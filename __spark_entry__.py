@@ -348,6 +348,22 @@ def _q_raster_tiles(spark, sf):
     return tiles.select("level", "tx", "ty", "n_contrib")
 
 
+def _q_raster_retile(spark, sf):
+    """Re-tile (coarsen by one pyramid level) the mosaic produced by
+    the raster pipeline — RasterTileResizeSparkRunner semantics. The
+    oracle checks the re-keyed tile grid (distinct parent tiles of the
+    covered children); pixel decimation is covered by golden tests."""
+    from geowave_spark.operators.tiling import pick_level, retile, tile_cut_and_merge
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
+    return retile(tiles.select("level", "tx", "ty", "tile"), level, level - 1, RASTER_TS).select(
+        "level", "tx", "ty"
+    )
+
+
 NN_MAX_D = 2_000_000
 NN_K = 4
 NN_LEFT_MOD = 20
@@ -431,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "stats_summary": _q_stats_summary,
         "raster_tiles": _q_raster_tiles,
+        "raster_retile": _q_raster_retile,
         "nn_join": _q_nn_join,
         "minhash_lsh": _q_minhash_lsh,
         "sim_topk_lsh": _q_sim_topk_lsh,
@@ -653,6 +670,10 @@ def _oracle_sql_round2() -> dict[str, str]:
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100 "
         "FROM events GROUP BY 1",
         "raster_tiles": _raster_tiles_oracle(),
+        "raster_retile": (
+            f"WITH base AS ({_raster_tiles_oracle()}) "
+            "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
+        ),
         "nn_join": f"{pts}, a AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay "
         f"FROM {EVENTS_PTS} WHERE event_id % {NN_LEFT_MOD} = 0), "
         f"d AS (SELECT a_id, p.event_id AS b_id, "
