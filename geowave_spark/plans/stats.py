@@ -65,6 +65,81 @@ def table_stats(points: DataFrame, res: int = 8, ts_col: str | None = "ts") -> D
     return points.agg(*aggs).withColumn("res", F.lit(res))
 
 
+class CountMinSketch:
+    """Driver-side handle over a distributively-built CMS table."""
+
+    def __init__(self, width: int, depth: int, rows):
+        self.width = width
+        self.depth = depth
+        self._t = {(r["d"], r["bucket"]): r["n"] for r in rows}
+
+    def estimate(self, value: str) -> int:
+        import hashlib
+
+        est = None
+        for d in range(self.depth):
+            h = int(hashlib.md5(f"cms{d}:{value}".encode()).hexdigest()[:15], 16)
+            c = self._t.get((d, h % self.width), 0)
+            est = c if est is None else min(est, c)
+        return est or 0
+
+
+class BloomFilter:
+    """Driver-side handle over a distributively-built bit-position set."""
+
+    def __init__(self, m: int, k: int, positions):
+        self.m = m
+        self.k = k
+        self._bits = set(positions)
+
+    def might_contain(self, value: str) -> bool:
+        import hashlib
+
+        for d in range(self.k):
+            h = int(hashlib.md5(f"bf{d}:{value}".encode()).hexdigest()[:15], 16)
+            if h % self.m not in self._bits:
+                return False
+        return True
+
+
+def field_sketches(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 4, m: int = 1 << 16, k: int = 3
+):
+    """Field-level sketch statistics — the CountMinSketchStatistic /
+    BloomFilterStatistic pair (core/store/.../statistics/field/
+    CountMinSketchStatistic.java:32, BloomFilterStatistic.java:33),
+    built distributively with native expressions: each sketch is ONE
+    groupBy over hash buckets (map-side partial aggregation — only the
+    d×width / bit-position tables reach the driver, never raw values).
+    The salted hash (md5 prefix) matches the python-side probes, so
+    estimates are deterministic.
+
+    Returns (CountMinSketch, BloomFilter); callers persist them to the
+    metrics store and use `cms.estimate(v)` for frequency hints (e.g.
+    hot-key salting decisions) and `bf.might_contain(v)` for membership
+    pruning at plan time."""
+    c = F.col(col).cast("string")
+
+    def h(d: int, prefix: str) -> "F.Column":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{prefix}{d}:"), c)), 1, 15), 16, 10
+        ).cast("long")
+
+    cms_rows = None
+    for d in range(depth):
+        part = df.select(F.lit(d).alias("d"), F.pmod(h(d, "cms"), F.lit(width)).alias("bucket"))
+        cms_rows = part if cms_rows is None else cms_rows.unionByName(part)
+    cms_table = cms_rows.groupBy("d", "bucket").agg(F.count("*").alias("n")).collect()
+
+    bf_rows = None
+    for d in range(k):
+        part = df.select(F.pmod(h(d, "bf"), F.lit(m)).alias("p"))
+        bf_rows = part if bf_rows is None else bf_rows.unionByName(part)
+    positions = [r["p"] for r in bf_rows.distinct().collect()]
+
+    return CountMinSketch(width, depth, cms_table), BloomFilter(m, k, positions)
+
+
 def explode_salts(df: DataFrame, hot: DataFrame, n_salts: int) -> DataFrame:
     """Build-side twin of salt_column: replicate hot-cell rows across all
     salt values so the salted equi-join stays complete."""

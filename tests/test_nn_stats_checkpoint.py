@@ -101,3 +101,48 @@ def test_stage_store_resumes_without_recompute(spark, tmp_path):
     # metrics/lineage rows recorded per partition
     m = store.metrics("s1")
     assert len(m) == 6 and all("wall_ms" in r and "n_rows" in r for r in m)
+
+
+def test_field_sketches(spark, sf_dir):
+    from geowave_spark.plans.stats import field_sketches
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cms, bf = field_sketches(ev, "event_type")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for t in types:
+        assert bf.might_contain(t)
+        # CMS overestimates only, within collision slack
+        est = cms.estimate(t)
+        assert exact[t] <= est <= exact[t] + int(0.02 * ev.count()) + 1
+    assert not bf.might_contain("no-such-event-type-xyz")
+
+
+def test_salted_join_equals_unsalted(spark, sf_dir):
+    """End-to-end hot-cell salting (HashKeyIndexStrategy analog): the
+    salted (cell, salt) equi-join returns exactly the plain cell join."""
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.plans.stats import explode_salts, hot_cells, salt_column
+    from geowave_spark.sources.testgeo import events_points
+
+    res, n_salts = 6, 4
+    pts = events_points(spark, sf_dir)
+    hot = hot_cells(pts, res, threshold=20)
+    a = pts.select("event_id", "x_u", "y_u").withColumn(
+        "cell", cell_col(F.col("x_u"), F.col("y_u"), res)
+    )
+    b = pts.select(
+        F.col("event_id").alias("b_id"),
+        cell_col(F.col("x_u"), F.col("y_u"), res).alias("cell"),
+    )
+    plain = a.join(b, "cell").select("event_id", "b_id")
+
+    a_s = salt_column(a, hot, n_salts, key="event_id")
+    b_s = explode_salts(b.join(F.broadcast(hot.select("cell")), "cell", "left").select("b_id", "cell"), hot, n_salts)
+    salted = a_s.join(b_s, ["cell", "salt"]).select("event_id", "b_id")
+
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
