@@ -1,0 +1,132 @@
+"""Top-level user API — the DataStore / QueryBuilder surface.
+
+Mirrors the reference's primary entry points so a GeoWave user can map
+their code 1:1 (SURVEY.md §3):
+
+  reference                                   engine
+  ---------                                   ------
+  DataStore.addType(adapter) + addIndex       DataStore.add_type(name, df)
+  DataStore.query(QueryBuilder…bbox/polygon   DataStore.query(name, bbox=…,
+    /time constraints)                          polygon=…, time=…, where=…)
+  DataStore.query("SELECT … FROM t WHERE …")  DataStore.sql("…") — GWQL
+                                              collapses into Spark SQL with
+                                              the Geom*/text functions
+                                              registered (§3.2)
+  DataStore.aggregate(AggregationQuery)       DataStore.aggregate(name, aggs,
+                                              bbox=…, bin_res=…)
+  SpatialJoinRunner.run()                     DataStore.spatial_join(...)
+  kNN (NNMapReduce)                           DataStore.knn / nn_join
+
+A "type" is any DataFrame carrying micro-degree point columns
+(x_u, y_u) or extent columns (x_lo, y_lo, x_hi, y_hi); adding a type
+materializes the index cell column (addIndex analog) so scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geowave_spark.functions import register_all
+from geowave_spark.geom.wkb import Geometry
+from geowave_spark.operators.binning import bin_by_cell
+from geowave_spark.operators.knn import knn as _knn
+from geowave_spark.operators.nn_join import nn_self_join
+from geowave_spark.operators.spatial_join import box_point_join
+from geowave_spark.operators.spatial_query import (
+    bbox_query_dateline,
+    polygon_query,
+    with_cell,
+)
+
+DEFAULT_RES = 16
+
+
+class DataStore:
+    """Namespace of typed, spatially-indexed DataFrames."""
+
+    def __init__(self, spark: SparkSession, res: int = DEFAULT_RES):
+        self.spark = spark
+        self.res = res
+        self._types: dict[str, DataFrame] = {}
+        register_all(spark)
+
+    # ------------------------------------------------------------ types
+
+    def add_type(self, name: str, df: DataFrame, indexed: bool = True) -> None:
+        """addType + addIndex: register a DataFrame; point types get the
+        materialized cell column (insertion-id computation) and a SQL
+        view so DataStore.sql can reference the name."""
+        if indexed and "x_u" in df.columns and "cell" not in df.columns:
+            df = with_cell(df, self.res)
+        self._types[name] = df
+        df.createOrReplaceTempView(name)
+
+    def type(self, name: str) -> DataFrame:
+        return self._types[name]
+
+    # ---------------------------------------------------------- queries
+
+    def query(
+        self,
+        name: str,
+        bbox: tuple[int, int, int, int] | None = None,
+        polygon: Geometry | None = None,
+        time: tuple | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Constraint query (QueryBuilder path, §3.1): coarse index
+        constraint + exact refinement, then residual attribute
+        predicate — the OptimalCQLQuery split (geometry/time → index,
+        leftover → filter)."""
+        df = self._types[name]
+        if bbox is not None:
+            x0, y0, x1, y1 = bbox
+            df = bbox_query_dateline(df, x0, y0, x1, y1)
+        if polygon is not None:
+            df = polygon_query(df, polygon)
+        if time is not None:
+            lo, hi = time
+            df = df.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+        if where is not None:
+            df = df.where(F.expr(where))
+        return df
+
+    def sql(self, query: str) -> DataFrame:
+        """GWQL path (§3.2): plain Spark SQL over the registered views,
+        with the Geom*/text predicate functions available."""
+        return self.spark.sql(query)
+
+    # ------------------------------------------------------- aggregates
+
+    def aggregate(
+        self,
+        name: str,
+        aggs: list,
+        bbox: tuple[int, int, int, int] | None = None,
+        bin_res: int | None = None,
+    ) -> DataFrame:
+        """AggregationQuery: optional constraint, optional spatial
+        binning (BinningAggregation), partial+final agg by Spark."""
+        df = self.query(name, bbox=bbox)
+        if bin_res is not None:
+            return bin_by_cell(df, bin_res, aggs)
+        return df.agg(*aggs)
+
+    # ------------------------------------------------------------ joins
+
+    def spatial_join(
+        self, points_name: str, extents_name: str, how: str = "inner", **kw
+    ) -> DataFrame:
+        return box_point_join(
+            self._types[points_name], self._types[extents_name], how=how, **kw
+        )
+
+    def knn(self, name: str, queries: list, k: int, **kw) -> DataFrame:
+        return _knn(self.spark, self._types[name], queries, k, **kw)
+
+    def nn_join(self, name: str, max_dist_u: int, k: int, **kw) -> DataFrame:
+        return nn_self_join(self._types[name], max_dist_u, k, **kw)

@@ -324,6 +324,30 @@ def tile_range_query(
     )
 
 
+def tile_histograms(tiles: DataFrame, tile_size: int = TILE_SIZE, bins: int = 16) -> DataFrame:
+    """Per-tile pixel histogram — the RasterHistogramStatistic analog
+    (extensions/adapters/raster/.../stats/RasterHistogramStatistic.java),
+    computed over the decoded tiles in streaming Arrow batches (one
+    np.bincount per tile, no per-pixel Python). Returns
+    (level, tx, ty, hist array<long> of ``bins`` equal-width buckets)."""
+    width = 256 // bins
+
+    def hist_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                px = np.frombuffer(row.tile, dtype=np.uint8)
+                h = np.bincount(px // width, minlength=bins)[:bins]
+                rows.append(
+                    (int(row.level), int(row.tx), int(row.ty), [int(v) for v in h])
+                )
+            yield pd.DataFrame(rows, columns=["level", "tx", "ty", "hist"])
+
+    return tiles.select("level", "tx", "ty", "tile").mapInPandas(
+        hist_stream, "level int, tx long, ty long, hist array<long>"
+    )
+
+
 def retile(
     tiles: DataFrame,
     from_level: int,

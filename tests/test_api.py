@@ -1,0 +1,75 @@
+"""DataStore facade: the reference's top-level API surface end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geowave_spark.api import DataStore
+from geowave_spark.sources.testgeo import customer_boxes, events_points
+
+
+def _store(spark, sf_dir):
+    ds = DataStore(spark)
+    ds.add_type("pts", events_points(spark, sf_dir))
+    ds.add_type("boxes", customer_boxes(spark, sf_dir), indexed=False)
+    return ds
+
+
+def test_query_bbox_time_where(spark, sf_dir):
+    ds = _store(spark, sf_dir)
+    base = events_points(spark, sf_dir)
+    bbox = (-60_000_000, -40_000_000, 70_000_000, 55_000_000)
+    got = ds.query(
+        "pts",
+        bbox=bbox,
+        time=("2024-01-05", "2024-01-20"),
+        where="event_type = 'click'",
+    )
+    want = base.where(
+        F.col("x_u").between(bbox[0], bbox[2])
+        & F.col("y_u").between(bbox[1], bbox[3])
+        & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        & (F.col("event_type") == "click")
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_query_polygon(spark, sf_dir):
+    from geowave_spark.geom.wkb import polygon as mkpoly
+
+    ds = _store(spark, sf_dir)
+    poly = mkpoly(
+        [[-50_000_000, -30_000_000], [60_000_000, -40_000_000], [0, 60_000_000]]
+    )
+    got = ds.query("pts", polygon=poly)
+    assert 0 < got.count() < events_points(spark, sf_dir).count()
+
+
+def test_sql_over_registered_views(spark, sf_dir):
+    ds = _store(spark, sf_dir)
+    row = ds.sql(
+        "SELECT count(*) AS n FROM pts WHERE x_u BETWEEN -10000000 AND 10000000"
+    ).first()
+    want = (
+        events_points(spark, sf_dir)
+        .where(F.col("x_u").between(-10_000_000, 10_000_000))
+        .count()
+    )
+    assert row.n == want
+
+
+def test_aggregate_and_binned(spark, sf_dir):
+    ds = _store(spark, sf_dir)
+    tot = ds.aggregate("pts", [F.count("*").alias("n")]).first()
+    assert tot.n == events_points(spark, sf_dir).count()
+    binned = ds.aggregate("pts", [F.count("*").alias("n")], bin_res=4)
+    assert binned.agg(F.sum("n")).first()[0] == tot.n
+
+
+def test_spatial_join_and_nn(spark, sf_dir):
+    ds = _store(spark, sf_dir)
+    j = ds.spatial_join("pts", "boxes")
+    assert j.count() > 0
+    nn = ds.nn_join("pts", 2_000_000, 3, left_filter=F.col("event_id") % 50 == 0)
+    assert nn.groupBy("a_id").count().agg(F.max("count")).first()[0] <= 3
