@@ -1,0 +1,146 @@
+"""DBSCAN over the cell-partitioned neighbor graph.
+
+Reference: DBScanIterationsJobRunner (analytics/mapreduce/.../dbscan/)
+— iterative cluster-merge over the NN partition pattern
+(OrthodromicDistancePartitioner grid cells + expanded neighborhoods).
+
+Engine plan:
+  1. eps-neighbor pairs via the same 3×3 neighbor-cell equi-join as
+     nn_join (one shuffle; candidates exact, no dedupe needed);
+  2. core points = rows with ≥ min_pts neighbors (inclusive of self,
+     the standard definition);
+  3. cluster ids = connected components of the core-core subgraph by
+     iterative min-label propagation (each round: one join + one
+     groupBy-min; rounds ≤ graph diameter, geometric label spread in
+     practice — the reference iterates job rounds the same way);
+  4. border points adopt the smallest cluster id among their core
+     neighbors; everything else is noise (cluster = NULL).
+
+Output: (key, cluster, is_core) — cluster is the minimum point key of
+the component's core points (deterministic), NULL for noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.nn_join import res_for_distance
+
+
+def eps_pairs(points: DataFrame, eps_u: int, key: str = "event_id") -> DataFrame:
+    """Symmetric neighbor pairs (a_id, b_id) with 0 < dist ≤ eps."""
+    from geowave_spark import LAT_OFF_U, LON_OFF_U
+    from geowave_spark.index.native import _spread_col, cell_col, grid_coord_col
+
+    res = res_for_distance(eps_u)
+    n_side = 1 << res
+    left = points.select(
+        F.col(key).alias("a_id"),
+        F.col("x_u").alias("ax"),
+        F.col("y_u").alias("ay"),
+        cell_col(F.col("x_u"), F.col("y_u"), res).alias("_cell"),
+    ).repartition("a_id")
+
+    gx0 = grid_coord_col(F.col("x_u"), res, LON_OFF_U)
+    gy0 = grid_coord_col(F.col("y_u"), res, LAT_OFF_U)
+
+    def clamp(g):
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
+
+    spread = points.select(
+        F.col(key).alias("b_id"),
+        F.col("x_u").alias("bx"),
+        F.col("y_u").alias("by"),
+        *[_spread_col(clamp(gx0 + d)).alias(f"_sx{i}") for i, d in enumerate((-1, 0, 1))],
+        *[
+            F.shiftleft(_spread_col(clamp(gy0 + d)), 1).alias(f"_sy{i}")
+            for i, d in enumerate((-1, 0, 1))
+        ],
+    )
+    cells = F.array_distinct(
+        F.array(
+            *[
+                F.col(f"_sx{i}").bitwiseOR(F.col(f"_sy{j}"))
+                for i in range(3)
+                for j in range(3)
+            ]
+        )
+    )
+    right = F.broadcast(spread.select("b_id", "bx", "by", F.explode(cells).alias("_cell")))
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    return (
+        left.join(right, "_cell")
+        .where(F.col("a_id") != F.col("b_id"))
+        .where(dx * dx + dy * dy <= F.lit(int(eps_u) * int(eps_u)))
+        .select("a_id", "b_id")
+    )
+
+
+def dbscan(
+    points: DataFrame,
+    eps_u: int,
+    min_pts: int,
+    key: str = "event_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Returns (key, cluster, is_core); cluster NULL = noise."""
+    spark = points.sparkSession
+    pairs = eps_pairs(points, eps_u, key).persist()
+
+    deg = pairs.groupBy("a_id").agg(F.count("*").alias("_deg"))
+    core = (
+        deg.where(F.col("_deg") >= min_pts - 1)  # neighbors excl. self
+        .select(F.col("a_id").alias("id"))
+        .persist()
+    )
+
+    cc_edges = (
+        pairs.join(core.withColumnRenamed("id", "a_id"), "a_id")
+        .join(core.withColumnRenamed("id", "b_id"), "b_id")
+        .select("a_id", "b_id")
+        .persist()
+    )
+
+    labels = core.select("id", F.col("id").alias("lbl"))
+    for _ in range(max_iter):
+        prop = (
+            cc_edges.join(labels.withColumnRenamed("id", "b_id"), "b_id")
+            .groupBy("a_id")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop.withColumnRenamed("a_id", "id"), "id", "left")
+            .select(
+                "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    core_lbl = labels.select(F.col("id"), F.col("lbl").alias("cluster"))
+    # border points: smallest core-neighbor's cluster
+    border = (
+        pairs.join(core_lbl.withColumnRenamed("id", "b_id"), "b_id")
+        .join(core.withColumnRenamed("id", "a_id"), "a_id", "leftanti")
+        .groupBy("a_id")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a_id").alias("id"), "cluster")
+    )
+    assigned = core_lbl.withColumn("is_core", F.lit(True)).unionByName(
+        border.withColumn("is_core", F.lit(False))
+    )
+    return (
+        points.select(F.col(key).alias("id"))
+        .join(assigned, "id", "left")
+        .select(F.col("id").alias(key), "cluster", F.coalesce("is_core", F.lit(False)).alias("is_core"))
+    )
