@@ -303,6 +303,15 @@ def _q_kde(spark, sf):
     return kde_level(events_points(spark, sf), KDE_LEVEL)
 
 
+KDE_PYR_LO, KDE_PYR_HI = 5, 7
+
+
+def _q_kde_pyramid(spark, sf):
+    from geowave_spark.operators.kde import kde_pyramid
+
+    return kde_pyramid(events_points(spark, sf), KDE_PYR_LO, KDE_PYR_HI)
+
+
 def _q_tile_cover(spark, sf):
     from geowave_spark.operators.tiling import box_tile_cover
 
@@ -443,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_dateline": _q_bbox_dateline,
         "poly_join": _q_poly_join,
         "kde": _q_kde,
+        "kde_pyramid": _q_kde_pyramid,
         "tile_cover": _q_tile_cover,
         "histogram": _q_histogram,
         "stats_summary": _q_stats_summary,
@@ -619,6 +629,23 @@ def _oracle_sql_round2() -> dict[str, str]:
         f"({dx - 2}, {dy - 2}, {int(_K[dy, dx])})" for dy in range(5) for dx in range(5)
     )
 
+    def kde_level_sql(level: int) -> str:
+        n = 1 << level
+        return (
+            f"(WITH g AS (SELECT {grid_coord_sql('x_u', level)} AS cx, "
+            f"{grid_coord_sql('y_u', level)} AS cy FROM {EVENTS_PTS}), "
+            f"k(dx, dy, w) AS (VALUES {kde_kernel}), "
+            f"s AS (SELECT cx + dx AS gx, cy + dy AS gy, w FROM g, k "
+            f"WHERE cx + dx BETWEEN 0 AND {n - 1} AND cy + dy BETWEEN 0 AND {n - 1}), "
+            "a AS (SELECT gx, gy, CAST(sum(w) AS BIGINT) AS weight FROM s GROUP BY 1, 2) "
+            f"SELECT {level} AS level, gx, gy, weight, "
+            "percent_rank() OVER (ORDER BY weight) AS pct FROM a)"
+        )
+
+    kde_pyr = " UNION ALL ".join(
+        kde_level_sql(lvl) for lvl in range(KDE_PYR_LO, KDE_PYR_HI + 1)
+    )
+
     shingles = (
         "list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
         " i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1],"
@@ -657,6 +684,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         f"WHERE cx + dx BETWEEN 0 AND {n_kde - 1} AND cy + dy BETWEEN 0 AND {n_kde - 1}), "
         "a AS (SELECT gx, gy, CAST(sum(w) AS BIGINT) AS weight FROM s GROUP BY 1, 2) "
         "SELECT gx, gy, weight, percent_rank() OVER (ORDER BY weight) AS pct FROM a",
+        "kde_pyramid": f"{pts} SELECT * FROM ({kde_pyr})",
         "tile_cover": f"WITH {boxes}, g AS (SELECT c_custkey, "
         f"{grid_coord_sql('x_lo', TILE_RES)} AS tx0, {grid_coord_sql('x_hi', TILE_RES)} AS tx1, "
         f"{grid_coord_sql('y_lo', TILE_RES)} AS ty0, {grid_coord_sql('y_hi', TILE_RES)} AS ty1 "
