@@ -411,6 +411,25 @@ def _q_sim_topk_lsh(spark, sf):
     return topk_lsh(spark, emb, queries_df, SIM_K)
 
 
+def _q_xz_extent(spark, sf):
+    """Extent bbox query through the XZ-order index (one key per
+    extent, XZOrderSFC/XZHierarchicalIndexStrategy parity)."""
+    from geowave_spark.index.xz import xz_extent_query
+
+    x0, y0, x1, y1 = BBOX
+    return xz_extent_query(customer_boxes(spark, sf), x0, y0, x1, y1).select(
+        "c_custkey"
+    )
+
+
+def _q_xz_join(spark, sf):
+    """Point-in-extent join through the XZ index: extent side stays one
+    row per extent; bounded 4x probe-side duplication."""
+    from geowave_spark.index.xz import xz_box_point_join
+
+    return xz_box_point_join(events_points(spark, sf), customer_boxes(spark, sf))
+
+
 def _q_cos_dedup(spark, sf):
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact verification (rows-only driver check; the exact-threshold
@@ -462,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "cos_dedup": _q_cos_dedup,
+        "xz_extent": _q_xz_extent,
+        "xz_join": _q_xz_join,
     }
 
 
@@ -712,6 +733,12 @@ def _oracle_sql_round2() -> dict[str, str]:
         f"AND (ax - p.x_u)*(ax - p.x_u) + (ay - p.y_u)*(ay - p.y_u) "
         f"<= {NN_MAX_D}::BIGINT * {NN_MAX_D}::BIGINT) "
         f"SELECT a_id, b_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {NN_K}",
+        "xz_extent": f"WITH {boxes} SELECT c_custkey FROM boxes "
+        f"WHERE x_lo <= {BBOX[2]} AND x_hi >= {BBOX[0]} "
+        f"AND y_lo <= {BBOX[3]} AND y_hi >= {BBOX[1]}",
+        "xz_join": f"{pts}, {boxes} SELECT p.event_id, b.c_custkey "
+        f"FROM {EVENTS_PTS} p, boxes b WHERE p.x_u BETWEEN b.x_lo AND b.x_hi "
+        f"AND p.y_u BETWEEN b.y_lo AND b.y_hi",
         "minhash_lsh": f"WITH s0 AS (SELECT doc_id, {shingles} AS sh FROM documents), "
         f"sig AS (SELECT doc_id, {mh_cols} FROM s0), "
         "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "
