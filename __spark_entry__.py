@@ -28,6 +28,7 @@ from geowave_spark.operators.similarity import dot_col, topk_brute
 from geowave_spark.operators.spatial_join import box_point_join
 from geowave_spark.operators.spatial_query import bbox_query, polygon_query
 from geowave_spark.operators.text import fingerprint, lang_id, quality_features, token_count
+from geowave_spark.sources.media import audio_stats_sql, video_frame_sample_sql
 from geowave_spark.sources.testgeo import (
     customer_boxes,
     customer_boxes_sql,
@@ -430,6 +431,30 @@ def _q_xz_join(spark, sf):
     return xz_box_point_join(events_points(spark, sf), customer_boxes(spark, sf))
 
 
+N_AUDIO, N_VIDEO, FRAME_EVERY = 200, 120, 2
+
+
+def _q_audio_stats(spark, sf):
+    """Decoded-audio statistics over PCM16 binary payloads; the DuckDB
+    oracle re-derives the stats from the generator formula without
+    reading bytes — so a value match proves the decode path."""
+    from geowave_spark.operators.multimodal import audio_stats
+    from geowave_spark.sources.media import audio_table
+
+    return audio_stats(audio_table(spark, N_AUDIO))
+
+
+def _q_frame_sample(spark, sf):
+    """Video frame sampling (1→N explode of binary frame stacks);
+    oracle checks per-sampled-frame pixel sums."""
+    from geowave_spark.operators.multimodal import frame_sample
+    from geowave_spark.sources.media import video_table
+
+    return frame_sample(video_table(spark, N_VIDEO), every=FRAME_EVERY).select(
+        "media_id", "frame_idx", "sum_px"
+    )
+
+
 def _q_cos_dedup(spark, sf):
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact verification (rows-only driver check; the exact-threshold
@@ -483,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cos_dedup": _q_cos_dedup,
         "xz_extent": _q_xz_extent,
         "xz_join": _q_xz_join,
+        "audio_stats": _q_audio_stats,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -733,6 +760,8 @@ def _oracle_sql_round2() -> dict[str, str]:
         f"AND (ax - p.x_u)*(ax - p.x_u) + (ay - p.y_u)*(ay - p.y_u) "
         f"<= {NN_MAX_D}::BIGINT * {NN_MAX_D}::BIGINT) "
         f"SELECT a_id, b_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {NN_K}",
+        "audio_stats": audio_stats_sql(N_AUDIO),
+        "frame_sample": video_frame_sample_sql(N_VIDEO, FRAME_EVERY),
         "xz_extent": f"WITH {boxes} SELECT c_custkey FROM boxes "
         f"WHERE x_lo <= {BBOX[2]} AND x_hi >= {BBOX[0]} "
         f"AND y_lo <= {BBOX[3]} AND y_hi >= {BBOX[1]}",

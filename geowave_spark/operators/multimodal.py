@@ -1,0 +1,150 @@
+"""Multimodal (audio/video) columns: decode, stats, frame sampling,
+feature extraction — Arrow-batched plumbing over opaque binary columns.
+
+The engine treats non-raster media exactly like raster tiles
+(extensions/adapters/raster/.../RasterTile.java: payload bytes + typed
+metadata): an opaque ``bytes`` column, a ``fmt`` tag, and typed metadata
+columns. All pixel/sample work happens in ``mapInPandas`` over numpy —
+one Python↔JVM Arrow boundary, no per-row Python — so the same plan
+shape scales to 100 TB of media the way the image tiling pipeline does
+(batch-at-a-time decode, narrow ops, grouping keys computed natively).
+
+Deterministic formats decode for real (numpy): ``pcm16`` (LE int16
+mono), ``rawv16`` (16x16 uint8 frame stacks). Compressed codecs
+(mp3/flac/h264/...) are STUBBED with NotImplementedError — the
+container ships no audio/video libraries; the Spark-side plumbing
+(schemas, batch iteration, 1→N frame explode, partitioning) is real
+and identical to what a libsndfile/pyav-backed decoder would slot into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from geowave_spark.sources.media import VID_H, VID_W
+
+_STUB_AUDIO_FMTS = {"mp3", "flac", "ogg", "aac", "wav"}
+_STUB_VIDEO_FMTS = {"h264", "h265", "vp9", "av1", "mp4"}
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """bytes -> int16 sample vector. Real for pcm16; stub otherwise."""
+    if fmt == "pcm16":
+        return np.frombuffer(data, dtype="<i2")
+    if fmt in _STUB_AUDIO_FMTS:
+        raise NotImplementedError(
+            f"audio codec '{fmt}' needs an external decoder (not in this "
+            "container); plug one in here — the surrounding plumbing is real"
+        )
+    raise ValueError(f"unknown audio format {fmt!r}")
+
+
+def decode_video(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """bytes -> (n_frames, h, w) uint8 stack. Real for rawv16; stub
+    otherwise."""
+    if fmt == "rawv16":
+        n = len(data) // (w * h)
+        return np.frombuffer(data, dtype=np.uint8).reshape(n, h, w)
+    if fmt in _STUB_VIDEO_FMTS:
+        raise NotImplementedError(
+            f"video codec '{fmt}' needs an external decoder (not in this "
+            "container); plug one in here — the surrounding plumbing is real"
+        )
+    raise ValueError(f"unknown video format {fmt!r}")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode each audio payload and emit exact integer statistics
+    (n_samples, sum of squares, zero crossings). Narrow map — no
+    shuffle; the aggregation-per-entry shape of the reference's
+    Aggregation SPI (core/store/.../api/Aggregation.java:58-69) where
+    the per-entry work is a vectorized numpy pass."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = decode_audio(r.bytes, r.fmt).astype(np.int64)
+                zc = int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
+                rows.append((int(r.media_id), len(s), int(np.sum(s * s)), zc))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "sum_sq", "zero_cross"]
+            )
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(
+        stats, "media_id long, n_samples int, sum_sq long, zero_cross int"
+    )
+
+
+def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Sample every ``every``-th frame from each video payload: the
+    1→N UDTF shape (adapter convertToIndex flatMap analog, SURVEY §2.11)
+    — each media row explodes to its sampled frames with the frame
+    bytes carried as a first-class binary column plus its pixel sum."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                stack = decode_video(r.bytes, r.fmt, int(r.w), int(r.h))
+                for fi in range(0, stack.shape[0], every):
+                    fr = stack[fi]
+                    rows.append(
+                        (int(r.media_id), fi, fr.tobytes(), int(fr.sum(dtype=np.int64)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame", "sum_px"]
+            )
+
+    return media.select("media_id", "bytes", "fmt", "w", "h").mapInPandas(
+        sample, "media_id long, frame_idx int, frame binary, sum_px long"
+    )
+
+
+def media_embed(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: media -> fixed-size float vector. The
+    embedding itself is a DETERMINISTIC FAKE (hash of exact decoded
+    statistics — a real model would replace the inner function); the
+    plumbing — decode, batch shape, array<float> output column feeding
+    operators/similarity.py — is the production path."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = decode_audio(r.bytes, r.fmt).astype(np.int64)
+                seed = int(np.sum(s * s)) % (1 << 31)
+                j = np.arange(dim, dtype=np.int64)
+                vec = (((seed + j * 2654435761) % 2000) / 1000.0 - 1.0).astype(
+                    np.float32
+                )
+                rows.append((int(r.media_id), vec))
+            yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(
+        embed, "media_id long, embedding array<float>"
+    )
+
+
+def frame_resize(frames: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize sampled frames (nearest-neighbor, same deterministic
+    resampler as the raster pipeline) — media variant of the raster
+    re-tile decimation."""
+    from geowave_spark.raster.codec import resample_nearest
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fr = np.frombuffer(r.frame, dtype=np.uint8).reshape(VID_H, VID_W)
+                out = resample_nearest(fr, out_h, out_w)
+                rows.append((int(r.media_id), int(r.frame_idx), out.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return frames.select("media_id", "frame_idx", "frame").mapInPandas(
+        rs, "media_id long, frame_idx int, frame binary"
+    )

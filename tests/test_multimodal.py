@@ -1,0 +1,107 @@
+"""Multimodal audio/video plumbing: real decode round-trips for the
+deterministic formats, stats vs direct numpy recomputation, frame
+sampling/resize shapes, stubbed codecs raising NotImplementedError."""
+
+import numpy as np
+import pytest
+
+from geowave_spark.operators.multimodal import (
+    audio_stats,
+    decode_audio,
+    decode_video,
+    frame_resize,
+    frame_sample,
+    media_embed,
+)
+from geowave_spark.sources.media import (
+    VID_H,
+    VID_W,
+    audio_samples,
+    audio_table,
+    video_frames,
+    video_table,
+)
+
+N_AUDIO = 40
+N_VIDEO = 30
+
+
+@pytest.fixture(scope="module")
+def audio(spark):
+    return audio_table(spark, N_AUDIO).cache()
+
+
+@pytest.fixture(scope="module")
+def video(spark):
+    return video_table(spark, N_VIDEO).cache()
+
+
+def test_audio_decode_roundtrip(audio):
+    rows = audio.where("media_id IN (0, 3, 17)").collect()
+    assert rows
+    for r in rows:
+        got = decode_audio(bytes(r.bytes), r.fmt)
+        np.testing.assert_array_equal(got, audio_samples(r.media_id))
+
+
+def test_audio_stats_exact(spark, audio):
+    got = {r.media_id: r for r in audio_stats(audio).collect()}
+    assert len(got) == N_AUDIO
+    for key in (0, 5, 19, N_AUDIO - 1):
+        s = audio_samples(key).astype(np.int64)
+        r = got[key]
+        assert r.n_samples == len(s)
+        assert r.sum_sq == int(np.sum(s * s))
+        assert r.zero_cross == int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
+
+
+def test_video_decode_roundtrip(video):
+    r = video.where("media_id = 7").first()
+    got = decode_video(bytes(r.bytes), r.fmt, r.w, r.h)
+    np.testing.assert_array_equal(got, video_frames(7))
+    assert got.shape == (r.n_frames, VID_H, VID_W)
+
+
+def test_frame_sample(video):
+    every = 2
+    out = frame_sample(video, every=every).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+        assert r.frame_idx % every == 0
+        fr = np.frombuffer(bytes(r.frame), dtype=np.uint8)
+        assert len(fr) == VID_H * VID_W
+        assert r.sum_px == int(fr.astype(np.int64).sum())
+        np.testing.assert_array_equal(
+            fr.reshape(VID_H, VID_W), video_frames(r.media_id)[r.frame_idx]
+        )
+    for key, rows in by_media.items():
+        nf = video_frames(key).shape[0]
+        assert len(rows) == (nf + every - 1) // every
+
+
+def test_frame_resize(video):
+    frames = frame_sample(video.where("media_id < 5"), every=4)
+    out = frame_resize(frames, 8, 8).collect()
+    assert out
+    for r in out:
+        assert len(bytes(r.frame)) == 64
+
+
+def test_media_embed_shape_and_determinism(audio):
+    a = {r.media_id: r.embedding for r in media_embed(audio, dim=8).collect()}
+    b = {r.media_id: r.embedding for r in media_embed(audio, dim=8).collect()}
+    assert len(a) == N_AUDIO
+    for k in a:
+        assert len(a[k]) == 8
+        assert a[k] == b[k]
+        assert all(-1.0 <= v <= 1.0 for v in a[k])
+
+
+def test_stub_codecs_raise():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00", "mp3")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00", "h264", 16, 16)
+    with pytest.raises(ValueError):
+        decode_audio(b"\x00", "nonsense")
