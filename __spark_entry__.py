@@ -431,6 +431,33 @@ def _q_xz_join(spark, sf):
     return xz_box_point_join(events_points(spark, sf), customer_boxes(spark, sf))
 
 
+SPLIT_RES, SPLIT_TARGET = 5, 200
+
+
+def _q_split_plan(spark, sf):
+    """Histogram-driven balanced scan splits (SplitsProvider parity)."""
+    from geowave_spark.plans.stats import split_plan
+
+    return split_plan(events_points(spark, sf), SPLIT_RES, SPLIT_TARGET)
+
+
+def _q_field_stats(spark, sf):
+    """Field statistics: count / nulls / min / max / sum per numeric
+    field (FieldMin/Max/SumAggregation + NumericRangeStatistic parity,
+    core/store/.../aggregate/FieldMinAggregation.java et al.)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_value"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_value_null"),
+        F.min(F.round(F.col("value") * 100).cast("long")).alias("min_value_x100"),
+        F.max(F.round(F.col("value") * 100).cast("long")).alias("max_value_x100"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_x100"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
 N_AUDIO, N_VIDEO, FRAME_EVERY = 200, 120, 2
 
 
@@ -510,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz_join": _q_xz_join,
         "audio_stats": _q_audio_stats,
         "frame_sample": _q_frame_sample,
+        "split_plan": _q_split_plan,
+        "field_stats": _q_field_stats,
     }
 
 
@@ -760,6 +789,18 @@ def _oracle_sql_round2() -> dict[str, str]:
         f"AND (ax - p.x_u)*(ax - p.x_u) + (ay - p.y_u)*(ay - p.y_u) "
         f"<= {NN_MAX_D}::BIGINT * {NN_MAX_D}::BIGINT) "
         f"SELECT a_id, b_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {NN_K}",
+        "split_plan": f"{pts}, h AS (SELECT {grid_coord_sql('x_u', SPLIT_RES)} AS gx, "
+        f"{grid_coord_sql('y_u', SPLIT_RES)} AS gy, count(*) AS n "
+        f"FROM {EVENTS_PTS} GROUP BY 1, 2) "
+        "SELECT gx, gy, n, CAST(coalesce(sum(n) OVER (ORDER BY gx, gy "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"// {SPLIT_TARGET} AS INT) AS split_id FROM h",
+        "field_stats": "SELECT count(*) AS n_rows, count(value) AS n_value, "
+        "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value_null, "
+        "min(CAST(round(value * 100) AS BIGINT)) AS min_value_x100, "
+        "max(CAST(round(value * 100) AS BIGINT)) AS max_value_x100, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100, "
+        "min(user_id) AS min_user, max(user_id) AS max_user FROM events",
         "audio_stats": audio_stats_sql(N_AUDIO),
         "frame_sample": video_frame_sample_sql(N_VIDEO, FRAME_EVERY),
         "xz_extent": f"WITH {boxes} SELECT c_custkey FROM boxes "

@@ -154,3 +154,37 @@ def explode_salts(df: DataFrame, hot: DataFrame, n_salts: int) -> DataFrame:
             ).otherwise(F.array(F.lit(0)))
         ),
     ).drop("_hot")
+
+
+def split_plan(
+    points: DataFrame,
+    res: int,
+    target_rows: int,
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+) -> DataFrame:
+    """Balanced scan-split assignment from the cell-occupancy histogram
+    — GeoWaveInputFormat's split planning (SplitsProvider.java:54-77,
+    356-380: ranges sized by the RowRangeHistogram so every input split
+    carries ~equal rows, not ~equal key-space).
+
+    Output: one row per occupied grid cell (gx, gy, n, split_id) where
+    ``split_id = rows_before_this_cell // target_rows`` in (gx, gy)
+    order. The global window runs over the *histogram* (≤ 4^res rows),
+    never the data — at 100 TB the histogram for res 8 is ≤ 65k rows,
+    so the single-partition window stage is trivially small while the
+    resulting splits balance the real scan."""
+    from pyspark.sql import Window
+
+    from geowave_spark import LAT_OFF_U, LON_OFF_U
+    from geowave_spark.index.native import grid_coord_col
+
+    counts = points.groupBy(
+        grid_coord_col(F.col(x_col), res, LON_OFF_U).alias("gx"),
+        grid_coord_col(F.col(y_col), res, LAT_OFF_U).alias("gy"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("gx", "gy").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n").over(w), F.lit(0))
+    return counts.withColumn(
+        "split_id", F.floor(cum_before / F.lit(target_rows)).cast("int")
+    )

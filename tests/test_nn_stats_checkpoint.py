@@ -146,3 +146,25 @@ def test_salted_join_equals_unsalted(spark, sf_dir):
 
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_split_plan_balanced(spark, sf_dir):
+    """Split sizes are within target ± the largest single cell (a cell
+    is never split across two splits — SplitsProvider semantics), and
+    cumulative ordering is respected."""
+    from geowave_spark.plans.stats import split_plan
+
+    target = 150
+    pts = events_points(spark, sf_dir)
+    plan = split_plan(pts, 4, target).collect()
+    assert sum(r.n for r in plan) == pts.count()
+    by_split = {}
+    for r in plan:
+        by_split.setdefault(r.split_id, 0)
+        by_split[r.split_id] += r.n
+    max_cell = max(r.n for r in plan)
+    # every split except the last holds >= something and < target + max_cell
+    for sid, n in by_split.items():
+        assert n < target + max_cell
+    # split ids are contiguous from 0
+    assert sorted(by_split) == list(range(len(by_split)))
