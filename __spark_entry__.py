@@ -374,6 +374,26 @@ def _q_raster_retile(spark, sf):
     )
 
 
+def _q_wms_render(spark, sf):
+    """WMS GetMap: bbox query over the mosaic tile table rendered to a
+    bounded output canvas (rows-only driver check — single binary image
+    row; exact pixel parity vs a numpy reference is asserted in
+    tests/test_render.py)."""
+    from geowave_spark.operators.tiling import (
+        pick_level,
+        render_mosaic,
+        tile_cut_and_merge,
+    )
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
+    return render_mosaic(
+        tiles, *BBOX[:2], *BBOX[2:], level, 128, 128, tile_size=RASTER_TS
+    ).select("x_lo", "y_lo", "x_hi", "y_hi", "w", "h")
+
+
 NN_MAX_D = 2_000_000
 NN_K = 4
 NN_LEFT_MOD = 20
@@ -539,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "split_plan": _q_split_plan,
         "field_stats": _q_field_stats,
+        "wms_render": _q_wms_render,
     }
 
 

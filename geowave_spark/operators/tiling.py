@@ -422,3 +422,79 @@ def retile(
             yield pd.DataFrame(rows, columns=["level", "tx", "ty", "tile"])
 
     return tiles.mapInPandas(split_parent, "level int, tx long, ty long, tile binary")
+
+
+def render_mosaic(
+    tiles: DataFrame,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    level: int,
+    out_w: int,
+    out_h: int,
+    tile_size: int = TILE_SIZE,
+    background: int = NO_DATA,
+) -> DataFrame:
+    """WMS GetMap read path (GeoWaveRasterReader: bbox -> tile scan ->
+    merged mosaic, with decimation to the requested output size): prune
+    the tile table to the bbox (tile_range_query — sargable grid-range
+    predicate), resample each tile's overlap onto the output grid in
+    distributed Arrow batches, then assemble the single bounded output
+    canvas (out_w x out_h, a render target — never data-sized) in one
+    final task. Returns one row: (x_lo, y_lo, x_hi, y_hi, w, h, image).
+
+    Pixel mapping mirrors cut_tile exactly (integer pixel-center
+    arithmetic, row 0 = north); tiles partition space at a level, so
+    contributions are disjoint rectangles and assembly is pure
+    placement."""
+    span_x, span_y = x_hi - x_lo, y_hi - y_lo
+    sel = tile_range_query(tiles, x_lo, y_lo, x_hi, y_hi, level)
+
+    def contribute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # output pixel centers in µdeg (row 0 = north) — tiny arrays,
+        # recomputed per executor from the closure constants
+        px = x_lo + ((np.arange(out_w) * 2 + 1) * span_x) // (2 * out_w)
+        py = y_hi - ((np.arange(out_h) * 2 + 1) * span_y) // (2 * out_h)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                bx_lo, by_lo, bx_hi, by_hi = _tile_bounds(level, int(r.tx), int(r.ty))
+                cs = np.where((px >= bx_lo) & (px < bx_hi))[0]
+                rs = np.where((py >= by_lo) & (py < by_hi))[0]
+                if not len(cs) or not len(rs):
+                    continue
+                t = np.frombuffer(r.tile, dtype=np.uint8).reshape(
+                    tile_size, tile_size
+                )
+                sx = ((px[cs] - bx_lo) * tile_size) // max(bx_hi - bx_lo, 1)
+                sy = ((by_hi - py[rs]) * tile_size) // max(by_hi - by_lo, 1)
+                sub = t[np.clip(sy, 0, tile_size - 1)][
+                    :, np.clip(sx, 0, tile_size - 1)
+                ]
+                rows.append((int(rs[0]), int(cs[0]), sub.shape[0], sub.shape[1], sub.tobytes()))
+            yield pd.DataFrame(rows, columns=["r0", "c0", "h", "w", "sub"])
+
+    contribs = sel.select("tx", "ty", "tile").mapInPandas(
+        contribute, "r0 int, c0 int, h int, w int, sub binary"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.full((out_h, out_w), background, dtype=np.uint8)
+        for r in pdf.itertuples(index=False):
+            sub = np.frombuffer(r.sub, dtype=np.uint8).reshape(r.h, r.w)
+            canvas[r.r0 : r.r0 + r.h, r.c0 : r.c0 + r.w] = sub
+        return pd.DataFrame(
+            [(x_lo, y_lo, x_hi, y_hi, out_w, out_h, canvas.tobytes())],
+            columns=["x_lo", "y_lo", "x_hi", "y_hi", "w", "h", "image"],
+        )
+
+    return (
+        contribs.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            assemble,
+            "x_lo long, y_lo long, x_hi long, y_hi long, w int, h int, image binary",
+        )
+        .drop("_g")
+    )
