@@ -61,6 +61,11 @@ def main():
         "text_contains",
         "simhash",
         "sim_topk",
+        "xz_join",
+        "xz_extent",
+        "split_plan",
+        "audio_stats",
+        "frame_sample",
     ]
 
     times: dict[str, float] = {}
