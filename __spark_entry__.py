@@ -40,6 +40,7 @@ from geowave_spark.sources.testgeo import (
     xy_sql,
 )
 from geowave_spark.index.native import grid_coord_sql
+from geowave_spark.index.zorder import grid_coord as _gcoord
 
 # ---------------------------------------------------------------- fixtures
 
@@ -116,6 +117,19 @@ def _q_bbox_time(spark, sf):
     return df.where(
         F.expr(f"ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'")
     ).select("event_id")
+
+
+LOOSE_RES = 6
+
+
+def _q_bbox_loose(spark, sf):
+    """BBOXLOOSE: coarse cell constraint only, no exact refinement."""
+    from geowave_spark.operators.spatial_query import bbox_query_loose
+
+    x0, y0, x1, y1 = BBOX
+    return bbox_query_loose(events_points(spark, sf), x0, y0, x1, y1, LOOSE_RES).select(
+        "event_id"
+    )
 
 
 def _q_spatial_join(spark, sf):
@@ -515,6 +529,7 @@ def _q_cos_dedup(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
+        "bbox_loose": _q_bbox_loose,
         "polygon": _q_polygon,
         "bbox_time": _q_bbox_time,
         "spatial_join": _q_spatial_join,
@@ -616,6 +631,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
+        "bbox_loose": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE {grid_coord_sql('x_u', LOOSE_RES)} BETWEEN "
+        f"{int(_gcoord(BBOX[0], LOOSE_RES))} AND {int(_gcoord(BBOX[2], LOOSE_RES))} "
+        f"AND {grid_coord_sql('y_u', LOOSE_RES)} BETWEEN "
+        f"{int(_gcoord(BBOX[1], LOOSE_RES))} AND {int(_gcoord(BBOX[3], LOOSE_RES))}",
         "polygon": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE {_penta_halfplane_sql('x_u', 'y_u')}",
         "bbox_time": f"{pts} SELECT event_id FROM {EVENTS_PTS} "

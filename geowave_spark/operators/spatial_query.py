@@ -63,6 +63,36 @@ def bbox_query(
     )
 
 
+def bbox_query_loose(
+    points: DataFrame,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    res: int,
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+) -> DataFrame:
+    """LOOSE bbox query: the coarse index constraint ONLY, no exact
+    refinement — BBOXLOOSE / INTERSECTSLOOSE semantics
+    (core/geotime/.../gwql/SpatialPredicates.java:22-250: "loose" skips
+    the exact-refine stage and returns everything whose index cell
+    matches). Result = all rows whose grid cell at ``res`` falls inside
+    the query's cell range, i.e. the bbox widened to cell boundaries.
+    At 100 TB this is the cheapest possible scan shape: a pure sargable
+    range on the grid coords, no per-row geometry work at all."""
+    from geowave_spark import LAT_OFF_U, LON_OFF_U
+    from geowave_spark.index.native import grid_coord_col
+    from geowave_spark.index.zorder import grid_coord
+
+    gx = grid_coord_col(F.col(x_col), res, LON_OFF_U)
+    gy = grid_coord_col(F.col(y_col), res, LAT_OFF_U)
+    return points.where(
+        gx.between(int(grid_coord(x_lo, res)), int(grid_coord(x_hi, res)))
+        & gy.between(int(grid_coord(y_lo, res)), int(grid_coord(y_hi, res)))
+    )
+
+
 def dateline_split(x_lo: int, x_hi: int) -> list[tuple[int, int]]:
     """Normalize an x-range that crosses the antimeridian into 1-2
     in-domain ranges — the LongitudeDefinition bin split
