@@ -62,3 +62,42 @@ def stream_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_cell_counts(
+    stream: DataFrame,
+    res: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+) -> DataFrame:
+    """Stateful streaming rollup: per (event-time window, cell) counts
+    with a watermark bounding state for late data. The reference has no
+    stream-query surface (Kafka is ingest-only, SURVEY §2.10) — this is
+    the engine-side extension that keeps per-cell occupancy statistics
+    (the TierIndexMetaData / RowRangeHistogram analogs that drive join
+    pruning and split planning) CONTINUOUSLY maintained as data
+    arrives, instead of recomputed by batch sweeps.
+
+    Semantics are Spark's standard windowed aggregation: state for a
+    window is finalized (and can be emitted in append mode) once the
+    watermark passes its end, so executor state is bounded by
+    (#active windows x #occupied cells) regardless of stream length —
+    the property that matters at 100 TB/day.
+    """
+    keyed = indexed_stream(stream, res, x_col, y_col)
+    # watermarks require TIMESTAMP (ltz); parquet sources often carry NTZ
+    keyed = keyed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("cell"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cell",
+            "n",
+        )
+    )

@@ -110,3 +110,45 @@ def test_bbox_loose_superset(spark, sf_dir):
     loose = pts.where(bbox_loose(F.col("x_u"), F.col("y_u"), x0, y0, x1, y1, res=8))
     assert exact.exceptAll(loose).count() == 0  # loose ⊇ exact
     assert loose.count() >= exact.count()
+
+
+def test_windowed_cell_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming watermarked (window, cell) rollup == the batch
+    aggregation over the same data (complete mode drains a finite
+    backlog deterministically)."""
+    from geowave_spark.streaming.ingest import windowed_cell_counts
+
+    src = str(tmp_path / "wsrc")
+    pts = events_points(spark, sf_dir).limit(800)
+    pts.write.parquet(src)
+
+    stream = spark.readStream.schema(pts.schema).parquet(src)
+    agg = windowed_cell_counts(stream, res=6, window="1 day", watermark="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wcc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from geowave_spark.operators.spatial_query import with_cell
+
+    batch = (
+        with_cell(pts, 6)
+        .groupBy(F.window("ts", "1 day").alias("win"), "cell")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cell",
+            "n",
+        )
+    )
+    got = {
+        (r.win_start, r.win_end, r.cell, r.n)
+        for r in spark.sql("SELECT * FROM wcc").collect()
+    }
+    exp = {(r.win_start, r.win_end, r.cell, r.n) for r in batch.collect()}
+    assert got == exp and len(exp) > 0
