@@ -101,3 +101,21 @@ def windowed_cell_counts(
             "n",
         )
     )
+
+
+def stream_dedupe(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming DedupeFilter (core/store/.../query/filter/DedupeFilter.java:23-62):
+    drop repeats of the logical key across micro-batches. In the
+    reference, duplicated index writes are collapsed per query by a
+    client-side filter; on a stream the engine collapses them at ingest
+    with Spark's stateful dropDuplicatesWithinWatermark — state is
+    bounded by the watermark horizon (keys older than the watermark are
+    evicted), so at 100 TB/day the dedupe state holds one key per
+    logical entry per horizon, not per duplicate."""
+    keyed = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

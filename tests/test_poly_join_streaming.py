@@ -152,3 +152,32 @@ def test_windowed_cell_counts_matches_batch(spark, sf_dir, tmp_path):
     }
     exp = {(r.win_start, r.win_end, r.cell, r.n) for r in batch.collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_stream_dedupe(spark, sf_dir, tmp_path):
+    """Duplicated rows (the multi-insertion-id analog) collapse to one
+    row per key across micro-batches."""
+    from geowave_spark.streaming.ingest import stream_dedupe
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    cp = str(tmp_path / "dcp")
+    pts = events_points(spark, sf_dir).limit(300)
+    dup = pts.unionByName(pts).unionByName(pts.limit(100))
+    dup.write.parquet(src)
+
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    deduped = stream_dedupe(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert got.select("event_id").distinct().count() == 300
