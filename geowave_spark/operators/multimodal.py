@@ -25,8 +25,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from geowave_spark.sources.media import VID_H, VID_W
-
 _STUB_AUDIO_FMTS = {"mp3", "flac", "ogg", "aac", "wav"}
 _STUB_VIDEO_FMTS = {"h264", "h265", "vp9", "av1", "mp4"}
 
@@ -94,14 +92,21 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
                 for fi in range(0, stack.shape[0], every):
                     fr = stack[fi]
                     rows.append(
-                        (int(r.media_id), fi, fr.tobytes(), int(fr.sum(dtype=np.int64)))
+                        (
+                            int(r.media_id),
+                            fi,
+                            int(r.w),
+                            int(r.h),
+                            fr.tobytes(),
+                            int(fr.sum(dtype=np.int64)),
+                        )
                     )
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame", "sum_px"]
+                rows, columns=["media_id", "frame_idx", "w", "h", "frame", "sum_px"]
             )
 
     return media.select("media_id", "bytes", "fmt", "w", "h").mapInPandas(
-        sample, "media_id long, frame_idx int, frame binary, sum_px long"
+        sample, "media_id long, frame_idx int, w int, h int, frame binary, sum_px long"
     )
 
 
@@ -133,18 +138,23 @@ def media_embed(media: DataFrame, dim: int = 8) -> DataFrame:
 def frame_resize(frames: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Resize sampled frames (nearest-neighbor, same deterministic
     resampler as the raster pipeline) — media variant of the raster
-    re-tile decimation."""
+    re-tile decimation. Frame dimensions come from the per-row w/h
+    columns that frame_sample carries through."""
     from geowave_spark.raster.codec import resample_nearest
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                fr = np.frombuffer(r.frame, dtype=np.uint8).reshape(VID_H, VID_W)
+                fr = np.frombuffer(r.frame, dtype=np.uint8).reshape(
+                    int(r.h), int(r.w)
+                )
                 out = resample_nearest(fr, out_h, out_w)
-                rows.append((int(r.media_id), int(r.frame_idx), out.tobytes()))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+                rows.append(
+                    (int(r.media_id), int(r.frame_idx), out_w, out_h, out.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "w", "h", "frame"])
 
-    return frames.select("media_id", "frame_idx", "frame").mapInPandas(
-        rs, "media_id long, frame_idx int, frame binary"
+    return frames.select("media_id", "frame_idx", "w", "h", "frame").mapInPandas(
+        rs, "media_id long, frame_idx int, w int, h int, frame binary"
     )

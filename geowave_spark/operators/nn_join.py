@@ -121,14 +121,21 @@ def nn_self_join(
     left = points
     if left_filter is not None:
         left = left.where(left_filter)
+    fine_cols = (
+        [
+            cell_col(
+                F.col("x_u"), F.col("y_u"), min(res + prune_offset, 30)
+            ).alias("_fcell")
+        ]
+        if prune_offset
+        else []
+    )
     left = left.select(
         F.col(key).alias("a_id"),
         F.col("x_u").alias("ax"),
         F.col("y_u").alias("ay"),
         cell_col(F.col("x_u"), F.col("y_u"), res).alias("_cell"),
-        cell_col(F.col("x_u"), F.col("y_u"), min(res + (prune_offset or 0), 30)).alias(
-            "_fcell"
-        ),
+        *fine_cols,
     )
     # spread the query side across the cluster BEFORE the broadcast
     # probe: a broadcast join inherits the stream side's partitioning,
@@ -159,7 +166,7 @@ def nn_self_join(
         # narrow projection before the top-k sort: the window only
         # needs the keys + distance, and left is already
         # hash-partitioned by a_id so no exchange is inserted
-        .select("a_id", "_fcell", "dist2", "b_id")
+        .select("a_id", "dist2", "b_id")
     )
 
     if prune_offset:
@@ -182,13 +189,16 @@ def nn_self_join(
                 ).alias("_bound")
             )
         )
+        # bounds is one narrow row per query point — broadcast only when
+        # the candidate side is broadcastable too (same size regime);
+        # otherwise shuffle-join it like everything else at that scale
+        if broadcast_candidates:
+            bounds = F.broadcast(bounds)
         cand = (
-            cand.join(F.broadcast(bounds), "a_id", "left")
+            cand.join(bounds, "a_id", "left")
             .where(F.col("dist2") <= F.coalesce(F.col("_bound"), max_d2))
             .select("a_id", "dist2", "b_id")
         )
-    else:
-        cand = cand.select("a_id", "dist2", "b_id")
 
     w = Window.partitionBy("a_id").orderBy("dist2", "b_id")
     return (

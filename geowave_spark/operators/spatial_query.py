@@ -78,18 +78,44 @@ def bbox_query_loose(
     (core/geotime/.../gwql/SpatialPredicates.java:22-250: "loose" skips
     the exact-refine stage and returns everything whose index cell
     matches). Result = all rows whose grid cell at ``res`` falls inside
-    the query's cell range, i.e. the bbox widened to cell boundaries.
-    At 100 TB this is the cheapest possible scan shape: a pure sargable
-    range on the grid coords, no per-row geometry work at all."""
-    from geowave_spark import LAT_OFF_U, LON_OFF_U
-    from geowave_spark.index.native import grid_coord_col
+    the query's cell range, i.e. the bbox widened OUTWARD to cell
+    boundaries. The widened bounds are computed driver-side and emitted
+    as plain BETWEENs on the raw coordinate columns — genuinely
+    sargable (parquet row-group / partition pruning applies), unlike a
+    predicate on derived grid-coord expressions which Spark cannot push
+    to the source."""
+    from geowave_spark import LON_OFF_U, WORLD_X_U
     from geowave_spark.index.zorder import grid_coord
 
-    gx = grid_coord_col(F.col(x_col), res, LON_OFF_U)
-    gy = grid_coord_col(F.col(y_col), res, LAT_OFF_U)
+    n = 1 << res
+
+    def bounds(lo: int, hi: int) -> tuple[int, int]:
+        """Inclusive µdeg preimage of the grid interval
+        [grid(lo), grid(hi)] — exact, honoring the domain-edge clamp
+        (the first/last cell absorb everything beyond the domain)."""
+        g_lo, g_hi = int(grid_coord(lo, res)), int(grid_coord(hi, res))
+
+        def ceil_div(a: int, b: int) -> int:
+            return -((-a) // b)
+
+        # grid(x) == g  ⟺  ceil(g*W/n) ≤ x+OFF ≤ ceil((g+1)*W/n) - 1
+        # (W is not divisible by 2^res beyond res 9, so ceil, not floor)
+        b_lo = (
+            -(1 << 62)
+            if g_lo == 0
+            else ceil_div(g_lo * WORLD_X_U, n) - LON_OFF_U
+        )
+        b_hi = (
+            (1 << 62)
+            if g_hi == n - 1
+            else ceil_div((g_hi + 1) * WORLD_X_U, n) - 1 - LON_OFF_U
+        )
+        return b_lo, b_hi
+
+    bx_lo, bx_hi = bounds(int(x_lo), int(x_hi))
+    by_lo, by_hi = bounds(int(y_lo), int(y_hi))
     return points.where(
-        gx.between(int(grid_coord(x_lo, res)), int(grid_coord(x_hi, res)))
-        & gy.between(int(grid_coord(y_lo, res)), int(grid_coord(y_hi, res)))
+        F.col(x_col).between(bx_lo, bx_hi) & F.col(y_col).between(by_lo, by_hi)
     )
 
 

@@ -478,10 +478,18 @@ def render_mosaic(
     contribs = sel.select("tx", "ty", "tile").mapInPandas(
         contribute, "r0 int, c0 int, h int, w int, sub binary"
     )
+    # sentinel empty contribution: guarantees the single output row (an
+    # all-background canvas) even when no stored tile overlaps the bbox
+    seed = sel.sparkSession.createDataFrame(
+        [(0, 0, 0, 0, b"")], "r0 int, c0 int, h int, w int, sub binary"
+    )
+    contribs = contribs.unionByName(seed)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         canvas = np.full((out_h, out_w), background, dtype=np.uint8)
         for r in pdf.itertuples(index=False):
+            if r.h == 0 or r.w == 0:
+                continue  # sentinel
             sub = np.frombuffer(r.sub, dtype=np.uint8).reshape(r.h, r.w)
             canvas[r.r0 : r.r0 + r.h, r.c0 : r.c0 + r.w] = sub
         return pd.DataFrame(

@@ -185,6 +185,10 @@ def split_plan(
     ).agg(F.count("*").alias("n"))
     w = Window.orderBy("gx", "gy").rowsBetween(Window.unboundedPreceding, -1)
     cum_before = F.coalesce(F.sum("n").over(w), F.lit(0))
+    # exact integer floor-div (float floor diverges from the DuckDB
+    # oracle once cumulative counts leave the double mantissa — the
+    # same pitfall documented at index/native.grid_coord_col)
     return counts.withColumn(
-        "split_id", F.floor(cum_before / F.lit(target_rows)).cast("int")
+        "split_id",
+        F.call_function("div", cum_before, F.lit(target_rows)).cast("int"),
     )

@@ -163,8 +163,12 @@ def test_split_plan_balanced(spark, sf_dir):
         by_split.setdefault(r.split_id, 0)
         by_split[r.split_id] += r.n
     max_cell = max(r.n for r in plan)
-    # every split except the last holds >= something and < target + max_cell
+    # every split holds < target + max_cell rows (a cell is never split)
     for sid, n in by_split.items():
         assert n < target + max_cell
-    # split ids are contiguous from 0
-    assert sorted(by_split) == list(range(len(by_split)))
+    # exact recomputation: split_id == rows_before // target in (gx, gy)
+    # order (ids may legitimately skip integers when one cell > 2x target)
+    cum = 0
+    for r in sorted(plan, key=lambda r: (r.gx, r.gy)):
+        assert r.split_id == cum // target
+        cum += r.n

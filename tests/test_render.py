@@ -78,3 +78,14 @@ def test_render_partial_coverage_background(spark):
     covered = (tx % 2) == 0
     np.testing.assert_array_equal(got[:, covered], exp[:, covered])
     assert (got[:, ~covered] == 0).all()
+
+
+def test_render_no_tiles_gives_background_canvas(spark):
+    tiles = _make_tiles(spark).where("tx < 0")  # empty
+    x_lo, y_lo, x_hi, y_hi = BBOX
+    out = render_mosaic(
+        tiles, x_lo, y_lo, x_hi, y_hi, LEVEL, OUT_W, OUT_H, tile_size=TS
+    ).collect()
+    assert len(out) == 1
+    got = np.frombuffer(bytes(out[0].image), dtype=np.uint8)
+    assert (got == 0).all() and len(got) == OUT_W * OUT_H
