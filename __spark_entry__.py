@@ -516,6 +516,17 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_sim_topk_ivf(spark, sf):
+    """IVF inverted-file ANN (rows-only driver check — centroid
+    assignment is data-dependent; recall + exactness-at-full-probe are
+    asserted in tests/test_similarity_lsh.py)."""
+    from geowave_spark.operators.similarity import topk_ivf
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % SIM_QUERY_MOD == 0)
+    return topk_ivf(emb, queries_df, SIM_K)
+
+
 def _q_cos_dedup(spark, sf):
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact verification (rows-only driver check; the exact-threshold
@@ -567,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_join": _q_nn_join,
         "minhash_lsh": _q_minhash_lsh,
         "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
         "xz_extent": _q_xz_extent,
         "xz_join": _q_xz_join,

@@ -158,3 +158,106 @@ def cosine_near_dup_pairs(
         .where(F.col("score_x1000") >= threshold_x1000)
     )
     return pairs.select("id_a", "id_b", "score_x1000")
+
+
+def _lloyd_centroids(
+    sample: np.ndarray, nlist: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample (numpy).
+    Init = first ``nlist`` sample rows (sample is id-ordered, so the
+    result is reproducible run-to-run). Centroids are L2-normalized so
+    nearest-by-dot == nearest-by-angle for unit-ish corpus vectors."""
+    c = sample[:nlist].astype(np.float64).copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ c.T, axis=1)
+        for j in range(nlist):
+            m = sample[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        norms = np.linalg.norm(c, axis=1)
+        norms[norms == 0] = 1.0
+        c = c / norms[:, None]
+    return c
+
+
+def _centroid_scores(vec: Column, centroids: np.ndarray) -> list[Column]:
+    return [
+        dot_col(vec, F.array(*[F.lit(float(v)) for v in c])) for c in centroids
+    ]
+
+
+def topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_rows: int = 2048,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the clustered scale path next to the
+    LSH-bucketed one: the corpus is Voronoi-partitioned around ``nlist``
+    centroids trained on a bounded id-ordered sample (driver-side Lloyd,
+    deterministic); every vector joins its nearest-centroid list ONCE
+    (write-time assignment in production — the inverted file); a query
+    scans only its ``nprobe`` closest lists. Returns
+    (query_id, neighbor_id, rank). Recall grows with nprobe and reaches
+    exactness at nprobe = nlist (the brute scan).
+
+    Corpus-side work is a single narrow projection (argmax over nlist
+    native dot folds — no shuffle, no Python); the probe join is a
+    broadcast equi-join on the list id, so dense lists parallelize
+    across corpus partitions exactly like dense cells in the spatial
+    join."""
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(id_col)
+            .limit(train_rows)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = _lloyd_centroids(sample, nlist)
+
+    def best_list(vec: Column) -> Column:
+        # argmax by (score, -list_id) via lexicographic struct max
+        return F.greatest(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("negi"))
+                for i, s in enumerate(_centroid_scores(vec, cents))
+            ]
+        )["negi"] * -1
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        best_list(F.col(vec_col)).alias("ivf_list"),
+    )
+
+    qscores = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).alias("i"))
+            for i, s in enumerate(_centroid_scores(F.col("qv"), cents))
+        ]
+    )
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("_probe", F.slice(F.reverse(F.array_sort(qscores)), 1, nprobe))
+        .withColumn("ivf_list", F.explode(F.col("_probe.i")))
+        .select("query_id", "qv", "ivf_list")
+    )
+
+    scored = (
+        c.join(q, "ivf_list")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", dot_col(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

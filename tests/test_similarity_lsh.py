@@ -105,3 +105,44 @@ def test_prefix_filtered_jaccard_equals_aggregation_form(spark, sf_dir):
         tuple(r) for r in ngram_jaccard_pairs_prefix(docs, threshold=0.6).collect()
     }
     assert base == pref and len(base) > 0
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    """IVF with nprobe << nlist achieves high recall on clustered data
+    (the regime it exists for), and nprobe == nlist is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from geowave_spark.operators.similarity import topk_brute, topk_ivf
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    rows = []
+    for i in range(500):
+        v = centers[i % 10] + 0.05 * rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    k = 5
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_brute(emb, queries, k).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_ivf(emb, queries, k, nlist=10, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in topk_ivf(emb, queries, k, nlist=10, nprobe=10).collect()
+    }
+    assert full == exact
