@@ -119,3 +119,56 @@ def stream_dedupe(
     logical entry per horizon, not per duplicate."""
     keyed = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_user_stats(
+    stream: DataFrame,
+    res: int = 8,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running statistics (event count, value sum, distinct-cell
+    count, last event time) maintained ACROSS micro-batches in explicit
+    group state — the shape to reach for when built-in windowed
+    aggregation can't express the semantics (here: an unbounded
+    running distinct-cell set per key). Output mode: update — one
+    refreshed summary row per key per micro-batch it appears in.
+
+    State per key is a bounded scalar tuple + the distinct cell-id list
+    at ``res`` (≤ 4^res entries, in practice the key's visited
+    neighborhood) — the per-key state GeoWave has no analog for, since
+    its statistics are global per index/adapter (SURVEY §2.9)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = indexed_stream(
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")), res
+    )
+
+    out_schema = (
+        f"{key_col} long, n_events long, sum_value double, "
+        "n_cells int, last_ts timestamp"
+    )
+    state_schema = "n long, s double, cells array<long>, last_ts timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        n, s, cells, last_ts = (
+            state.get if state.exists else (0, 0.0, [], None)
+        )
+        cell_set = set(cells)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            cell_set.update(int(c) for c in pdf["cell"])
+            m = pdf[ts_col].max()
+            last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((n, s, sorted(cell_set), last_ts))
+        yield pd.DataFrame(
+            [(key[0], n, s, len(cell_set), last_ts)],
+            columns=[key_col, "n_events", "sum_value", "n_cells", "last_ts"],
+        )
+
+    return keyed.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -181,3 +181,60 @@ def test_stream_dedupe(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 300
     assert got.select("event_id").distinct().count() == 300
+
+
+def test_stateful_user_stats_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    with maxFilesPerTrigger=1 the two source files process as separate
+    batches, and the LAST update row per user must equal the batch
+    aggregation over the union."""
+    from geowave_spark.operators.spatial_query import with_cell
+    from geowave_spark.streaming.ingest import stateful_user_stats
+
+    src = str(tmp_path / "ssrc")
+    pts_v = events_points(spark, sf_dir).limit(400).cache()
+    pts_v.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{src}/a")
+    pts_v.where("event_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b")
+
+    stream = (
+        spark.readStream.schema(pts_v.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stateful_user_stats(stream, res=6)
+        .writeStream.format("memory")
+        .queryName("sus")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last update per user (updates arrive in batch order; aggregate by
+    # taking the max n_events row per user — counts only grow)
+    got_rows = spark.sql("SELECT * FROM sus").collect()
+    got = {}
+    for r in got_rows:
+        if r.user_id not in got or r.n_events > got[r.user_id].n_events:
+            got[r.user_id] = r
+
+    exp = {
+        r.user_id: r
+        for r in with_cell(pts_v.withColumn("ts", F.col("ts").cast("timestamp")), 6)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.countDistinct("cell").alias("n_cells"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp) and len(exp) > 0
+    for uid, e in exp.items():
+        g = got[uid]
+        assert g.n_events == e.n_events
+        assert abs(g.sum_value - e.sum_value) < 1e-6
+        assert g.n_cells == e.n_cells
+        assert g.last_ts == e.last_ts
