@@ -130,3 +130,40 @@ class DataStore:
 
     def nn_join(self, name: str, max_dist_u: int, k: int, **kw) -> DataFrame:
         return nn_self_join(self._types[name], max_dist_u, k, **kw)
+
+    def xz_join(
+        self, points_name: str, extents_name: str, how: str = "inner", **kw
+    ) -> DataFrame:
+        """Point-in-extent join through the XZ-order extent index (one
+        key per stored extent — the XZHierarchicalIndexStrategy path)."""
+        from geowave_spark.index.xz import xz_box_point_join
+
+        return xz_box_point_join(
+            self._types[points_name], self._types[extents_name], how=how, **kw
+        )
+
+    def extent_query(
+        self, name: str, bbox: tuple[int, int, int, int], **kw
+    ) -> DataFrame:
+        """Extents intersecting a bbox via the XZ index."""
+        from geowave_spark.index.xz import xz_extent_query
+
+        x0, y0, x1, y1 = bbox
+        return xz_extent_query(self._types[name], x0, y0, x1, y1, **kw)
+
+    def render(
+        self,
+        tiles_name: str,
+        bbox: tuple[int, int, int, int],
+        level: int,
+        out_w: int,
+        out_h: int,
+        **kw,
+    ) -> DataFrame:
+        """WMS GetMap over a registered tile table."""
+        from geowave_spark.operators.tiling import render_mosaic
+
+        x0, y0, x1, y1 = bbox
+        return render_mosaic(
+            self._types[tiles_name], x0, y0, x1, y1, level, out_w, out_h, **kw
+        )

@@ -73,3 +73,27 @@ def test_spatial_join_and_nn(spark, sf_dir):
     assert j.count() > 0
     nn = ds.nn_join("pts", 2_000_000, 3, left_filter=F.col("event_id") % 50 == 0)
     assert nn.groupBy("a_id").count().agg(F.max("count")).first()[0] <= 3
+
+
+def test_datastore_xz_join_and_extent_query(spark, sf_dir):
+    from geowave_spark.api import DataStore
+    from geowave_spark.sources.testgeo import customer_boxes, events_points
+
+    ds = DataStore(spark)
+    ds.add_type("pts_xz", events_points(spark, sf_dir))
+    ds.add_type("boxes_xz", customer_boxes(spark, sf_dir), indexed=False)
+
+    j = ds.xz_join("pts_xz", "boxes_xz")
+    ref = ds.spatial_join("pts_xz", "boxes_xz")
+    assert j.count() == ref.count()
+    assert j.exceptAll(ref.select("event_id", "c_custkey")).count() == 0
+
+    bbox = (-60_000_000, -40_000_000, 70_000_000, 55_000_000)
+    e = ds.extent_query("boxes_xz", bbox)
+    from pyspark.sql import functions as F
+
+    brute = customer_boxes(spark, sf_dir).where(
+        (F.col("x_lo") <= bbox[2]) & (F.col("x_hi") >= bbox[0])
+        & (F.col("y_lo") <= bbox[3]) & (F.col("y_hi") >= bbox[1])
+    )
+    assert e.count() == brute.count()
