@@ -100,6 +100,8 @@ def run(name, make_df):
     times[name] = round(best, 3)
 
 run("spatial_join", lambda: box_point_join(pts, boxes))
+from geowave_spark.index.xz import xz_box_point_join
+run("xz_join", lambda: xz_box_point_join(pts, boxes))
 run("poly_join", lambda: octagon_point_join(pts, octs))
 run("kde", lambda: kde_level(pts, 10))
 if jobs is None or "tile_cut_merge" in jobs:
@@ -119,6 +121,7 @@ print(json.dumps({
         for k, v in [
             ("spatial_join_pts_per_sec", round(n_pts / times["spatial_join"], 1) if "spatial_join" in times else None),
             ("poly_join_pts_per_sec", round(n_pts / times["poly_join"], 1) if "poly_join" in times else None),
+            ("xz_join_pts_per_sec", round(n_pts / times["xz_join"], 1) if "xz_join" in times else None),
             ("kde_pts_per_sec", round(n_pts / times["kde"], 1) if "kde" in times else None),
             ("tile_images_per_sec", round(n_img / times["tile_cut_merge"], 1) if "tile_cut_merge" in times else None),
         ]
