@@ -167,3 +167,33 @@ class DataStore:
         return render_mosaic(
             self._types[tiles_name], x0, y0, x1, y1, level, out_w, out_h, **kw
         )
+
+    # ------------------------------------------------------------ delete
+
+    def delete(
+        self,
+        name: str,
+        bbox: tuple[int, int, int, int] | None = None,
+        polygon: Geometry | None = None,
+        time: tuple | None = None,
+        where: str | None = None,
+    ) -> int:
+        """DeleteStatement (GWQL `DELETE FROM t WHERE ...`,
+        core/store/.../query/gwql/statement/DeleteStatement.java):
+        remove the entries matching the constraint from the registered
+        type. The engine's storage is immutable DataFrames/parquet, so
+        deletion is the standard lakehouse form — the type is replaced
+        by its complement (an anti-semi plan over the same coarse
+        constraint + exact refinement used by query) and the SQL view
+        refreshed; writing the result back to the table location is the
+        caller's `df.write` (or Iceberg `DELETE WHERE` when the catalog
+        supports it). Returns the number of rows removed."""
+        matched = self.query(name, bbox=bbox, polygon=polygon, time=time, where=where)
+        df = self._types[name]
+        n = matched.count()
+        remaining = df.join(
+            matched.select(*df.columns[:1]), df.columns[0], "leftanti"
+        )
+        self._types[name] = remaining
+        remaining.createOrReplaceTempView(name)
+        return n

@@ -97,3 +97,22 @@ def test_datastore_xz_join_and_extent_query(spark, sf_dir):
         & (F.col("y_lo") <= bbox[3]) & (F.col("y_hi") >= bbox[1])
     )
     assert e.count() == brute.count()
+
+
+def test_datastore_delete(spark, sf_dir):
+    from geowave_spark.api import DataStore
+    from geowave_spark.sources.testgeo import events_points
+
+    ds = DataStore(spark)
+    pts = events_points(spark, sf_dir)
+    ds.add_type("pts_del", pts)
+    total = pts.count()
+    bbox = (-60_000_000, -40_000_000, 70_000_000, 55_000_000)
+    in_box = ds.query("pts_del", bbox=bbox).count()
+    removed = ds.delete("pts_del", bbox=bbox)
+    assert removed == in_box > 0
+    assert ds.type("pts_del").count() == total - removed
+    # view refreshed for the SQL path
+    assert ds.sql("SELECT count(*) AS n FROM pts_del").first().n == total - removed
+    # deleted region now empty
+    assert ds.query("pts_del", bbox=bbox).count() == 0
