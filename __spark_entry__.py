@@ -259,6 +259,16 @@ def _q_time_bin(spark, sf):
     )
 
 
+def _q_time_bin_hour(spark, sf):
+    """HOUR periodic binning (TemporalBinningStrategy finest unit)."""
+    from geowave_spark.operators.temporal import time_bin_col
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(time_bin_col(F.col("ts"), "HOUR").alias("bin_hour")).agg(
+        F.count("*").alias("n")
+    )
+
+
 def _q_temporal_overlaps(spark, sf):
     from geowave_spark.operators.temporal import interval_end_col, time_overlaps
 
@@ -562,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "sim_pairs": _q_sim_pairs,
         "time_bin": _q_time_bin,
+        "time_bin_hour": _q_time_bin_hour,
         "temporal_overlaps": _q_temporal_overlaps,
         "text_prefix": _q_text_prefix,
         "text_suffix": _q_text_suffix,
@@ -795,6 +806,8 @@ def _oracle_sql_round2() -> dict[str, str]:
     return {
         "time_bin": "SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS bin_day, "
         "count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events GROUP BY 1",
+        "time_bin_hour": "SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24"
+        " + hour(ts) AS bin_hour, count(*) AS n FROM events GROUP BY 1",
         "temporal_overlaps": f"SELECT event_id FROM events "
         f"WHERE ts < TIMESTAMP '{TOVL_HI}' "
         f"AND ts + to_seconds(user_id) > TIMESTAMP '{TOVL_LO}'",
