@@ -111,6 +111,16 @@ def _q_polygon(spark, sf):
     return polygon_query(events_points(spark, sf), poly).select("event_id")
 
 
+def _q_polygon_disjoint(spark, sf):
+    """DISJOINT CompareOperation (SpatialQueryFilter.java:47-158):
+    negative spatial predicate = complement of the refined polygon
+    query over the same coarse+exact pipeline."""
+    poly = polygon([[x, y] for x, y in PENTA])
+    pts = events_points(spark, sf)
+    hit = polygon_query(pts, poly).select("event_id")
+    return pts.join(hit, "event_id", "leftanti").select("event_id")
+
+
 def _q_bbox_time(spark, sf):
     x0, y0, x1, y1 = BBOX
     df = bbox_query(events_points(spark, sf), x0, y0, x1, y1)
@@ -552,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox": _q_bbox,
         "bbox_loose": _q_bbox_loose,
         "polygon": _q_polygon,
+        "polygon_disjoint": _q_polygon_disjoint,
         "bbox_time": _q_bbox_time,
         "spatial_join": _q_spatial_join,
         "spatial_join_semi": _q_spatial_join_semi,
@@ -661,6 +672,8 @@ def oracle_sql() -> dict[str, str]:
         f"{int(_gcoord(BBOX[1], LOOSE_RES))} AND {int(_gcoord(BBOX[3], LOOSE_RES))}",
         "polygon": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE {_penta_halfplane_sql('x_u', 'y_u')}",
+        "polygon_disjoint": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE NOT ({_penta_halfplane_sql('x_u', 'y_u')})",
         "bbox_time": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
