@@ -177,6 +177,7 @@ class DataStore:
         polygon: Geometry | None = None,
         time: tuple | None = None,
         where: str | None = None,
+        key: str | None = None,
     ) -> int:
         """DeleteStatement (GWQL `DELETE FROM t WHERE ...`,
         core/store/.../query/gwql/statement/DeleteStatement.java):
@@ -187,13 +188,29 @@ class DataStore:
         constraint + exact refinement used by query) and the SQL view
         refreshed; writing the result back to the table location is the
         caller's `df.write` (or Iceberg `DELETE WHERE` when the catalog
-        supports it). Returns the number of rows removed."""
+        supports it). Returns the number of rows removed.
+
+        ``key`` names the unique row-key column (the dataId analog);
+        defaults to the first column. The key is validated unique over
+        the matched set — with a non-unique key the anti-join would
+        silently remove every row sharing a key value with any match,
+        and the returned count would disagree with the rows removed."""
         matched = self.query(name, bbox=bbox, polygon=polygon, time=time, where=where)
         df = self._types[name]
-        n = matched.count()
-        remaining = df.join(
-            matched.select(*df.columns[:1]), df.columns[0], "leftanti"
+        key = key or df.columns[0]
+        keys = matched.select(key).persist()
+        n_keys, n_matched = (
+            keys.agg(
+                F.count_distinct(F.col(key)).alias("d"), F.count("*").alias("n")
+            ).first()
         )
+        if n_keys != n_matched:
+            keys.unpersist()
+            raise ValueError(
+                f"delete key column {key!r} is not unique over the matched rows "
+                f"({n_matched} rows, {n_keys} distinct) — pass a unique key="
+            )
+        remaining = df.join(keys, key, "leftanti")
         self._types[name] = remaining
         remaining.createOrReplaceTempView(name)
-        return n
+        return n_matched

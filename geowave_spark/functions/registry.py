@@ -67,20 +67,12 @@ def bbox(x, y, x0: int, y0: int, x1: int, y1: int):
 def bbox_loose(x, y, x0: int, y0: int, x1: int, y1: int, res: int):
     """BBOXLOOSE — coarse-constraint-only form: the bbox widened to the
     enclosing cell boundaries at ``res`` (skips exact refinement, may
-    return extra rows near the edge — SpatialPredicates.java 'loose')."""
-    from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U
+    return extra rows near the edge — SpatialPredicates.java 'loose').
+    Delegates the widening to spatial_query.loose_bounds so the two
+    BBOXLOOSE implementations can never diverge (the bound is ceil-div;
+    WORLD_X_U is not divisible by 2^res beyond res 9)."""
+    from geowave_spark.operators.spatial_query import loose_bounds
 
-    n = 1 << res
-    span = WORLD_X_U
-
-    def widen_lo(v: int, off: int) -> int:
-        g = (v + off) * n // span
-        return g * span // n - off
-
-    def widen_hi(v: int, off: int) -> int:
-        g = (v + off) * n // span
-        return (g + 1) * span // n - off - 1
-
-    return x.between(widen_lo(x0, LON_OFF_U), widen_hi(x1, LON_OFF_U)) & y.between(
-        widen_lo(y0, LAT_OFF_U), widen_hi(y1, LAT_OFF_U)
-    )
+    bx_lo, bx_hi = loose_bounds(x0, x1, res)
+    by_lo, by_hi = loose_bounds(y0, y1, res)
+    return x.between(bx_lo, bx_hi) & y.between(by_lo, by_hi)

@@ -28,8 +28,18 @@ from pyspark.sql import functions as F
 from geowave_spark.operators.nn_join import res_for_distance
 
 
-def eps_pairs(points: DataFrame, eps_u: int, key: str = "event_id") -> DataFrame:
-    """Symmetric neighbor pairs (a_id, b_id) with 0 < dist ≤ eps."""
+def eps_pairs(
+    points: DataFrame,
+    eps_u: int,
+    key: str = "event_id",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Symmetric neighbor pairs (a_id, b_id) with 0 < dist ≤ eps.
+
+    ``broadcast_candidates=False`` falls back to a shuffled cell
+    equi-join (AQE skew-split applies) for corpora beyond broadcast
+    size — mirrors nn_self_join's flag so DBSCAN has the same
+    escape hatch instead of a guaranteed driver/executor OOM."""
     from geowave_spark import LAT_OFF_U, LON_OFF_U
     from geowave_spark.index.native import _spread_col, cell_col, grid_coord_col
 
@@ -67,7 +77,9 @@ def eps_pairs(points: DataFrame, eps_u: int, key: str = "event_id") -> DataFrame
             ]
         )
     )
-    right = F.broadcast(spread.select("b_id", "bx", "by", F.explode(cells).alias("_cell")))
+    right = spread.select("b_id", "bx", "by", F.explode(cells).alias("_cell"))
+    if broadcast_candidates:
+        right = F.broadcast(right)
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
     return (
@@ -84,10 +96,18 @@ def dbscan(
     min_pts: int,
     key: str = "event_id",
     max_iter: int = 15,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
-    """Returns (key, cluster, is_core); cluster NULL = noise."""
+    """Returns (key, cluster, is_core); cluster NULL = noise.
+
+    Label propagation uses neighbor-min spreading PLUS per-round
+    pointer jumping (lbl ← lbl of lbl), so rounds scale with
+    log(component diameter) — the large-star/small-star idea — and
+    ``max_iter`` rounds converge any component of diameter ≤ ~2^max_iter.
+    If the loop still exits unconverged, a RuntimeError is raised
+    rather than silently splitting a component into several clusters."""
     spark = points.sparkSession
-    pairs = eps_pairs(points, eps_u, key).persist()
+    pairs = eps_pairs(points, eps_u, key, broadcast_candidates).persist()
 
     deg = pairs.groupBy("a_id").agg(F.count("*").alias("_deg"))
     core = (
@@ -104,16 +124,26 @@ def dbscan(
     )
 
     labels = core.select("id", F.col("id").alias("lbl"))
+    changed = 1
     for _ in range(max_iter):
         prop = (
             cc_edges.join(labels.withColumnRenamed("id", "b_id"), "b_id")
             .groupBy("a_id")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        stepped = labels.join(prop.withColumnRenamed("a_id", "id"), "id", "left").select(
+            "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+        # pointer jump: lbl ← min(lbl, lbl(lbl)) — doubles the label
+        # horizon per round, log(diameter) total rounds
+        parent = stepped.select(
+            F.col("id").alias("_p_id"), F.col("lbl").alias("_p_lbl")
+        )
         new_labels = (
-            labels.join(prop.withColumnRenamed("a_id", "id"), "id", "left")
+            stepped.join(parent, stepped["lbl"] == parent["_p_id"], "left")
             .select(
-                "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+                "id",
+                F.least(F.col("lbl"), F.coalesce("_p_lbl", "lbl")).alias("lbl"),
             )
             .persist()
         )
@@ -126,6 +156,11 @@ def dbscan(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dbscan label propagation did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds scale with log of the largest cluster diameter)"
+        )
 
     core_lbl = labels.select(F.col("id"), F.col("lbl").alias("cluster"))
     # border points: smallest core-neighbor's cluster

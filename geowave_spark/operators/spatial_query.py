@@ -63,6 +63,33 @@ def bbox_query(
     )
 
 
+def loose_bounds(lo: int, hi: int, res: int) -> tuple[int, int]:
+    """Inclusive µdeg preimage of the grid interval
+    [grid(lo), grid(hi)] at ``res`` — exact, honoring the domain-edge
+    clamp (the first/last cell absorb everything beyond the domain).
+    The single source of truth for BBOXLOOSE widening — the SQL
+    registry's BBOXLOOSE delegates here so both implementations agree
+    (W is not divisible by 2^res beyond res 9, so the bound is
+    ceil-div, not floor-div)."""
+    from geowave_spark import LON_OFF_U, WORLD_X_U
+    from geowave_spark.index.zorder import grid_coord
+
+    n = 1 << res
+    g_lo, g_hi = int(grid_coord(lo, res)), int(grid_coord(hi, res))
+
+    def ceil_div(a: int, b: int) -> int:
+        return -((-a) // b)
+
+    # grid(x) == g  ⟺  ceil(g*W/n) ≤ x+OFF ≤ ceil((g+1)*W/n) - 1
+    b_lo = -(1 << 62) if g_lo == 0 else ceil_div(g_lo * WORLD_X_U, n) - LON_OFF_U
+    b_hi = (
+        (1 << 62)
+        if g_hi == n - 1
+        else ceil_div((g_hi + 1) * WORLD_X_U, n) - 1 - LON_OFF_U
+    )
+    return b_lo, b_hi
+
+
 def bbox_query_loose(
     points: DataFrame,
     x_lo: int,
@@ -84,36 +111,8 @@ def bbox_query_loose(
     sargable (parquet row-group / partition pruning applies), unlike a
     predicate on derived grid-coord expressions which Spark cannot push
     to the source."""
-    from geowave_spark import LON_OFF_U, WORLD_X_U
-    from geowave_spark.index.zorder import grid_coord
-
-    n = 1 << res
-
-    def bounds(lo: int, hi: int) -> tuple[int, int]:
-        """Inclusive µdeg preimage of the grid interval
-        [grid(lo), grid(hi)] — exact, honoring the domain-edge clamp
-        (the first/last cell absorb everything beyond the domain)."""
-        g_lo, g_hi = int(grid_coord(lo, res)), int(grid_coord(hi, res))
-
-        def ceil_div(a: int, b: int) -> int:
-            return -((-a) // b)
-
-        # grid(x) == g  ⟺  ceil(g*W/n) ≤ x+OFF ≤ ceil((g+1)*W/n) - 1
-        # (W is not divisible by 2^res beyond res 9, so ceil, not floor)
-        b_lo = (
-            -(1 << 62)
-            if g_lo == 0
-            else ceil_div(g_lo * WORLD_X_U, n) - LON_OFF_U
-        )
-        b_hi = (
-            (1 << 62)
-            if g_hi == n - 1
-            else ceil_div((g_hi + 1) * WORLD_X_U, n) - 1 - LON_OFF_U
-        )
-        return b_lo, b_hi
-
-    bx_lo, bx_hi = bounds(int(x_lo), int(x_hi))
-    by_lo, by_hi = bounds(int(y_lo), int(y_hi))
+    bx_lo, bx_hi = loose_bounds(int(x_lo), int(x_hi), res)
+    by_lo, by_hi = loose_bounds(int(y_lo), int(y_hi), res)
     return points.where(
         F.col(x_col).between(bx_lo, bx_hi) & F.col(y_col).between(by_lo, by_hi)
     )

@@ -172,6 +172,7 @@ def tile_cut_and_merge(
     half_span_u: int,
     tile_size: int = TILE_SIZE,
     level: int | None = None,
+    ensure_contiguous: bool = False,
 ) -> DataFrame:
     """Full raster ingest: assign → cut pixel tiles → merge collisions
     per tile with no-data-first-wins (NoDataMergeStrategy semantics).
@@ -198,11 +199,25 @@ def tile_cut_and_merge(
     arrive id-ordered within a partition/batch), so every partial
     covers a disjoint id interval and folding partials by their min id
     reproduces the exact sequential merge — bit-identical to the
-    single-phase result."""
+    single-phase result.
+
+    The id-contiguity precondition is VALIDATED, not assumed: each
+    partial carries its (min_id, max_id) interval and phase 2 raises if
+    two partials of the same tile have overlapping intervals (a caller
+    passed a shuffled/re-read image table). ``ensure_contiguous=True``
+    restores the invariant up front with an explicit
+    ``repartitionByRange(image_id)`` + in-partition sort — one extra
+    shuffle of the raw image rows, so it is opt-in; the default path
+    stays shuffle-free for id-ordered sources (spark.range,
+    id-sorted parquet)."""
     if level is None:
         w0 = images.select(F.first("w")).first()[0]
         level = pick_level(2 * half_span_u, int(w0), tile_size)
     lvl = int(level)
+    if ensure_contiguous:
+        images = images.repartitionByRange("image_id").sortWithinPartitions(
+            "image_id"
+        )
     # carry the payload through the explode — narrow op, no join, keeps
     # the source's id-range partitioning (required by the phase split)
     assigned = images.select(
@@ -248,14 +263,22 @@ def tile_cut_and_merge(
                     )
                     acc = np.where(acc == NO_DATA, t, acc)
                 out.append(
-                    (int(tx), int(ty), str(g["image_id"].iloc[0]), len(g), acc.tobytes())
+                    (
+                        int(tx),
+                        int(ty),
+                        str(g["image_id"].iloc[0]),
+                        str(g["image_id"].iloc[-1]),
+                        len(g),
+                        acc.tobytes(),
+                    )
                 )
             yield pd.DataFrame(
-                out, columns=["tx", "ty", "min_id", "n_part", "ptile"]
+                out, columns=["tx", "ty", "min_id", "max_id", "n_part", "ptile"]
             )
 
     partials = pairs.mapInPandas(
-        cut_partial, "tx long, ty long, min_id string, n_part int, ptile binary"
+        cut_partial,
+        "tx long, ty long, min_id string, max_id string, n_part int, ptile binary",
     )
     arranged = partials.repartition("tx", "ty").sortWithinPartitions(
         "tx", "ty", "min_id"
@@ -266,7 +289,20 @@ def tile_cut_and_merge(
         for (tx, ty), g in pdf.groupby(["tx", "ty"], sort=False):
             acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
             total = 0
+            prev_max = None
             for row in g.itertuples(index=False):
+                # disjointness guard: fold-by-min_id only reproduces
+                # the sequential first-writer-wins order when partials
+                # cover disjoint id intervals (id-contiguous input
+                # partitions); a shuffled caller table breaks this
+                if prev_max is not None and row.min_id <= prev_max:
+                    raise RuntimeError(
+                        "tile_cut_and_merge: overlapping partial id "
+                        f"intervals on tile ({tx}, {ty}) — the image "
+                        "table is not partitioned in contiguous "
+                        "image_id ranges; pass ensure_contiguous=True"
+                    )
+                prev_max = row.max_id
                 t = np.frombuffer(row.ptile, dtype=np.uint8).reshape(
                     tile_size, tile_size
                 )

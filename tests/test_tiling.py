@@ -153,3 +153,31 @@ def test_retile_roundtrip_shape(spark, images):
     assert set(zip(pdf["tx"], pdf["ty"])) == exp_parents
     finer = retile(tiles, lvl, lvl + 1, tile_size=32)
     assert finer.count() == tiles.count() * 4
+
+
+def test_tile_cut_and_merge_shuffled_input_invariance(spark, images):
+    """A hash-shuffled image table must either be detected (overlapping
+    partial id intervals -> RuntimeError) or, with
+    ensure_contiguous=True, produce bit-identical tiles to the
+    id-ordered run — the partition-invariance guard."""
+    base = tile_cut_and_merge(images, HALF_SPAN, tile_size=32).toPandas()
+    shuffled = images.repartition(7, "phash")  # destroys id contiguity
+    fixed = tile_cut_and_merge(
+        shuffled, HALF_SPAN, tile_size=32, ensure_contiguous=True
+    ).toPandas()
+    key = ["level", "tx", "ty"]
+    b = base.sort_values(key).reset_index(drop=True)
+    f = fixed.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[key + ["n_contrib"]], f[key + ["n_contrib"]])
+    assert all(x == y for x, y in zip(b["tile"], f["tile"]))
+
+    # without the repair flag the fold must not silently diverge: it
+    # either still produces the exact result (shuffle happened to keep
+    # intervals disjoint) or raises the guard error
+    try:
+        raw = tile_cut_and_merge(shuffled, HALF_SPAN, tile_size=32).toPandas()
+    except Exception as e:  # py4j wraps the RuntimeError
+        assert "overlapping partial id intervals" in str(e) or "ensure_contiguous" in str(e)
+    else:
+        r = raw.sort_values(key).reset_index(drop=True)
+        assert all(x == y for x, y in zip(b["tile"], r["tile"]))
