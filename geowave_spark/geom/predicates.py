@@ -185,78 +185,37 @@ def disjoint(a: Geometry, b: Geometry) -> bool:
     return not intersects(a, b)
 
 
-def contains(a: Geometry, b: Geometry) -> bool:
-    """a contains b (JTS covers-like for our test shapes: all vertices of
-    b inside-or-on a, and b's edges never cross a's boundary properly)."""
-    if not _areal(a):
-        return False
-    vb = _vertices(b)
-    if not points_in_polygon(vb[:, 0], vb[:, 1], a).all():
-        return False
-    # b's interior must stay inside: check midpoints of b's edges too
-    for cb in _chains(b):
-        mid = (cb[:-1] + cb[1:]) / 2.0
-        if len(mid) and not points_in_polygon(mid[:, 0], mid[:, 1], a).all():
-            return False
-    return True
+def _lineal(g: Geometry) -> bool:
+    return g.gtype == "LineString"
 
 
-def within(a: Geometry, b: Geometry) -> bool:
-    return contains(b, a)
-
-
-def equals(a: Geometry, b: Geometry) -> bool:
-    if _areal(a) and _areal(b):
-        return contains(a, b) and contains(b, a)
-    va, vb = _vertices(a), _vertices(b)
-    if va.shape != vb.shape:
-        return False
-    return bool(np.array_equal(np.sort(va, axis=0), np.sort(vb, axis=0)))
-
-
-def touches(a: Geometry, b: Geometry) -> bool:
-    """Boundary contact with disjoint interiors (pragmatic version)."""
-    if not intersects(a, b):
-        return False
-    if a.gtype in ("Point", "MultiPoint"):
-        if _areal(b):
-            xs, ys = a.parts[0][:, 0], a.parts[0][:, 1]
-            on_b = np.zeros(len(xs), dtype=bool)
-            for rings in b.polygons():
-                for ring in rings:
-                    on_b |= _points_on_ring(xs, ys, ring)
-            inside = points_in_polygon(xs, ys, b, include_boundary=False)
-            return bool(on_b.any()) and not bool(inside.any())
-        return False
-    if b.gtype in ("Point", "MultiPoint"):
-        return touches(b, a)
-    if _areal(a) and _areal(b):
-        va, vb = _vertices(a), _vertices(b)
-        a_in_b = points_in_polygon(va[:, 0], va[:, 1], b, include_boundary=False)
-        b_in_a = points_in_polygon(vb[:, 0], vb[:, 1], a, include_boundary=False)
-        return not bool(a_in_b.any()) and not bool(b_in_a.any())
-    return False
+def _pointal(g: Geometry) -> bool:
+    return g.gtype in ("Point", "MultiPoint")
 
 
 def _line_sample_points(line: np.ndarray, g: Geometry) -> np.ndarray:
-    """Sample points along a chain: midpoints of the pieces cut by g's
-    edges (parametric clipping), so in/out classification is exact even
-    when both endpoints are outside."""
+    """Sample points along a chain: the chain's vertices plus midpoints
+    of the pieces cut by g's edges (parametric clipping), so in/out/on
+    classification against g is exact even when a whole piece lies
+    between two consecutive vertices — the machinery behind JTS-exact
+    containment for concave polygons (an edge of b that exits and
+    re-enters a between vertices always produces an outside piece whose
+    midpoint is sampled)."""
     samples = [line]
+    chains = _chains(g)
     for seg_i in range(len(line) - 1):
         p, q = line[seg_i], line[seg_i + 1]
         ts = [0.0, 1.0]
         d = q - p
-        for rings in g.polygons():
-            for ring in rings:
-                e1, e2 = ring[:-1], ring[1:]
-                ed = e2 - e1
-                denom = d[0] * ed[:, 1] - d[1] * ed[:, 0]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    t = ((e1[:, 0] - p[0]) * ed[:, 1] - (e1[:, 1] - p[1]) * ed[:, 0]) / denom
-                    u = ((e1[:, 0] - p[0]) * d[1] - (e1[:, 1] - p[1]) * d[0]) / denom
-                ok = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-                ts.extend(t[ok].tolist())
+        for ring in chains:
+            e1, e2 = ring[:-1], ring[1:]
+            ed = e2 - e1
+            denom = d[0] * ed[:, 1] - d[1] * ed[:, 0]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((e1[:, 0] - p[0]) * ed[:, 1] - (e1[:, 1] - p[1]) * ed[:, 0]) / denom
+                u = ((e1[:, 0] - p[0]) * d[1] - (e1[:, 1] - p[1]) * d[0]) / denom
+            ok = (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            ts.extend(t[ok].tolist())
         ts = sorted(set(ts))
         mids = [(ts[i] + ts[i + 1]) / 2 for i in range(len(ts) - 1)]
         if mids:
@@ -264,32 +223,302 @@ def _line_sample_points(line: np.ndarray, g: Geometry) -> np.ndarray:
     return np.vstack(samples)
 
 
+def _on_chains(xs, ys, g: Geometry) -> np.ndarray:
+    """Points exactly on g's boundary (areal) / on g's lines (lineal)."""
+    out = np.zeros(len(xs), dtype=bool)
+    for chain in _chains(g):
+        out |= _points_on_ring(xs, ys, chain)
+    return out
+
+
+def _sample_points_of(b: Geometry, against: Geometry) -> np.ndarray:
+    """All classification sample points of b vs ``against``: vertices
+    plus cut-piece midpoints of every chain."""
+    if _pointal(b):
+        return b.parts[0]
+    return np.vstack([_line_sample_points(c, against) for c in _chains(b)])
+
+
+def covers(a: Geometry, b: Geometry) -> bool:
+    """JTS covers: b ⊆ closure(a) — boundary-inclusive containment
+    (SpatialQueryFilter CompareOperation semantics; contrast contains,
+    which additionally requires an interior∩interior point)."""
+    if bounds_disjoint(a, b):
+        return False
+    if _areal(a):
+        pts = _sample_points_of(b, a)
+        if not bool(points_in_polygon(pts[:, 0], pts[:, 1], a).all()):
+            return False
+        if _areal(b):
+            # a hole of a (or the gap between multipolygon members)
+            # lying wholly inside b's interior leaves b's own boundary
+            # samples untouched — but then a's boundary passes strictly
+            # through b's interior, which contradicts b ⊆ closure(a)
+            return not _interior_sample_hit(b, a)
+        return True
+    if _lineal(a):
+        if _areal(b):
+            return False  # 1-dim cannot cover 2-dim
+        pts = _sample_points_of(b, a)
+        return bool(_on_chains(pts[:, 0], pts[:, 1], a).all())
+    # a point/multipoint: every point of b must coincide with a point of a
+    if not _pointal(b):
+        return False
+    pa, pb = a.parts[0], b.parts[0]
+    eq = (pb[:, None, 0] == pa[None, :, 0]) & (pb[:, None, 1] == pa[None, :, 1])
+    return bool(eq.any(axis=1).all())
+
+
+def _line_endpoints(g: Geometry) -> np.ndarray:
+    """Boundary of a linestring = its two global endpoints (JTS mod-2)."""
+    c = g.parts[0]
+    return np.vstack([c[0], c[-1]])
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    """JTS contains: covers(a, b) AND the interiors intersect — a point
+    or line lying wholly on a's boundary is covered but NOT contained
+    (the divergence called out in GeoWaveSparkSQLIT.java:100-150, where
+    contains must equal within flipped)."""
+    if not covers(a, b):
+        return False
+    if _areal(a):
+        if _areal(b):
+            # a covered areal b has nonempty interior inside closure(a);
+            # an open set cannot fit inside the measure-zero boundary
+            return True
+        pts = _sample_points_of(b, a)
+        return bool(
+            points_in_polygon(pts[:, 0], pts[:, 1], a, include_boundary=False).any()
+        )
+    if _lineal(a):
+        if _lineal(b):
+            return True  # positive-length b inside a always meets a's interior
+        # point b: must avoid a's boundary (the two global endpoints)
+        ends = _line_endpoints(a)
+        pb = b.parts[0]
+        on_end = (pb[:, None, 0] == ends[None, :, 0]) & (
+            pb[:, None, 1] == ends[None, :, 1]
+        )
+        return not bool(on_end.any())
+    return True  # point covers point: interiors (the points) intersect
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    return contains(b, a)
+
+
+def covered_by(a: Geometry, b: Geometry) -> bool:
+    return covers(b, a)
+
+
+def equals(a: Geometry, b: Geometry) -> bool:
+    """Topological equality: mutual covers (JTS equalsTopo)."""
+    return covers(a, b) and covers(b, a)
+
+
+def _proper_crossing_any(a: Geometry, b: Geometry) -> bool:
+    """Any strictly-proper segment crossing between chains of a and b
+    (d-products strictly negative on both sides ⇒ an interior point of
+    both edges, hence interior overlap for areal operands)."""
+    for ca in _chains(a):
+        for cb in _chains(b):
+            a1, a2 = ca[:-1], ca[1:]
+            b1, b2 = cb[:-1], cb[1:]
+            ax1, ay1 = a1[:, 0][:, None], a1[:, 1][:, None]
+            ax2, ay2 = a2[:, 0][:, None], a2[:, 1][:, None]
+            bx1, by1 = b1[:, 0][None, :], b1[:, 1][None, :]
+            bx2, by2 = b2[:, 0][None, :], b2[:, 1][None, :]
+            d1 = _orient(ax1, ay1, ax2, ay2, bx1, by1)
+            d2 = _orient(ax1, ay1, ax2, ay2, bx2, by2)
+            d3 = _orient(bx1, by1, bx2, by2, ax1, ay1)
+            d4 = _orient(bx1, by1, bx2, by2, ax2, ay2)
+            if bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any()):
+                return True
+    return False
+
+
+def _interior_sample_hit(a: Geometry, b: Geometry) -> bool:
+    """Some sample point of b lies strictly inside areal a."""
+    pts = _sample_points_of(b, a)
+    return bool(
+        points_in_polygon(pts[:, 0], pts[:, 1], a, include_boundary=False).any()
+    )
+
+
+def _collinear_overlap_any(ca: np.ndarray, cb: np.ndarray) -> bool:
+    """Positive-length collinear overlap between any segment pair of two
+    chains (a 1-dimensional line∩line intersection)."""
+    for i in range(len(ca) - 1):
+        p, q = ca[i], ca[i + 1]
+        d = q - p
+        for j in range(len(cb) - 1):
+            r, s = cb[j], cb[j + 1]
+            if _orient(p[0], p[1], q[0], q[1], r[0], r[1]) != 0:
+                continue
+            if _orient(p[0], p[1], q[0], q[1], s[0], s[1]) != 0:
+                continue
+            # collinear: project on the dominant axis of d
+            ax = 0 if abs(d[0]) >= abs(d[1]) else 1
+            lo_a, hi_a = sorted((p[ax], q[ax]))
+            lo_b, hi_b = sorted((r[ax], s[ax]))
+            if min(hi_a, hi_b) > max(lo_a, lo_b):
+                return True
+    return False
+
+
+def touches(a: Geometry, b: Geometry) -> bool:
+    """JTS touches: a and b intersect but their interiors do not."""
+    if not intersects(a, b):
+        return False
+    if _pointal(a):
+        xs, ys = a.parts[0][:, 0], a.parts[0][:, 1]
+        if _areal(b):
+            inside = points_in_polygon(xs, ys, b, include_boundary=False)
+            return not bool(inside.any())
+        if _lineal(b):
+            # point interiors are the points; must sit on b's boundary
+            # (endpoints) only
+            ends = _line_endpoints(b)
+            on_end = (xs[:, None] == ends[None, :, 0]) & (ys[:, None] == ends[None, :, 1])
+            on_b = _on_chains(xs, ys, b)
+            return bool((~on_b | on_end.any(axis=1)).all()) and bool(on_b.any())
+        return False  # point/point contact is interior-interior
+    if _pointal(b):
+        return touches(b, a)
+    if _areal(a) and _areal(b):
+        # coincident boundaries (b ≡ a, or b covered with all contact on
+        # the shared boundary) have intersecting interiors despite no
+        # strictly-inside boundary sample — covers screens those out
+        return (
+            not _proper_crossing_any(a, b)
+            and not _interior_sample_hit(a, b)
+            and not _interior_sample_hit(b, a)
+            and not covers(a, b)
+            and not covers(b, a)
+        )
+    if _areal(a) and _lineal(b):
+        return not _interior_sample_hit(a, b)
+    if _lineal(a) and _areal(b):
+        return not _interior_sample_hit(b, a)
+    # line × line: interiors disjoint ⟺ no 1-dim overlap and every
+    # contact point is a global endpoint of a or of b
+    ca, cb = a.parts[0], b.parts[0]
+    if _collinear_overlap_any(ca, cb):
+        return False
+    if _proper_crossing_any(a, b):
+        # proper crossing could still be at a global endpoint only if
+        # that endpoint were interior to both edges — impossible for
+        # the strictly-proper test unless chains self-pass; treat as
+        # interior contact
+        return False
+    return not _any_nonendpoint_contact(a, b)
+
+
+def _any_nonendpoint_contact(a: Geometry, b: Geometry) -> bool:
+    """Line×line: some contact point interior to BOTH linestrings
+    (i.e. not a global endpoint of either)."""
+    ca, cb = a.parts[0], b.parts[0]
+    ends_a = _line_endpoints(a)
+    ends_b = _line_endpoints(b)
+    for i in range(len(ca) - 1):
+        p, q = ca[i], ca[i + 1]
+        for j in range(len(cb) - 1):
+            r, s = cb[j], cb[j + 1]
+            pt = _seg_contact_point(p, q, r, s)
+            if pt is None:
+                continue
+            is_end = any(
+                pt[0] == e[0] and pt[1] == e[1] for e in (*ends_a, *ends_b)
+            )
+            if not is_end:
+                return True
+    return False
+
+
+def _seg_contact_point(p, q, r, s):
+    """A representative intersection point of segments pq and rs, or
+    None (collinear overlaps return an overlap point)."""
+    d = q - p
+    e = s - r
+    denom = d[0] * e[1] - d[1] * e[0]
+    if denom != 0:
+        t = ((r[0] - p[0]) * e[1] - (r[1] - p[1]) * e[0]) / denom
+        u = ((r[0] - p[0]) * d[1] - (r[1] - p[1]) * d[0]) / denom
+        if 0 <= t <= 1 and 0 <= u <= 1:
+            return p + t * d
+        return None
+    # parallel: check collinear with bbox overlap
+    if _orient(p[0], p[1], q[0], q[1], r[0], r[1]) != 0:
+        return None
+    ax = 0 if abs(d[0]) >= abs(d[1]) else 1
+    lo_a, hi_a = sorted((p[ax], q[ax]))
+    lo_b, hi_b = sorted((r[ax], s[ax]))
+    lo, hi = max(lo_a, lo_b), min(hi_a, hi_b)
+    if lo > hi:
+        return None
+    cand = [r, s, p, q]
+    for c in cand:
+        if lo <= c[ax] <= hi:
+            return c
+    return None
+
+
 def crosses(a: Geometry, b: Geometry) -> bool:
-    """Lineal × areal crossing (interior intersection both in and out)."""
+    """JTS crosses: interiors intersect and the intersection has lower
+    dimension than the higher-dimensional operand (lineal×areal: the
+    line passes through the interior AND the exterior; line×line:
+    0-dimensional interior contact)."""
     if a.gtype == "LineString" and _areal(b):
-        pts = _line_sample_points(a.parts[0], b)
+        pts = _sample_points_of(a, b)
         inside = points_in_polygon(pts[:, 0], pts[:, 1], b, include_boundary=False)
-        on_b = np.zeros(len(pts), dtype=bool)
-        for rings in b.polygons():
-            for ring in rings:
-                on_b |= _points_on_ring(pts[:, 0], pts[:, 1], ring)
+        on_b = _on_chains(pts[:, 0], pts[:, 1], b)
         outside = ~inside & ~on_b
         return bool(inside.any()) and bool(outside.any())
     if b.gtype == "LineString" and _areal(a):
         return crosses(b, a)
     if a.gtype == "LineString" and b.gtype == "LineString":
-        return segments_intersect_any(a.parts[0], b.parts[0]) and not equals(a, b)
+        if _collinear_overlap_any(a.parts[0], b.parts[0]):
+            return False  # 1-dim intersection ⇒ overlaps/contains, not crosses
+        return _any_nonendpoint_contact(a, b)
+    if _pointal(a) and not _pointal(b):
+        # multipoint × line/area: some point interior, some point outside
+        xs, ys = a.parts[0][:, 0], a.parts[0][:, 1]
+        if _areal(b):
+            inside = points_in_polygon(xs, ys, b, include_boundary=False)
+            on_b = _on_chains(xs, ys, b)
+            return bool(inside.any()) and bool((~inside & ~on_b).any())
+        on_b = _on_chains(xs, ys, b)
+        return bool(on_b.any()) and bool((~on_b).any()) and len(xs) > 1
+    if _pointal(b) and not _pointal(a):
+        return crosses(b, a)
     return False
 
 
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    """Same-dimension partial overlap."""
+    """JTS overlaps: same-dimension operands whose interiors intersect,
+    the intersection has that same dimension, and neither covers the
+    other."""
     if _areal(a) and _areal(b):
+        if covers(a, b) or covers(b, a) or not intersects(a, b):
+            return False
         return (
-            intersects(a, b)
-            and not contains(a, b)
-            and not contains(b, a)
-            and not touches(a, b)
+            _proper_crossing_any(a, b)
+            or _interior_sample_hit(a, b)
+            or _interior_sample_hit(b, a)
+        )
+    if _lineal(a) and _lineal(b):
+        if covers(a, b) or covers(b, a):
+            return False
+        return _collinear_overlap_any(a.parts[0], b.parts[0])
+    if _pointal(a) and _pointal(b):
+        pa, pb = a.parts[0], b.parts[0]
+        eq = (pa[:, None, 0] == pb[None, :, 0]) & (pa[:, None, 1] == pb[None, :, 1])
+        shared = eq.any(axis=1)
+        return (
+            bool(shared.any())
+            and not bool(shared.all())
+            and not bool(eq.any(axis=0).all())
         )
     return False
 
@@ -339,11 +568,95 @@ def dwithin(a: Geometry, b: Geometry, r: float) -> bool:
     return distance(a, b) <= r
 
 
+# ----------------------------------------- vectorized point-batch kernels
+# One geometry × many points, evaluated as numpy array ops — the fast
+# path the Geom* SQL UDFs take when one join side is points (the common
+# shape: an exploded/broadcast geometry against a point table). These
+# replace a per-row Python loop with O(#chains) numpy passes per batch.
+
+
+def points_on_boundary(xs, ys, g: Geometry) -> np.ndarray:
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    return _on_chains(xs, ys, g)
+
+
+def points_pred_batch(pred: str, g: Geometry, xs, ys) -> np.ndarray:
+    """Evaluate ``pred(g, point_i)`` for a batch of points — vectorized.
+    ``pred`` names the first argument's role: e.g. 'contains' means
+    "g contains point", 'within' means "point within g"."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if _areal(g):
+        if pred in ("intersects", "covers", "covered_by"):
+            return points_in_polygon(xs, ys, g, include_boundary=True)
+        if pred == "disjoint":
+            return ~points_in_polygon(xs, ys, g, include_boundary=True)
+        if pred in ("contains", "within"):
+            return points_in_polygon(xs, ys, g, include_boundary=False)
+        if pred == "touches":
+            return points_on_boundary(xs, ys, g)
+        if pred in ("crosses", "overlaps", "equals"):
+            return np.zeros(len(xs), dtype=bool)
+    if _lineal(g):
+        on = points_on_boundary(xs, ys, g)
+        if pred in ("intersects", "covers", "covered_by"):
+            return on
+        if pred == "disjoint":
+            return ~on
+        if pred in ("contains", "within"):
+            ends = _line_endpoints(g)
+            at_end = ((xs[:, None] == ends[None, :, 0]) & (ys[:, None] == ends[None, :, 1])).any(axis=1)
+            return on & ~at_end
+        if pred == "touches":
+            ends = _line_endpoints(g)
+            at_end = ((xs[:, None] == ends[None, :, 0]) & (ys[:, None] == ends[None, :, 1])).any(axis=1)
+            return on & at_end
+        if pred in ("crosses", "overlaps", "equals"):
+            return np.zeros(len(xs), dtype=bool)
+    if _pointal(g):
+        pa = g.parts[0]
+        same = ((xs[:, None] == pa[None, :, 0]) & (ys[:, None] == pa[None, :, 1])).any(axis=1)
+        if pred in ("intersects", "covers", "covered_by", "contains", "within", "equals"):
+            if pred == "equals" and len(pa) != 1:
+                return np.zeros(len(xs), dtype=bool)
+            if pred in ("covers", "contains") and len(pa) != 1:
+                return same  # any member point matches
+            return same
+        if pred == "disjoint":
+            return ~same
+        return np.zeros(len(xs), dtype=bool)
+    raise ValueError(pred)
+
+
+def points_distance_to_geom(xs, ys, g: Geometry) -> np.ndarray:
+    """Planar distance from a batch of points to one geometry —
+    vectorized over the (points × segments) grid; 0 inside areal g."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    best = np.full(len(xs), np.inf)
+    for part in g.parts:
+        if len(part) > 1:
+            d2 = _point_seg_dist2(
+                xs, ys, part[:-1, 0], part[:-1, 1], part[1:, 0], part[1:, 1]
+            )
+            best = np.minimum(best, d2.min(axis=1))
+        else:
+            d2 = (xs - part[0, 0]) ** 2 + (ys - part[0, 1]) ** 2
+            best = np.minimum(best, d2)
+    out = np.sqrt(best)
+    if _areal(g):
+        out[points_in_polygon(xs, ys, g)] = 0.0
+    return out
+
+
 PREDICATES = {
     "intersects": intersects,
     "disjoint": disjoint,
     "contains": contains,
+    "covers": covers,
     "within": within,
+    "covered_by": covered_by,
     "touches": touches,
     "crosses": crosses,
     "overlaps": overlaps,

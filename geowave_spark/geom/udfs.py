@@ -6,14 +6,32 @@ GeomFunctionRegistry.java): GeomContains, GeomCovers, GeomCrosses,
 GeomDisjoint, GeomEquals, GeomIntersects, GeomOverlaps, GeomTouches,
 GeomWithin, GeomWithinDistance, GeomDistance, GeomFromWKT — each an
 Arrow-batched pandas UDF over WKB binary columns (the reference's are
-row-at-a-time JTS UDF2s; these are vectorized per batch).
+row-at-a-time JTS UDF2s).
+
+Execution shape per Arrow batch — NO per-row Python statement in the
+common case:
+
+1. each distinct WKB value is parsed ONCE per batch through a
+   worker-lifetime cache (repeated geometries — broadcast literals,
+   join-duplicated build rows — parse zero times after warmup);
+2. rows are grouped by the side with fewer distinct geometries; when
+   the varying side of a group is all WKB points (the dominant shape:
+   a geometry column probed by a point table), the whole group is
+   evaluated as ONE vectorized numpy kernel
+   (predicates.points_pred_batch / points_distance_to_geom) —
+   coordinates are lifted out of the WKB buffers with a single
+   frombuffer, no loop;
+3. only genuinely general geometry×geometry pairs fall back to the
+   per-pair exact predicates, still with cached parsing.
 
 Keep these out of hot paths when a native expression exists (bbox
 refinement, point-in-polygon over coordinate columns) — they are the
-general-geometry fallback.
+general-geometry surface.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -22,16 +40,119 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, DoubleType, BinaryType
 
 from geowave_spark.geom import predicates as P
-from geowave_spark.geom.wkb import linestring, point, polygon, wkb_dumps, wkb_loads
+from geowave_spark.geom.predicates import (
+    points_distance_to_geom,
+    points_pred_batch,
+)
+from geowave_spark.geom.wkb import (
+    Geometry,
+    linestring,
+    point,
+    polygon,
+    wkb_dumps,
+    wkb_loads,
+)
+
+# ------------------------------------------------------------ parse cache
+
+_GEOM_CACHE: dict[bytes, Geometry] = {}
+_GEOM_CACHE_CAP = 4096
 
 
-def _pair_pred(fn):
+def parse_cached(b: bytes) -> Geometry:
+    """Worker-lifetime WKB→Geometry cache — the per-batch analog of the
+    reference's 500-entry decomposition LRU (HilbertSFC.java:97-100)."""
+    g = _GEOM_CACHE.get(b)
+    if g is None:
+        if len(_GEOM_CACHE) >= _GEOM_CACHE_CAP:
+            _GEOM_CACHE.clear()
+        g = wkb_loads(b)
+        _GEOM_CACHE[b] = g
+    return g
+
+
+_POINT_HEADER = b"\x01\x01\x00\x00\x00"
+
+
+def _extract_point_arrays(vals: np.ndarray, idx: np.ndarray):
+    """If every WKB at ``idx`` is a 2D point, return (xs, ys) float64
+    arrays decoded with one frombuffer over the concatenated buffers;
+    else None."""
+    bufs = []
+    for i in idx:
+        b = vals[i]
+        if b is None or len(b) != 21 or bytes(b[:5]) != _POINT_HEADER:
+            return None
+        bufs.append(bytes(b[5:]))
+    flat = np.frombuffer(b"".join(bufs), dtype="<f8")
+    return flat[0::2].copy(), flat[1::2].copy()
+
+
+_SYMMETRIC = {"intersects", "disjoint", "touches", "equals"}
+
+
+def _point_group_eval(
+    name: str, g: Geometry, xs: np.ndarray, ys: np.ndarray, point_first: bool
+) -> np.ndarray:
+    """pred(point_i, g) if point_first else pred(g, point_i), vectorized."""
+    if name in _SYMMETRIC:
+        return points_pred_batch(name, g, xs, ys)
+    if name in ("crosses", "overlaps"):
+        # a single point can neither cross nor overlap anything
+        return np.zeros(len(xs), dtype=bool)
+    if point_first:
+        if name == "within":
+            return points_pred_batch("within", g, xs, ys)
+        if name == "covered_by":
+            return points_pred_batch("covered_by", g, xs, ys)
+        if name in ("contains", "covers"):
+            if g.gtype == "Point":
+                return points_pred_batch("equals", g, xs, ys)
+            return np.zeros(len(xs), dtype=bool)
+    else:
+        if name == "contains":
+            return points_pred_batch("contains", g, xs, ys)
+        if name == "covers":
+            return points_pred_batch("covers", g, xs, ys)
+        if name in ("within", "covered_by"):
+            if g.gtype == "Point":
+                return points_pred_batch("equals", g, xs, ys)
+            return np.zeros(len(xs), dtype=bool)
+    raise ValueError(name)
+
+
+def _grouped(a: pd.Series, b: pd.Series):
+    """Yield (g, idx, varying_vals, point_first) groups, grouping on the
+    side with fewer distinct WKB values."""
+    av, bv = a.to_numpy(), b.to_numpy()
+    codes_a, uniq_a = pd.factorize(a)
+    codes_b, uniq_b = pd.factorize(b)
+    if len(uniq_b) <= len(uniq_a):
+        codes, uniq, varying, point_first = codes_b, uniq_b, av, True
+    else:
+        codes, uniq, varying, point_first = codes_a, uniq_a, bv, False
+    order = np.argsort(codes, kind="stable")
+    bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+    for u_i in range(len(uniq)):
+        idx = order[bounds[u_i] : bounds[u_i + 1]]
+        if not len(idx):
+            continue
+        yield parse_cached(bytes(uniq[u_i])), idx, varying, point_first
+
+
+def pair_pred_batch(name: str, fn) -> "pd.Series":
+    """Vectorized pairwise predicate over two WKB Series."""
+
     def run(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.zeros(len(a), dtype=bool)
-        for i in range(len(a)):
-            ga = wkb_loads(bytes(a.iloc[i]))
-            gb = wkb_loads(bytes(b.iloc[i]))
-            out[i] = fn(ga, gb)
+        for g, idx, varying, point_first in _grouped(a, b):
+            pts = _extract_point_arrays(varying, idx)
+            if pts is not None:
+                out[idx] = _point_group_eval(name, g, pts[0], pts[1], point_first)
+            else:
+                for i in idx:
+                    other = parse_cached(bytes(varying[i]))
+                    out[i] = fn(other, g) if point_first else fn(g, other)
         return pd.Series(out)
 
     return run
@@ -73,38 +194,45 @@ def geom_from_wkt(wkt: str) -> bytes:
 
 def register_geom_functions(spark: SparkSession) -> None:
     """Register the Geom* SQL functions on a session."""
-    for name, fn in [
-        ("GeomIntersects", P.intersects),
-        ("GeomDisjoint", P.disjoint),
-        ("GeomContains", P.contains),
-        ("GeomCovers", P.contains),  # covers ≡ contains under our boundary rules
-        ("GeomWithin", P.within),
-        ("GeomTouches", P.touches),
-        ("GeomCrosses", P.crosses),
-        ("GeomOverlaps", P.overlaps),
-        ("GeomEquals", P.equals),
+    for name, key, fn in [
+        ("GeomIntersects", "intersects", P.intersects),
+        ("GeomDisjoint", "disjoint", P.disjoint),
+        ("GeomContains", "contains", P.contains),
+        ("GeomCovers", "covers", P.covers),  # JTS: boundary-inclusive
+        ("GeomWithin", "within", P.within),
+        ("GeomTouches", "touches", P.touches),
+        ("GeomCrosses", "crosses", P.crosses),
+        ("GeomOverlaps", "overlaps", P.overlaps),
+        ("GeomEquals", "equals", P.equals),
     ]:
-        spark.udf.register(name, F.pandas_udf(_pair_pred(fn), BooleanType()))
+        spark.udf.register(name, F.pandas_udf(pair_pred_batch(key, fn), BooleanType()))
 
     def dist(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                P.distance(wkb_loads(bytes(a.iloc[i])), wkb_loads(bytes(b.iloc[i])))
-                for i in range(len(a))
-            ]
-        )
+        out = np.zeros(len(a), dtype=np.float64)
+        for g, idx, varying, _pf in _grouped(a, b):
+            pts = _extract_point_arrays(varying, idx)
+            if pts is not None:
+                out[idx] = points_distance_to_geom(pts[0], pts[1], g)
+            else:
+                for i in idx:
+                    out[i] = P.distance(parse_cached(bytes(varying[i])), g)
+        return pd.Series(out)
 
     spark.udf.register("GeomDistance", F.pandas_udf(dist, DoubleType()))
 
     def within_distance(a: pd.Series, b: pd.Series, r: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                P.dwithin(
-                    wkb_loads(bytes(a.iloc[i])), wkb_loads(bytes(b.iloc[i])), float(r.iloc[i])
-                )
-                for i in range(len(a))
-            ]
-        )
+        rv = r.to_numpy(dtype=np.float64)
+        out = np.zeros(len(a), dtype=bool)
+        for g, idx, varying, _pf in _grouped(a, b):
+            pts = _extract_point_arrays(varying, idx)
+            if pts is not None:
+                out[idx] = points_distance_to_geom(pts[0], pts[1], g) <= rv[idx]
+            else:
+                for i in idx:
+                    out[i] = (
+                        P.distance(parse_cached(bytes(varying[i])), g) <= rv[i]
+                    )
+        return pd.Series(out)
 
     spark.udf.register("GeomWithinDistance", F.pandas_udf(within_distance, BooleanType()))
 
