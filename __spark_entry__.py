@@ -65,14 +65,18 @@ SIM_K = 5
 SIM_PAIR_T = 450  # dot*1000 threshold for the all-pairs similarity query
 
 
-def _penta_halfplane_sql(x: str, y: str) -> str:
-    """CCW convex polygon containment as AND of integer cross products."""
+def _penta_halfplane_sql(x: str, y: str, strict: bool = False) -> str:
+    """CCW convex polygon containment as AND of integer cross products
+    (``strict`` = interior only, the JTS within/contains boundary)."""
     conds = []
     n = len(PENTA)
+    op = ">" if strict else ">="
     for i in range(n):
         x1, y1 = PENTA[i]
         x2, y2 = PENTA[(i + 1) % n]
-        conds.append(f"(({x2 - x1}) * ({y} - {y1}) - ({y2 - y1}) * ({x} - {x1})) >= 0")
+        conds.append(
+            f"(({x2 - x1}) * ({y} - {y1}) - ({y2 - y1}) * ({x} - {x1})) {op} 0"
+        )
     return " AND ".join(conds)
 
 
@@ -557,6 +561,137 @@ def _q_cos_dedup(spark, sf):
     return cosine_near_dup_pairs(emb, threshold_x1000=SIM_PAIR_T)
 
 
+# ------------------------------------------- general-geometry surface
+# Non-convex polygons (rectilinear L-shapes), linestrings (staircase
+# tracks), geometry×geometry joins, and the full CompareOperation set
+# as oracle-checked queries — the TieredSpatialJoin general path
+# (TieredSpatialJoin.java:59-552; GeoWaveSparkSpatialJoinIT joins hail
+# points × tornado-track lines).
+
+GEOM_DWITHIN_U = 1_000_000
+# rectilinear U: BBOX with a notch cut from the top edge
+U_NX0, U_NX1, U_NY0 = -20_000_000, 20_000_000, 0
+
+
+def _lshapes(spark, sf):
+    from geowave_spark.sources.testgeo import supplier_lshapes
+
+    return supplier_lshapes(spark, sf)
+
+
+def _tracks(spark, sf):
+    from geowave_spark.sources.testgeo import part_tracks
+
+    return part_tracks(spark, sf)
+
+
+def _snapped(spark, sf):
+    from geowave_spark.sources.testgeo import customer_snapped_boxes
+
+    return customer_snapped_boxes(spark, sf)
+
+
+def _q_geom_poly_join(spark, sf):
+    """Points × non-convex (L-shaped) polygons through the general
+    geometry join: WKB polyfill cells on the build side, per-res point
+    re-key + grouped vectorized refinement on the probe side."""
+    from geowave_spark.operators.geom_join import geom_point_join
+
+    return geom_point_join(
+        events_points(spark, sf), _lshapes(spark, sf), "intersects",
+        geom_key="s_suppkey",
+    )
+
+
+def _q_geom_line_join(spark, sf):
+    """Linestrings × non-convex polygons — true geometry×geometry join
+    (both sides polyfilled, two-branch cross-resolution equi-join)."""
+    from geowave_spark.operators.geom_join import geom_geom_join
+
+    return geom_geom_join(
+        _tracks(spark, sf), _lshapes(spark, sf), "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+    )
+
+
+def _q_geom_crosses_join(spark, sf):
+    """CROSSES CompareOperation as a join predicate: staircase tracks
+    crossing box interiors (interior hit + exterior part)."""
+    from geowave_spark.operators.geom_join import geom_geom_join
+
+    return geom_geom_join(
+        _tracks(spark, sf), _snapped(spark, sf), "crosses",
+        left_key="p_partkey", right_key="c_custkey",
+    )
+
+
+def _q_geom_dwithin_join(spark, sf):
+    """Within-distance join against lineal geometries: buffered cover
+    cells + exact vectorized point→segment distance refinement
+    (GeomWithinDistance semantics over general geometry)."""
+    from geowave_spark.operators.geom_join import geom_point_join
+
+    return geom_point_join(
+        events_points(spark, sf), _tracks(spark, sf),
+        distance_u=GEOM_DWITHIN_U, geom_key="p_partkey",
+    )
+
+
+def _snapped_pair_join(spark, sf, predicate, symmetric):
+    from geowave_spark.operators.geom_join import geom_geom_join
+
+    sb = _snapped(spark, sf)
+    a = sb.select(F.col("c_custkey").alias("a_key"), "geom")
+    b = sb.select(F.col("c_custkey").alias("b_key"), "geom")
+    flt = (
+        F.col("a_key") < F.col("b_key")
+        if symmetric
+        else F.col("a_key") != F.col("b_key")
+    )
+    return geom_geom_join(
+        a, b, predicate, left_key="a_key", right_key="b_key", pair_filter=flt
+    )
+
+
+def _q_pred_equals(spark, sf):
+    return _snapped_pair_join(spark, sf, "equals", True)
+
+
+def _q_pred_touches(spark, sf):
+    return _snapped_pair_join(spark, sf, "touches", True)
+
+
+def _q_pred_overlaps(spark, sf):
+    return _snapped_pair_join(spark, sf, "overlaps", True)
+
+
+def _q_pred_contains(spark, sf):
+    return _snapped_pair_join(spark, sf, "contains", False)
+
+
+def _q_pred_within(spark, sf):
+    """WITHIN CompareOperation: strictly-interior points (JTS within
+    excludes the boundary; contrast the covers-semantics `polygon`
+    query)."""
+    poly = polygon([[x, y] for x, y in PENTA])
+    return polygon_query(
+        events_points(spark, sf), poly, predicate="within"
+    ).select("event_id")
+
+
+def _q_poly_nonconvex(spark, sf):
+    """Range query with a concave (rectilinear U) constraint geometry
+    through the same coarse+exact pipeline as `polygon`."""
+    x0, y0, x1, y1 = BBOX
+    u = polygon(
+        [
+            [x0, y0], [x1, y0], [x1, y1], [U_NX1, y1],
+            [U_NX1, U_NY0], [U_NX0, U_NY0], [U_NX0, y1], [x0, y1],
+        ]
+    )
+    return polygon_query(events_points(spark, sf), u).select("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -609,6 +744,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_plan": _q_split_plan,
         "field_stats": _q_field_stats,
         "wms_render": _q_wms_render,
+        "geom_poly_join": _q_geom_poly_join,
+        "geom_line_join": _q_geom_line_join,
+        "geom_crosses_join": _q_geom_crosses_join,
+        "geom_dwithin_join": _q_geom_dwithin_join,
+        "pred_equals": _q_pred_equals,
+        "pred_touches": _q_pred_touches,
+        "pred_overlaps": _q_pred_overlaps,
+        "pred_contains": _q_pred_contains,
+        "pred_within": _q_pred_within,
+        "poly_nonconvex": _q_poly_nonconvex,
     }
 
 
@@ -741,6 +886,77 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
         f"AND floor(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000) >= {SIM_PAIR_T}",
         **_oracle_sql_round2(),
+        **_oracle_sql_geom(),
+    }
+
+
+def _oracle_sql_geom() -> dict[str, str]:
+    """Oracles for the general-geometry join / predicate surface. The
+    fixture families are chosen so every exact predicate is pure
+    integer SQL: L-shapes = union of two closed rectangles, tracks =
+    three axis-aligned segments, predicate pairs = snapped boxes."""
+    from geowave_spark.sources.testgeo import (
+        customer_snapped_boxes_sql,
+        lshape_covers_sql,
+        lshape_sql_parts,
+        part_tracks_sql,
+        seg_box_interior_sql,
+        seg_box_intersects_sql,
+        seg_outside_box_sql,
+        seg_point_dist2_sql,
+        supplier_lshapes_sql,
+        track_segments_sql,
+    )
+
+    pts = _pts_cte()
+    lsh = f"lsh AS {supplier_lshapes_sql('')}"
+    trk = f"trk AS {part_tracks_sql('')}"
+    snb = f"snb AS {customer_snapped_boxes_sql('')}"
+
+    segs = track_segments_sql()
+    r1, r2 = lshape_sql_parts("o.cx", "o.cy", "o.r")
+    line_lsh = " OR ".join(
+        seg_box_intersects_sql(s, *r) for s in segs for r in (r1, r2)
+    )
+    bx = ("b.x_lo", "b.y_lo", "b.x_hi", "b.y_hi")
+    interior_hit = " OR ".join(seg_box_interior_sql(s, *bx) for s in segs)
+    outside_hit = " OR ".join(seg_outside_box_sql(s, *bx) for s in segs)
+    d2 = "least(" + ", ".join(
+        seg_point_dist2_sql(s, "p.x_u", "p.y_u") for s in segs
+    ) + ")"
+
+    inter = "a.x_lo<=c.x_hi AND c.x_lo<=a.x_hi AND a.y_lo<=c.y_hi AND c.y_lo<=a.y_hi"
+    openov = "a.x_lo<c.x_hi AND c.x_lo<a.x_hi AND a.y_lo<c.y_hi AND c.y_lo<a.y_hi"
+    a_cov_c = "c.x_lo>=a.x_lo AND c.x_hi<=a.x_hi AND c.y_lo>=a.y_lo AND c.y_hi<=a.y_hi"
+    c_cov_a = "a.x_lo>=c.x_lo AND a.x_hi<=c.x_hi AND a.y_lo>=c.y_lo AND a.y_hi<=c.y_hi"
+    pair = "SELECT a.c_custkey AS a_key, c.c_custkey AS b_key FROM snb a, snb c"
+    x0, y0, x1, y1 = BBOX
+
+    return {
+        "geom_poly_join": f"{pts}, {lsh} SELECT p.event_id, o.s_suppkey "
+        f"FROM {EVENTS_PTS} p, lsh o "
+        f"WHERE {lshape_covers_sql('o.cx', 'o.cy', 'o.r', 'p.x_u', 'p.y_u')}",
+        "geom_line_join": f"WITH {trk}, {lsh} "
+        f"SELECT t.p_partkey, o.s_suppkey FROM trk t, lsh o WHERE {line_lsh}",
+        "geom_crosses_join": f"WITH {trk}, {snb} "
+        "SELECT t.p_partkey, b.c_custkey FROM trk t, snb b "
+        f"WHERE ({interior_hit}) AND ({outside_hit})",
+        "geom_dwithin_join": f"{pts}, {trk} "
+        f"SELECT p.event_id, t.p_partkey FROM {EVENTS_PTS} p, trk t "
+        f"WHERE {d2} <= {GEOM_DWITHIN_U}::BIGINT * {GEOM_DWITHIN_U}::BIGINT",
+        "pred_equals": f"WITH {snb} {pair} WHERE a.c_custkey < c.c_custkey "
+        "AND a.x_lo=c.x_lo AND a.x_hi=c.x_hi AND a.y_lo=c.y_lo AND a.y_hi=c.y_hi",
+        "pred_touches": f"WITH {snb} {pair} WHERE a.c_custkey < c.c_custkey "
+        f"AND {inter} AND NOT ({openov})",
+        "pred_overlaps": f"WITH {snb} {pair} WHERE a.c_custkey < c.c_custkey "
+        f"AND ({openov}) AND NOT ({a_cov_c}) AND NOT ({c_cov_a})",
+        "pred_contains": f"WITH {snb} {pair} WHERE a.c_custkey <> c.c_custkey "
+        f"AND {a_cov_c}",
+        "pred_within": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE {_penta_halfplane_sql('x_u', 'y_u', strict=True)}",
+        "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",
     }
 
 

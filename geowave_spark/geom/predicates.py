@@ -629,6 +629,50 @@ def points_pred_batch(pred: str, g: Geometry, xs, ys) -> np.ndarray:
     raise ValueError(pred)
 
 
+def _clip_axis(p, d, lo, hi, t_lo, t_hi):
+    """Liang-Barsky slab clip (closed interval) for one axis."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (lo - p) / d
+        t2 = (hi - p) / d
+    tmin = np.minimum(t1, t2)
+    tmax = np.maximum(t1, t2)
+    zero = d == 0
+    inside0 = (p >= lo) & (p <= hi)
+    t_lo_new = np.where(zero, np.where(inside0, t_lo, 1.0), np.maximum(t_lo, tmin))
+    t_hi_new = np.where(zero, np.where(inside0, t_hi, 0.0), np.minimum(t_hi, tmax))
+    return t_lo_new, t_hi_new
+
+
+def line_box_relate(chain: np.ndarray, bounds) -> tuple[bool, bool, bool, bool]:
+    """(intersects, interior_hit, outside_part, covered) of a polyline
+    vs an axis-aligned box — one vectorized Liang-Barsky pass over all
+    segments (the line×rectangle fast path of the join refinement).
+    interior_hit uses the clipped-piece midpoint: a piece through the
+    open box has a strictly-interior midpoint, a piece lying on the
+    boundary does not."""
+    x0, y0, x1, y1 = bounds
+    p, q = chain[:-1], chain[1:]
+    d = q - p
+    t_lo = np.zeros(len(p))
+    t_hi = np.ones(len(p))
+    t_lo, t_hi = _clip_axis(p[:, 0], d[:, 0], x0, x1, t_lo, t_hi)
+    t_lo, t_hi = _clip_axis(p[:, 1], d[:, 1], y0, y1, t_lo, t_hi)
+    hit = t_lo <= t_hi
+    tm = (t_lo + t_hi) / 2
+    mx = p[:, 0] + tm * d[:, 0]
+    my = p[:, 1] + tm * d[:, 1]
+    interior = bool((hit & (mx > x0) & (mx < x1) & (my > y0) & (my < y1)).any())
+    outside = bool(
+        (
+            (chain[:, 0] < x0)
+            | (chain[:, 0] > x1)
+            | (chain[:, 1] < y0)
+            | (chain[:, 1] > y1)
+        ).any()
+    )
+    return bool(hit.any()), interior, outside, not outside
+
+
 def points_distance_to_geom(xs, ys, g: Geometry) -> np.ndarray:
     """Planar distance from a batch of points to one geometry —
     vectorized over the (points × segments) grid; 0 inside areal g."""

@@ -88,6 +88,109 @@ def _extract_point_arrays(vals: np.ndarray, idx: np.ndarray):
     return flat[0::2].copy(), flat[1::2].copy()
 
 
+def _as_box_bounds(g: Geometry):
+    """(x0, y0, x1, y1) if g is an axis-aligned rectangle, else None."""
+    if g.gtype != "Polygon" or len(g.parts) != 1:
+        return None
+    ring = g.parts[0]
+    if len(ring) != 5 or not np.array_equal(ring[0], ring[4]):
+        return None
+    x, y = ring[:4, 0], ring[:4, 1]
+    ok_h = y[0] == y[1] and x[1] == x[2] and y[2] == y[3] and x[3] == x[0]
+    ok_v = x[0] == x[1] and y[1] == y[2] and x[2] == x[3] and y[3] == y[0]
+    if not (ok_h or ok_v):
+        return None
+    return float(x.min()), float(y.min()), float(x.max()), float(y.max())
+
+
+def _extract_box_arrays(vals: np.ndarray, idx: np.ndarray):
+    """If every WKB at ``idx`` is an axis-aligned rectangle (the 93-byte
+    5-point single-ring polygon layout), return (x0, y0, x1, y1)
+    bounds arrays; else None."""
+    hdr = b"\x01\x03\x00\x00\x00\x01\x00\x00\x00\x05\x00\x00\x00"
+    bufs = []
+    for i in idx:
+        b = vals[i]
+        if b is None or len(b) != 93 or bytes(b[:13]) != hdr:
+            return None
+        bufs.append(bytes(b[13:]))
+    pts = np.frombuffer(b"".join(bufs), dtype="<f8").reshape(-1, 5, 2)
+    x, y = pts[:, :4, 0], pts[:, :4, 1]
+    ok_h = (y[:, 0] == y[:, 1]) & (x[:, 1] == x[:, 2]) & (y[:, 2] == y[:, 3]) & (x[:, 3] == x[:, 0])
+    ok_v = (x[:, 0] == x[:, 1]) & (y[:, 1] == y[:, 2]) & (x[:, 2] == x[:, 3]) & (y[:, 3] == y[:, 0])
+    if not bool((ok_h | ok_v).all()):
+        return None
+    if not bool((pts[:, 0] == pts[:, 4]).all()):
+        return None
+    return x.min(axis=1), y.min(axis=1), x.max(axis=1), y.max(axis=1)
+
+
+def _box_group_eval(name, gb, ax0, ay0, ax1, ay1, point_first) -> np.ndarray:
+    """pred(box_i, g) / pred(g, box_i) for axis-aligned rectangles —
+    pure bounds arithmetic (non-degenerate boxes: areal contains ≡
+    covers)."""
+    bx0, by0, bx1, by1 = gb
+    inter = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    openov = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+    a_cov_b = (ax0 <= bx0) & (ax1 >= bx1) & (ay0 <= by0) & (ay1 >= by1)
+    b_cov_a = (bx0 <= ax0) & (bx1 >= ax1) & (by0 <= ay0) & (by1 >= ay1)
+    if name == "intersects":
+        return inter
+    if name == "disjoint":
+        return ~inter
+    if name == "touches":
+        return inter & ~openov
+    if name == "equals":
+        return (ax0 == bx0) & (ax1 == bx1) & (ay0 == by0) & (ay1 == by1)
+    if name == "overlaps":
+        return openov & ~a_cov_b & ~b_cov_a
+    if name == "crosses":
+        return np.zeros(len(ax0), dtype=bool)
+    first_cov = a_cov_b if point_first else b_cov_a
+    second_cov = b_cov_a if point_first else a_cov_b
+    if name in ("contains", "covers"):
+        return first_cov
+    if name in ("within", "covered_by"):
+        return second_cov
+    raise ValueError(name)
+
+
+def _line_box_eval(name: str, chain: np.ndarray, gb, line_first: bool) -> bool:
+    """pred(line, box) / pred(box, line) via the vectorized
+    Liang-Barsky relate — per pair, but one numpy pass over all
+    segments instead of the generic sampling machinery."""
+    from geowave_spark.geom.predicates import line_box_relate
+
+    inter, interior, outside, covered = line_box_relate(chain, gb)
+    if name == "intersects":
+        return inter
+    if name == "disjoint":
+        return not inter
+    if name == "crosses":
+        return interior and outside
+    if name == "touches":
+        return inter and not interior
+    if name in ("overlaps", "equals"):
+        return False  # dimension mismatch
+    box_covers_line = covered
+    box_contains_line = covered and interior
+    if line_first:
+        if name == "within":
+            return box_contains_line
+        if name == "covered_by":
+            return box_covers_line
+        if name in ("contains", "covers"):
+            return False  # 1-dim cannot contain 2-dim
+    else:
+        if name == "contains":
+            return box_contains_line
+        if name == "covers":
+            return box_covers_line
+        if name in ("within", "covered_by"):
+            return False
+    raise ValueError(name)
+
+
 _SYMMETRIC = {"intersects", "disjoint", "touches", "equals"}
 
 
@@ -149,9 +252,18 @@ def pair_pred_batch(name: str, fn) -> "pd.Series":
             pts = _extract_point_arrays(varying, idx)
             if pts is not None:
                 out[idx] = _point_group_eval(name, g, pts[0], pts[1], point_first)
-            else:
-                for i in idx:
-                    other = parse_cached(bytes(varying[i]))
+                continue
+            gb = _as_box_bounds(g)
+            if gb is not None:
+                boxes = _extract_box_arrays(varying, idx)
+                if boxes is not None:
+                    out[idx] = _box_group_eval(name, gb, *boxes, point_first)
+                    continue
+            for i in idx:
+                other = parse_cached(bytes(varying[i]))
+                if gb is not None and other.gtype == "LineString":
+                    out[i] = _line_box_eval(name, other.parts[0], gb, point_first)
+                else:
                     out[i] = fn(other, g) if point_first else fn(g, other)
         return pd.Series(out)
 

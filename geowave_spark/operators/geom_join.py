@@ -1,0 +1,353 @@
+"""General-geometry spatial join — non-convex polygons, linestrings,
+multipolygons, geometry×geometry, on any CompareOperation predicate.
+
+This is the full-generality analog of the reference's TieredSpatialJoin
+(analytics/spark/src/main/java/org/locationtech/geowave/analytic/spark/spatial/TieredSpatialJoin.java:59-552),
+which joins any two indexed geometry sets — the IT exercises hail
+points × tornado-track LINES (test/.../spark/GeoWaveSparkSpatialJoinIT.java:104-172).
+The convex fast paths (box_point_join, octagon_point_join, xz join)
+stay preferred when their shape assumptions hold; this operator is the
+path for everything else.
+
+Plan shape (idiomatic-Spark re-expression of the tier algorithm):
+
+  reference                               engine
+  ---------                               ------
+  tiered insertion ids per geometry       per-row (res, cells[]) from an
+  (≤80, trimIndexIds)                     Arrow-batched polyfill UDF
+                                          (cells intersecting the geom,
+                                          ≤ max_cells — index/polyfill.py)
+  collect distinct tiers per side         tiny distinct-res dims,
+  (TieredSpatialJoin.java:174-191)        broadcast — no driver collect
+  reprojectToTier cross-tier re-key       coarsen the finer side's cell
+  (:471-511)                              array to the other side's res
+                                          (array_distinct of exact
+                                          parent shifts, pre-explode)
+  same-tier cogroup + nested loop         TWO equi-joins on (res, cell):
+  (:513-551)                              right-res ≤ left-res via
+                                          coarsened-left × natural-right,
+                                          strictly-finer right via
+                                          natural-left × coarsened-right
+                                          (disjoint by construction)
+  exact predicate refinement              vectorized predicates
+                                          (geom/udfs.pair_pred_batch:
+                                          batch WKB parse cache + numpy
+                                          point-group kernels)
+  reduceByKey keep-first + DedupeFilter   dropDuplicates on the matched
+  (:343-349)                              key pair AFTER refinement
+                                          (candidate dupes are bounded
+                                          by shared-cell counts, so the
+                                          post-refine dedupe shuffles
+                                          only matches)
+  semi/anti output (:362-378)             how='leftsemi' / 'leftanti'
+
+Correctness of the cross-res rule: the set of parents (at res m) of the
+cells intersecting g at a finer res IS polyfill(g, m) — children
+partition the parent, so a parent intersects g iff some child does.
+Matching at m = min(res_a, res_b) therefore compares both geometries'
+exact covers at the same resolution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from geowave_spark.geom import predicates as P
+from geowave_spark.geom.predicates import (
+    points_distance_to_geom,
+    points_pred_batch,
+)
+from geowave_spark.geom.wkb import box, wkb_loads
+from geowave_spark.index.polyfill import polyfill
+from geowave_spark.index.zorder import pick_res_for_extent
+from geowave_spark.operators.spatial_join import POINT_RES, points_keyed_by_res
+from geowave_spark import X_SCALE
+
+DEFAULT_MAX_CELLS = 32
+
+
+def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
+    """(wkb) -> struct(res int, cells array<long>): the insertion-id
+    computation for arbitrary geometries (getRowIdsAtTier /
+    decomposeRangesForEntry analog, TieredSFCIndexStrategy.java:369-407)
+    with the trim of RDDUtils.trimIndexIds:158-184. ``buffer_u``
+    expands the cover outward for distance predicates (getBufferAmount
+    semantics, TieredSpatialJoin.java:146,413-419)."""
+
+    cache: dict[bytes, tuple[int, list[int]]] = {}
+
+    @F.pandas_udf("res int, cells array<long>")
+    def run(wkbs: pd.Series) -> pd.DataFrame:
+        from geowave_spark.geom.wkb import Geometry
+
+        res_out = np.empty(len(wkbs), dtype=np.int32)
+        cells_out = []
+        for i, b in enumerate(wkbs):
+            bb = bytes(b)
+            hit = cache.get(bb)
+            if hit is None:
+                if len(cache) >= 8192:
+                    cache.clear()
+                g = wkb_loads(bb)  # µdeg coordinates
+                if buffer_u == 0:
+                    # polyfill operates in degrees — scale down once
+                    g_deg = Geometry(
+                        g.gtype, [p / X_SCALE for p in g.parts], g.poly_ring_counts
+                    )
+                    x0, y0, x1, y1 = g.bounds
+                    r = min(
+                        pick_res_for_extent(
+                            int(x1 - x0), int(y1 - y0), max_cells
+                        ),
+                        finest_res,
+                    )
+                    cells = polyfill(g_deg, r)
+                else:
+                    x0, y0, x1, y1 = g.bounds
+                    x0, y0 = x0 - buffer_u, y0 - buffer_u
+                    x1, y1 = x1 + buffer_u, y1 + buffer_u
+                    r = min(
+                        pick_res_for_extent(
+                            int(x1 - x0), int(y1 - y0), max_cells
+                        ),
+                        finest_res,
+                    )
+                    cells = polyfill(
+                        box(x0 / X_SCALE, y0 / X_SCALE, x1 / X_SCALE, y1 / X_SCALE),
+                        r,
+                    )
+                hit = (r, cells)
+                cache[bb] = hit
+            res_out[i] = hit[0]
+            cells_out.append(hit[1])
+        return pd.DataFrame({"res": res_out, "cells": cells_out})
+
+    return run
+
+
+def geom_keys(
+    df: DataFrame,
+    geom_col: str = "geom",
+    max_cells: int = DEFAULT_MAX_CELLS,
+    finest_res: int = POINT_RES,
+    buffer_u: int = 0,
+    scale: int = 1,
+) -> DataFrame:
+    """Append (res, cells) index columns for a WKB geometry column.
+    Geometry coordinates are interpreted in µdeg when scale=1 (pass
+    X_SCALE for degree-valued geometries)."""
+    if scale != 1:
+        raise NotImplementedError("store geometries in µdeg; scale=1 only")
+    k = _keys_udf(max_cells, finest_res, buffer_u, scale)(F.col(geom_col))
+    return df.withColumn("res", k["res"]).withColumn("cells", k["cells"])
+
+
+def _coarsen_to(cells: Column, d_res: Column) -> Column:
+    """Distinct exact parent cells: cells >> 2*d_res via a literal
+    factor lookup (reprojectToTier analog as array math, pre-explode so
+    duplicates collapse before they multiply join candidates)."""
+    factor = F.try_element_at(
+        F.array(*[F.lit(1 << (2 * r)) for r in range(POINT_RES + 1)]), d_res + 1
+    )
+    return F.array_distinct(
+        F.transform(cells, lambda c: F.call_function("div", c, factor))
+    )
+
+
+def _pair_refine_udf(predicate: str, distance_u: float | None):
+    """(left_wkb, right_wkb) -> bool, vectorized via pair_pred_batch."""
+    from geowave_spark.geom.udfs import pair_pred_batch, parse_cached
+
+    if distance_u is not None:
+
+        def run(a: pd.Series, b: pd.Series) -> pd.Series:
+            from geowave_spark.geom.udfs import _extract_point_arrays, _grouped
+
+            out = np.zeros(len(a), dtype=bool)
+            for g, idx, varying, _pf in _grouped(a, b):
+                pts = _extract_point_arrays(varying, idx)
+                if pts is not None:
+                    out[idx] = points_distance_to_geom(pts[0], pts[1], g) <= distance_u
+                else:
+                    for i in idx:
+                        out[i] = P.distance(parse_cached(bytes(varying[i])), g) <= distance_u
+            return pd.Series(out)
+
+        return F.pandas_udf(run, BooleanType())
+    return F.pandas_udf(pair_pred_batch(predicate, P.PREDICATES[predicate]), BooleanType())
+
+
+def geom_geom_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate: str = "intersects",
+    left_key: str = "l_key",
+    right_key: str = "r_key",
+    left_geom: str = "geom",
+    right_geom: str = "geom",
+    distance_u: int | None = None,
+    how: str = "inner",
+    max_cells: int = DEFAULT_MAX_CELLS,
+    broadcast_right: bool | None = None,
+    pair_filter: Column | None = None,
+) -> DataFrame:
+    """Geometry×geometry spatial join on ``predicate`` (or within
+    ``distance_u`` when given). Negative predicates (disjoint, or a
+    distance exceeded) are expressed as ``how='leftanti'`` on the
+    positive form, exactly like the reference's negative-predicate
+    subtractByKey (TieredSpatialJoin.java:362-368)."""
+    if predicate == "disjoint":
+        raise ValueError(
+            "disjoint join = leftanti on the positive predicate "
+            "(cell candidates only see bounds-overlapping pairs)"
+        )
+    buffer_u = int(distance_u) if distance_u else 0
+    spark = left.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # repartition before the polyfill UDF (a single-file source would
+    # otherwise run all of it in one task), persist after it: both key
+    # frames feed TWO join branches plus a res dimension — without the
+    # persist the Arrow polyfill re-executes per reference, the exact
+    # spot the reference persists reprojected tiers
+    # (TieredSpatialJoin.java:510 MEMORY_AND_DISK_SER)
+    l = geom_keys(
+        left.select(F.col(left_key), F.col(left_geom).alias("_lg")).repartition(par),
+        "_lg",
+        max_cells,
+        buffer_u=buffer_u,
+    ).withColumnRenamed("res", "_lres").withColumnRenamed("cells", "_lcells").persist()
+    r = geom_keys(
+        right.select(F.col(right_key), F.col(right_geom).alias("_rg")).repartition(par),
+        "_rg",
+        max_cells,
+    ).withColumnRenamed("res", "_rres").withColumnRenamed("cells", "_rcells").persist()
+    if broadcast_right is None or broadcast_right:
+        r = F.broadcast(r)
+
+    rres_dim = r.select(F.col("_rres").alias("_jres")).distinct()
+    lres_dim = l.select(F.col("_lres").alias("_jres")).distinct()
+
+    # branch 1: right res ≤ left res — coarsen left to each right res
+    l1 = (
+        l.join(F.broadcast(rres_dim), F.col("_jres") <= F.col("_lres"))
+        .withColumn(
+            "_jcell",
+            F.explode(_coarsen_to(F.col("_lcells"), F.col("_lres") - F.col("_jres"))),
+        )
+        .drop("_lcells")
+    )
+    r1 = r.withColumn("_jcell", F.explode("_rcells")).drop("_rcells")
+    cand1 = l1.join(r1, (F.col("_jres") == F.col("_rres")) & (l1["_jcell"] == r1["_jcell"]))
+
+    # branch 2: right strictly finer — coarsen right to each left res
+    r2 = (
+        r.join(F.broadcast(lres_dim), F.col("_jres") < F.col("_rres"))
+        .withColumn(
+            "_jcell",
+            F.explode(_coarsen_to(F.col("_rcells"), F.col("_rres") - F.col("_jres"))),
+        )
+        .drop("_rcells")
+    )
+    l2 = l.withColumn("_jcell", F.explode("_lcells")).drop("_lcells")
+    cand2 = l2.join(r2, (F.col("_jres") == F.col("_lres")) & (l2["_jcell"] == r2["_jcell"]))
+
+    cols = [left_key, "_lg", right_key, "_rg"]
+    cand = cand1.select(*cols).unionByName(cand2.select(*cols))
+    if pair_filter is not None:
+        # e.g. key ordering for symmetric self-joins — applied BEFORE
+        # the refine UDF so filtered pairs never reach Python
+        cand = cand.where(pair_filter)
+
+    refined = cand.where(_pair_refine_udf(predicate, distance_u)(F.col("_lg"), F.col("_rg")))
+    matched = refined.select(left_key, right_key).dropDuplicates([left_key, right_key])
+
+    if how == "inner":
+        return matched
+    if how in ("leftsemi", "leftanti"):
+        return left.join(matched.select(left_key), left_key, how)
+    raise ValueError(how)
+
+
+def _point_refine_udf(predicate: str, distance_u: float | None):
+    """(geom_wkb, x_u, y_u) -> bool: grouped fully-vectorized point
+    refinement — one numpy kernel per distinct geometry per batch."""
+
+    @F.pandas_udf("boolean")
+    def run(g: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from geowave_spark.geom.udfs import parse_cached
+
+        out = np.zeros(len(g), dtype=bool)
+        x = xs.to_numpy(dtype=np.float64)
+        y = ys.to_numpy(dtype=np.float64)
+        codes, uniq = pd.factorize(g)
+        for u_i in range(len(uniq)):
+            idx = np.nonzero(codes == u_i)[0]
+            geom = parse_cached(bytes(uniq[u_i]))
+            if distance_u is not None:
+                out[idx] = points_distance_to_geom(x[idx], y[idx], geom) <= distance_u
+            else:
+                out[idx] = points_pred_batch(predicate, geom, x[idx], y[idx])
+        return pd.Series(out)
+
+    return run
+
+
+def geom_point_join(
+    points: DataFrame,
+    geoms: DataFrame,
+    predicate: str = "intersects",
+    how: str = "inner",
+    point_key: str = "event_id",
+    geom_key: str = "s_suppkey",
+    geom_col: str = "geom",
+    distance_u: int | None = None,
+    max_cells: int = DEFAULT_MAX_CELLS,
+    broadcast_geoms: bool | None = None,
+) -> DataFrame:
+    """Points (x_u, y_u columns, no WKB materialization) × general
+    geometries. The point side is re-keyed per distinct geometry res by
+    an exact parent shift (points_keyed_by_res); each geometry carries
+    distinct cells at ONE res and a point maps to one cell per res, so
+    a pair matches at most once — no dedupe stage, same argument as
+    box_point_join.
+
+    ``predicate`` is evaluated as pred(geom, point) for asymmetric ops:
+    'contains' keeps points strictly interior, 'covers'/'intersects'
+    are boundary-inclusive, 'touches' keeps boundary-only contact.
+    ``distance_u`` switches to a buffered-cover + exact-distance join
+    (GeomWithinDistance semantics)."""
+    par = points.sparkSession.sparkContext.defaultParallelism
+    g = (
+        geom_keys(
+            geoms.select(F.col(geom_key), F.col(geom_col).alias("_g")).repartition(par),
+            "_g",
+            max_cells,
+            buffer_u=int(distance_u) if distance_u else 0,
+        )
+        .withColumn("cell", F.explode("cells"))
+        .drop("cells")
+        .persist()
+    )
+    if broadcast_geoms is None or broadcast_geoms:
+        g = F.broadcast(g)
+    res_dim = g.select("res").distinct()
+    keyed = points_keyed_by_res(points, res_dim)
+
+    j = keyed.join(
+        g.withColumnRenamed("res", "_gres"),
+        (keyed["res"] == F.col("_gres")) & (keyed["_jcell"] == g["cell"]),
+        "inner",
+    ).where(_point_refine_udf(predicate, distance_u)(F.col("_g"), F.col("x_u"), F.col("y_u")))
+    matched = j.select(point_key, geom_key)
+
+    if how == "inner":
+        return matched
+    if how in ("leftsemi", "leftanti"):
+        return points.join(matched.select(point_key), point_key, how)
+    raise ValueError(how)

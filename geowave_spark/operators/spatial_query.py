@@ -157,15 +157,28 @@ def bbox_query_dateline(
     )
 
 
-def polygon_refine_udf(geom_wkb: bytes, x_col: str = "x_u", y_col: str = "y_u"):
-    """Arrow-batched exact point-in-polygon refinement (the
-    SpatialQueryFilter INTERSECTS accept, SpatialQueryFilter.java:254-297,
-    as a vectorized ray cast instead of per-row JTS)."""
+def polygon_refine_udf(
+    geom_wkb: bytes,
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+    predicate: str = "intersects",
+):
+    """Arrow-batched exact refinement (the SpatialQueryFilter accept,
+    SpatialQueryFilter.java:254-297, as a vectorized ray cast instead
+    of per-row JTS). ``predicate`` selects the CompareOperation:
+    intersects/covers are boundary-inclusive, within/contains strict,
+    touches boundary-only (predicates.points_pred_batch kernels)."""
+    from geowave_spark.geom.predicates import points_pred_batch
 
     @F.pandas_udf("boolean")
     def _pip(xs: pd.Series, ys: pd.Series) -> pd.Series:
         g = wkb_loads(geom_wkb)
-        mask = points_in_polygon(xs.to_numpy(dtype="float64"), ys.to_numpy(dtype="float64"), g)
+        mask = points_pred_batch(
+            predicate,
+            g,
+            xs.to_numpy(dtype="float64"),
+            ys.to_numpy(dtype="float64"),
+        )
         return pd.Series(mask)
 
     return _pip(F.col(x_col), F.col(y_col))
@@ -179,10 +192,13 @@ def polygon_query(
     cell_col_name: str | None = None,
     res: int | None = None,
     scale: int = 1,
+    predicate: str = "intersects",
 ) -> DataFrame:
     """Polygon containment query: coarse bbox/SFC constraint + exact
     vectorized refinement. ``scale`` converts geometry units to the
-    micro-degree columns (pass 1 if the geometry is already in µdeg)."""
+    micro-degree columns (pass 1 if the geometry is already in µdeg).
+    ``predicate``: any point-applicable CompareOperation — 'within'
+    excludes boundary points (JTS strict), default 'intersects'."""
     x0, y0, x1, y1 = geom.bounds
     coarse = polygonless = points.where(
         F.col(x_col).between(int(x0 * scale) - 1, int(x1 * scale) + 1)
@@ -197,7 +213,9 @@ def polygon_query(
         scaled = Geometry(geom.gtype, [p * scale for p in geom.parts], geom.poly_ring_counts)
     else:
         scaled = geom
-    return coarse.where(polygon_refine_udf(wkb_dumps(scaled), x_col, y_col))
+    return coarse.where(
+        polygon_refine_udf(wkb_dumps(scaled), x_col, y_col, predicate)
+    )
 
 
 def with_cell(df: DataFrame, res: int, x_col: str = "x_u", y_col: str = "y_u") -> DataFrame:

@@ -16,6 +16,7 @@ salting analog of core/index/.../simple/HashKeyIndexStrategy.java:44-70).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,4 +201,259 @@ def customer_boxes_sql(sf_dir: str) -> str:
         f"(SELECT c_custkey, c_mktsegment, "
         f"{x} - {hw} AS x_lo, {y} - {hw} AS y_lo, "
         f"{x} + {hw} AS x_hi, {y} + {hw} AS y_hi FROM customer)"
+    )
+
+
+# --------------------------------------------------- general-geometry set
+# Fixtures for the general (non-convex / lineal) join surface. Geometry
+# coordinates are integer micro-degrees serialized as WKB; every shape
+# family is chosen so its exact predicate has a pure-integer ANSI-SQL
+# twin (rectilinear L-shapes = union of two closed rectangles; tracks =
+# axis-aligned staircase polylines), keeping the driver's value-hash
+# gate meaningful for the general join exactly as for the convex one.
+
+K3 = 3266489917  # xxhash PRIME32_4 (public)
+LSH_R_MOD = 3_000_000
+LSH_R_MIN = 500_000
+TRACK_D_MOD = 2_000_000
+TRACK_D_MIN = 300_000
+SNAP_U = 4_000_000  # 4° snap lattice for the predicate fixtures
+
+
+def _wkb_ring(pts) -> bytes:
+    import struct
+
+    out = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts) + 1)
+    for x, y in list(pts) + [pts[0]]:
+        out += struct.pack("<dd", float(x), float(y))
+    return out
+
+
+def _wkb_line(pts) -> bytes:
+    import struct
+
+    out = struct.pack("<BII", 1, 2, len(pts))
+    for x, y in pts:
+        out += struct.pack("<dd", float(x), float(y))
+    return out
+
+
+def lshape_vertices(cx, cy, r):
+    """CCW rectilinear L: union of R1=[cx-r,cx+r]x[cy-r,cy] (bottom
+    bar) and R2=[cx-r,cx]x[cy,cy+r] (left column)."""
+    return [
+        (cx - r, cy - r),
+        (cx + r, cy - r),
+        (cx + r, cy),
+        (cx, cy),
+        (cx, cy + r),
+        (cx - r, cy + r),
+    ]
+
+
+def supplier_lshapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-convex polygon fixture: one L-shaped hexagon per supplier
+    (same center/radius derivation as the octagons), WKB in µdeg."""
+    df = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    x, y = xy_cols(F.col("s_suppkey"))
+    r = (
+        F.pmod(F.col("s_suppkey").cast("long") * F.lit(K2), F.lit(LSH_R_MOD))
+        + F.lit(LSH_R_MIN)
+    ).alias("r")
+    base = df.select("s_suppkey", x, y, r)
+
+    @F.pandas_udf("binary")
+    def mk(cx: pd.Series, cy: pd.Series, rr: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _wkb_ring(lshape_vertices(int(a), int(b), int(c)))
+                for a, b, c in zip(cx, cy, rr)
+            ]
+        )
+
+    return base.select(
+        "s_suppkey", "x_u", "y_u", "r", mk("x_u", "y_u", "r").alias("geom")
+    )
+
+
+def lshape_sql_parts(cx: str, cy: str, r: str) -> tuple[str, str]:
+    """(R1, R2) closed-rectangle bounds as SQL tuples of expressions."""
+    r1 = (f"({cx} - {r})", f"({cy} - {r})", f"({cx} + {r})", cy)
+    r2 = (f"({cx} - {r})", cy, cx, f"({cy} + {r})")
+    return r1, r2
+
+
+def lshape_covers_sql(cx: str, cy: str, r: str, px: str, py: str) -> str:
+    """point-in-closed-L as integer SQL (union of two closed rects)."""
+    (ax0, ay0, ax1, ay1), (bx0, by0, bx1, by1) = lshape_sql_parts(cx, cy, r)
+    return (
+        f"(({px} BETWEEN {ax0} AND {ax1} AND {py} BETWEEN {ay0} AND {ay1}) OR "
+        f"({px} BETWEEN {bx0} AND {bx1} AND {py} BETWEEN {by0} AND {by1}))"
+    )
+
+
+def supplier_lshapes_sql(sf_dir: str) -> str:
+    x, y = xy_sql("s_suppkey")
+    r = f"(((s_suppkey * {K2}) % {LSH_R_MOD}) + {LSH_R_MIN})"
+    return f"(SELECT s_suppkey, {x} AS cx, {y} AS cy, {r} AS r FROM supplier)"
+
+
+def track_deltas_sql(key: str) -> tuple[str, str, str]:
+    d1 = f"((({key} * {K1}) % {TRACK_D_MOD}) + {TRACK_D_MIN})"
+    d2 = f"((({key} * {K2}) % {TRACK_D_MOD}) + {TRACK_D_MIN})"
+    d3 = f"((({key} * {K3}) % {TRACK_D_MOD}) + {TRACK_D_MIN})"
+    return d1, d2, d3
+
+
+def part_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineal fixture: one 3-segment axis-aligned staircase polyline per
+    part — east d1, north d2, east d3 from the derived start point."""
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x, y = xy_cols(F.col("p_partkey"))
+    key = F.col("p_partkey").cast("long")
+    base = df.select(
+        "p_partkey",
+        x,
+        y,
+        (F.pmod(key * F.lit(K1), F.lit(TRACK_D_MOD)) + F.lit(TRACK_D_MIN)).alias("d1"),
+        (F.pmod(key * F.lit(K2), F.lit(TRACK_D_MOD)) + F.lit(TRACK_D_MIN)).alias("d2"),
+        (F.pmod(key * F.lit(K3), F.lit(TRACK_D_MOD)) + F.lit(TRACK_D_MIN)).alias("d3"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk(
+        px: pd.Series, py: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series
+    ) -> pd.Series:
+        out = []
+        for x0, y0, d1, d2, d3 in zip(px, py, a, b, c):
+            x0, y0, d1, d2, d3 = int(x0), int(y0), int(d1), int(d2), int(d3)
+            out.append(
+                _wkb_line(
+                    [
+                        (x0, y0),
+                        (x0 + d1, y0),
+                        (x0 + d1, y0 + d2),
+                        (x0 + d1 + d3, y0 + d2),
+                    ]
+                )
+            )
+        return pd.Series(out)
+
+    return base.select(
+        "p_partkey", "x_u", "y_u", "d1", "d2", "d3",
+        mk("x_u", "y_u", "d1", "d2", "d3").alias("geom"),
+    )
+
+
+def part_tracks_sql(sf_dir: str) -> str:
+    x, y = xy_sql("p_partkey")
+    d1, d2, d3 = track_deltas_sql("p_partkey")
+    return (
+        f"(SELECT p_partkey, {x} AS x0, {y} AS y0, "
+        f"{d1} AS d1, {d2} AS d2, {d3} AS d3 FROM part)"
+    )
+
+
+def track_segments_sql(x0="t.x0", y0="t.y0", d1="t.d1", d2="t.d2", d3="t.d3"):
+    """The three staircase segments as (kind, a, b, c) tuples of SQL
+    expressions: H segs are (y, x_from, x_to), V segs are (x, y_from,
+    y_to) — all closed intervals with from ≤ to by construction."""
+    return [
+        ("H", y0, x0, f"({x0} + {d1})"),
+        ("V", f"({x0} + {d1})", y0, f"({y0} + {d2})"),
+        ("H", f"({y0} + {d2})", f"({x0} + {d1})", f"({x0} + {d1} + {d3})"),
+    ]
+
+
+def seg_box_intersects_sql(seg, bx0: str, by0: str, bx1: str, by1: str) -> str:
+    """Closed axis-aligned segment × closed box intersection."""
+    kind, a, lo, hi = seg
+    if kind == "H":
+        return f"({a} BETWEEN {by0} AND {by1} AND {hi} >= {bx0} AND {lo} <= {bx1})"
+    return f"({a} BETWEEN {bx0} AND {bx1} AND {hi} >= {by0} AND {lo} <= {by1})"
+
+
+def seg_box_interior_sql(seg, bx0: str, by0: str, bx1: str, by1: str) -> str:
+    """Axis-aligned segment intersects the OPEN box (positive-length
+    interior contact — segments are non-degenerate)."""
+    kind, a, lo, hi = seg
+    if kind == "H":
+        return f"({a} > {by0} AND {a} < {by1} AND {hi} > {bx0} AND {lo} < {bx1})"
+    return f"({a} > {bx0} AND {a} < {bx1} AND {hi} > {by0} AND {lo} < {by1})"
+
+
+def seg_outside_box_sql(seg, bx0: str, by0: str, bx1: str, by1: str) -> str:
+    """Some point of the segment lies outside the CLOSED box."""
+    kind, a, lo, hi = seg
+    if kind == "H":
+        return f"({a} < {by0} OR {a} > {by1} OR {lo} < {bx0} OR {hi} > {bx1})"
+    return f"({a} < {bx0} OR {a} > {bx1} OR {lo} < {by0} OR {hi} > {by1})"
+
+
+def seg_point_dist2_sql(seg, px: str, py: str) -> str:
+    """Squared point→axis-aligned-segment distance, exact BIGINT SQL."""
+    kind, a, lo, hi = seg
+    if kind == "H":
+        dx = f"greatest({lo} - {px}, {px} - {hi}, 0)"
+        dy = f"({py} - {a})"
+    else:
+        dx = f"({px} - {a})"
+        dy = f"greatest({lo} - {py}, {py} - {hi}, 0)"
+    return f"(({dx}) * ({dx}) + ({dy}) * ({dy}))"
+
+
+def customer_snapped_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate fixture: customer boxes snapped OUTWARD to the 4°
+    lattice, so exact edge adjacency / equality / containment between
+    distinct boxes occurs at meaningful rates (touches/equals between
+    un-snapped continuous boxes would be measure-zero). Carries both
+    the integer bounds and the WKB polygon."""
+    b = customer_boxes(spark, sf_dir)
+    snap = F.lit(SNAP_U)
+
+    def lo(c):
+        return (F.col(c) - F.pmod(F.col(c), snap)).cast("long")
+
+    def hi(c):
+        return (F.col(c) + F.pmod(-F.col(c), snap)).cast("long")
+
+    base = b.select(
+        "c_custkey",
+        lo("x_lo").alias("x_lo"),
+        lo("y_lo").alias("y_lo"),
+        hi("x_hi").alias("x_hi"),
+        hi("y_hi").alias("y_hi"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                _wkb_ring(
+                    [(int(a), int(b_)), (int(c), int(b_)), (int(c), int(d)), (int(a), int(d))]
+                )
+                for a, b_, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    return base.withColumn("geom", mk("x_lo", "y_lo", "x_hi", "y_hi"))
+
+
+def customer_snapped_boxes_sql(sf_dir: str) -> str:
+    x, y = xy_sql("c_custkey")
+    hw = f"(((c_custkey * {K1}) % 2000000) + 200000)"
+    s = SNAP_U
+
+    def lo(e):
+        return f"({e} - ((({e}) % {s}) + {s}) % {s})"
+
+    def hi(e):
+        return f"({e} + (((-({e})) % {s}) + {s}) % {s})"
+
+    return (
+        f"(SELECT c_custkey, {lo(f'({x} - {hw})')} AS x_lo, "
+        f"{lo(f'({y} - {hw})')} AS y_lo, {hi(f'({x} + {hw})')} AS x_hi, "
+        f"{hi(f'({y} + {hw})')} AS y_hi FROM customer)"
     )
