@@ -95,9 +95,20 @@ class DataStore:
             df = df.where(F.expr(where))
         return df
 
-    def sql(self, query: str) -> DataFrame:
-        """GWQL path (§3.2): plain Spark SQL over the registered views,
-        with the Geom*/text predicate functions available."""
+    def sql(self, query: str, rewrite: bool = True) -> DataFrame:
+        """GWQL path (§3.2): Spark SQL over the registered views with
+        the Geom*/text predicate functions available. When the WHERE is
+        a single Geom* predicate joining two views, the plan is rerouted
+        through the indexed general-geometry join (the SqlQueryRunner
+        analog, plans/sql_rewrite.py) — otherwise a spatial SQL join
+        would execute as a cartesian product with a per-row UDF filter,
+        the reference's exact motivation (SqlQueryRunner.java:91-246)."""
+        if rewrite:
+            from geowave_spark.plans.sql_rewrite import try_rewrite_spatial_sql
+
+            routed = try_rewrite_spatial_sql(self.spark, query)
+            if routed is not None:
+                return routed
         return self.spark.sql(query)
 
     # ------------------------------------------------------- aggregates

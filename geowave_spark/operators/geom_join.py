@@ -230,12 +230,23 @@ def geom_geom_join(
     if broadcast_right is None or broadcast_right:
         r = F.broadcast(r)
 
-    rres_dim = r.select(F.col("_rres").alias("_jres")).distinct()
-    lres_dim = l.select(F.col("_lres").alias("_jres")).distinct()
+    # collect the distinct res sets driver-side — tiny bounded lists,
+    # the "collect distinct tiers per side" step of the reference
+    # (TieredSpatialJoin.java:174-191). Emitting them as literal-array
+    # filter+explode keeps every join in the plan a pure equi-join (no
+    # BroadcastNestedLoopJoin even for the res fan-out).
+    rres_vals = sorted(x[0] for x in r.select("_rres").distinct().collect())
+    lres_vals = sorted(x[0] for x in l.select("_lres").distinct().collect())
+
+    def _res_fanout(res_col: Column, vals, strict: bool) -> Column:
+        arr = F.array(*[F.lit(int(v)) for v in vals])
+        if strict:
+            return F.explode(F.filter(arr, lambda x: x < res_col))
+        return F.explode(F.filter(arr, lambda x: x <= res_col))
 
     # branch 1: right res ≤ left res — coarsen left to each right res
     l1 = (
-        l.join(F.broadcast(rres_dim), F.col("_jres") <= F.col("_lres"))
+        l.withColumn("_jres", _res_fanout(F.col("_lres"), rres_vals, False))
         .withColumn(
             "_jcell",
             F.explode(_coarsen_to(F.col("_lcells"), F.col("_lres") - F.col("_jres"))),
@@ -247,7 +258,7 @@ def geom_geom_join(
 
     # branch 2: right strictly finer — coarsen right to each left res
     r2 = (
-        r.join(F.broadcast(lres_dim), F.col("_jres") < F.col("_rres"))
+        r.withColumn("_jres", _res_fanout(F.col("_rres"), lres_vals, True))
         .withColumn(
             "_jcell",
             F.explode(_coarsen_to(F.col("_rcells"), F.col("_rres") - F.col("_jres"))),
@@ -336,8 +347,18 @@ def geom_point_join(
     )
     if broadcast_geoms is None or broadcast_geoms:
         g = F.broadcast(g)
-    res_dim = g.select("res").distinct()
-    keyed = points_keyed_by_res(points, res_dim)
+    # distinct-res collect (tiny, bounded) → literal explode: every
+    # point re-keys at each geometry res with no dimension join at all
+    res_vals = sorted(x[0] for x in g.select("res").distinct().collect())
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.operators.spatial_join import _factor_for_res
+
+    pts = points.withColumn(
+        "_pcell", cell_col(F.col("x_u"), F.col("y_u"), POINT_RES)
+    ).withColumn("res", F.explode(F.array(*[F.lit(int(v)) for v in res_vals])))
+    keyed = pts.withColumn(
+        "_jcell", F.call_function("div", F.col("_pcell"), _factor_for_res(F.col("res")))
+    )
 
     j = keyed.join(
         g.withColumnRenamed("res", "_gres"),
