@@ -692,6 +692,48 @@ def _q_poly_nonconvex(spark, sf):
     return polygon_query(events_points(spark, sf), u).select("event_id")
 
 
+# ------------------------------------------------- stored-key index paths
+# Write-time key materialization + sorted layout (plans/store.py): the
+# coarse constraint lands on STORED columns, so parquet row-group
+# pruning applies — the reference's actual storage model, vs the
+# derived-expression twins (xz_extent, bbox, bbox_time) which re-derive
+# keys per query.
+
+
+def _q_xz_extent_keyed(spark, sf):
+    """xz_extent through the stored (res, ax, ay) table + sargable
+    per-res range disjunction (keyed=True path of index/xz.py)."""
+    from geowave_spark.index.xz import xz_extent_query
+    from geowave_spark.plans.store import xz_extent_store
+
+    x0, y0, x1, y1 = BBOX
+    return xz_extent_query(
+        xz_extent_store(spark, sf), x0, y0, x1, y1, keyed=True
+    ).select("c_custkey")
+
+
+def _q_st_bbox_time(spark, sf):
+    """Spatial-temporal composite index in the query path: DAY bin +
+    Morton cell both in the scan predicate (not a post-filter)."""
+    from geowave_spark.plans.store import st_bbox_time_query, st_store
+
+    x0, y0, x1, y1 = BBOX
+    return st_bbox_time_query(
+        st_store(spark, sf), x0, y0, x1, y1, T_LO, T_HI
+    ).select("event_id")
+
+
+def _q_hilbert_bbox(spark, sf):
+    """bbox range scan over the stored Hilbert point index — the
+    reference's default point curve as a live index option."""
+    from geowave_spark.plans.store import hilbert_bbox_query, hilbert_store
+
+    x0, y0, x1, y1 = BBOX
+    return hilbert_bbox_query(hilbert_store(spark, sf), x0, y0, x1, y1).select(
+        "event_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -754,6 +796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_contains": _q_pred_contains,
         "pred_within": _q_pred_within,
         "poly_nonconvex": _q_poly_nonconvex,
+        "xz_extent_keyed": _q_xz_extent_keyed,
+        "st_bbox_time": _q_st_bbox_time,
+        "hilbert_bbox": _q_hilbert_bbox,
     }
 
 
@@ -954,6 +999,14 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"AND {a_cov_c}",
         "pred_within": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE {_penta_halfplane_sql('x_u', 'y_u', strict=True)}",
+        "xz_extent_keyed": f"WITH {_boxes_cte()} SELECT c_custkey FROM boxes "
+        f"WHERE x_lo <= {BBOX[2]} AND x_hi >= {BBOX[0]} "
+        f"AND y_lo <= {BBOX[3]} AND y_hi >= {BBOX[1]}",
+        "st_bbox_time": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
+        "hilbert_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",

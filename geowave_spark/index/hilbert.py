@@ -66,3 +66,57 @@ def hilbert_decode(d, res: int):
     if scalar:
         return int(x[0]), int(y[0])
     return x, y
+
+
+def hilbert_ranges(
+    x_lo_u: int,
+    y_lo_u: int,
+    x_hi_u: int,
+    y_hi_u: int,
+    res: int,
+    max_ranges: int = 64,
+) -> tuple[tuple[int, int], ...]:
+    """Decompose a bbox into ≤ ~max_ranges contiguous HILBERT ranges at
+    ``res`` — the HilbertSFC.decomposeRange analog
+    (core/index/.../sfc/hilbert/HilbertSFC.java:186-211, backtracking
+    query builder). Same quad-tree descent as zorder.bbox_ranges; the
+    self-similarity of the curve makes every depth-k quad node a
+    contiguous hilbert interval [m·4^(res-k), (m+1)·4^(res-k)) where m
+    is the node's hilbert index on the depth-k curve."""
+    from geowave_spark.index.zorder import grid_coord
+
+    gx_lo = grid_coord(x_lo_u, res)
+    gx_hi = grid_coord(x_hi_u, res)
+    gy_lo = grid_coord(y_lo_u, res)
+    gy_hi = grid_coord(y_hi_u, res)
+
+    out: list[tuple[int, int]] = []
+    stack = [(0, 0, 0)]
+    while stack:
+        node_res, nx, ny = stack.pop()
+        k = res - node_res
+        side = 1 << k
+        cx_lo, cx_hi = nx << k, ((nx + 1) << k) - 1
+        cy_lo, cy_hi = ny << k, ((ny + 1) << k) - 1
+        if cx_hi < gx_lo or cx_lo > gx_hi or cy_hi < gy_lo or cy_lo > gy_hi:
+            continue
+        m = 0 if node_res == 0 else hilbert_encode(nx, ny, node_res)
+        lo = m * side * side
+        hi = lo + side * side - 1
+        fully_inside = (
+            cx_lo >= gx_lo and cx_hi <= gx_hi and cy_lo >= gy_lo and cy_hi <= gy_hi
+        )
+        if fully_inside or node_res == res or len(out) + len(stack) >= max_ranges:
+            out.append((lo, hi))
+            continue
+        for q in range(4):
+            stack.append((node_res + 1, (nx << 1) | (q & 1), (ny << 1) | (q >> 1)))
+
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return tuple((lo, hi) for lo, hi in merged)

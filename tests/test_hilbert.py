@@ -50,3 +50,32 @@ def test_vectorized_matches_scalar():
     assert np.array_equal(ys, gy)
     for i in range(0, 500, 83):
         assert int(d[i]) == hilbert_encode(int(gx[i]), int(gy[i]), 12)
+
+
+def test_hilbert_ranges_exact_and_bounded():
+    """Unbounded decomposition == exact hilbert cell set of the rect;
+    bounded decomposition is a superset with ≤ ~max_ranges ranges
+    (HilbertSFC.decomposeRange parity)."""
+    import numpy as np
+
+    from geowave_spark.index.hilbert import hilbert_encode, hilbert_ranges
+    from geowave_spark.index.zorder import grid_coord
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        res = int(rng.integers(2, 9))
+        x0, x1 = sorted(rng.integers(-180_000_000, 180_000_000, 2).tolist())
+        y0, y1 = sorted(rng.integers(-180_000_000, 180_000_000, 2).tolist())
+        gx0, gx1 = int(grid_coord(x0, res)), int(grid_coord(x1, res))
+        gy0, gy1 = int(grid_coord(y0, res)), int(grid_coord(y1, res))
+        gx, gy = np.meshgrid(np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1))
+        exact = set(hilbert_encode(gx.ravel(), gy.ravel(), res).tolist())
+        covered = set()
+        for lo, hi in hilbert_ranges(x0, y0, x1, y1, res, max_ranges=10**9):
+            covered.update(range(lo, hi + 1))
+        assert covered == exact
+        bcov = set()
+        br = hilbert_ranges(x0, y0, x1, y1, res, max_ranges=8)
+        for lo, hi in br:
+            bcov.update(range(lo, hi + 1))
+        assert exact <= bcov and len(br) <= 16
