@@ -734,6 +734,23 @@ def _q_hilbert_bbox(spark, sf):
     )
 
 
+PHASH_HAM_T = 7
+
+
+def _q_phash_dedup(spark, sf):
+    """Perceptual-hash image dedup: banded Hamming LSH over the phash
+    column of the synthetic image table (planted near-duplicates),
+    exact popcount verify. The oracle re-derives every phash from the
+    deterministic generator without reading bytes — a value match
+    proves the hash/decode path end-to-end (same pattern as
+    audio_stats)."""
+    from geowave_spark.operators.dedup import phash_hamming_pairs
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    return phash_hamming_pairs(imgs, max_hamming=PHASH_HAM_T)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -799,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz_extent_keyed": _q_xz_extent_keyed,
         "st_bbox_time": _q_st_bbox_time,
         "hilbert_bbox": _q_hilbert_bbox,
+        "phash_dedup": _q_phash_dedup,
     }
 
 
@@ -1007,10 +1025,30 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
         "hilbert_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
+        "phash_dedup": _phash_dedup_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",
     }
+
+
+def _phash_dedup_oracle() -> str:
+    """Brute-force Hamming pairs over the TRUE phash values, re-derived
+    driver-side from the deterministic image generator (no bytes read —
+    the audio_stats oracle pattern)."""
+    from geowave_spark.sources.images import dhash64, render_pixels
+
+    vals = ", ".join(
+        f"('img{i:012d}', {dhash64(render_pixels(i, RASTER_TS, RASTER_TS))})"
+        for i in range(RASTER_N)
+    )
+    return (
+        f"WITH ph(image_id, ph) AS (VALUES {vals}) "
+        "SELECT a.image_id AS id_a, b.image_id AS id_b, "
+        "CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming "
+        "FROM ph a, ph b WHERE a.image_id < b.image_id "
+        f"AND bit_count(xor(a.ph, b.ph)) <= {PHASH_HAM_T}"
+    )
 
 
 def _raster_tiles_oracle() -> str:

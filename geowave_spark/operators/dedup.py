@@ -237,3 +237,53 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard_x1000") >= int(threshold * 1000))
         .select("doc_a", "doc_b", "jaccard_x1000")
     )
+
+
+def phash_hamming_pairs(
+    df,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    bands: int = 8,
+    band_bits: int = 8,
+    max_hamming: int = 7,
+):
+    """Perceptual-hash near-duplicate image pairs via banded Hamming
+    LSH — the image-payload twin of minhash_lsh_pairs: split the
+    64-bit hash into ``bands`` bit-bands, equi-join on (band index,
+    band value), then verify exactly with a popcount of the XOR.
+
+    Completeness: a pair within ``max_hamming`` ≤ bands-1 differing
+    bits must leave at least one band untouched (pigeonhole), so the
+    banded candidate join finds EVERY qualifying pair — the verify
+    step only removes false candidates. The join is bucketed
+    (band-value equi-join, never all-pairs), the same scale shape as
+    the reference-era MinHash banding.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("completeness needs max_hamming <= bands - 1")
+    mask = (1 << band_bits) - 1
+    sig = df.select(F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"))
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("_ph"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", "_ph", F.posexplode(band_arr).alias("_b", "_v"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_ph").alias("_pha"), "_b", "_v"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_ph").alias("_phb"), "_b", "_v"
+    )
+    cand = (
+        a.join(b, ["_b", "_v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_pha").bitwiseXOR(F.col("_phb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

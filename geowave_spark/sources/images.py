@@ -34,7 +34,22 @@ SCHEMA = (
 
 
 def render_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic gradient + keyed noise pattern (uint8 grayscale)."""
+    """Deterministic gradient + keyed noise pattern (uint8 grayscale).
+
+    Every i ≡ 5 (mod 8) renders a slightly-perturbed copy of image
+    i-3 (a brightness nudge in one corner) — planted near-duplicates
+    whose difference hashes land within a few Hamming bits, the
+    fixture for perceptual-hash dedup. Fully deterministic, so the
+    DuckDB oracle re-derives the same phash values from this
+    generator."""
+    if i % 8 == 5 and i >= 3:
+        img = render_pixels(i - 3, w, h).copy()
+        q = max(h // 8, 1)
+        xs = (np.arange(9) * w) // 9  # the dhash sample columns
+        for t in range(1 + i % 5):
+            c = int(xs[(i // 8 + t) % 9])
+            img[:q, c] = (img[:q, c].astype(np.int32) + 101) % 256
+        return img.astype(np.uint8)
     yy, xx = np.mgrid[0:h, 0:w]
     grad = (xx * 255 // max(w - 1, 1) + yy * 255 // max(h - 1, 1)) // 2
     rng = np.random.default_rng(1_000_003 * i + 7)
