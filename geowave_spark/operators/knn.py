@@ -109,3 +109,119 @@ def knn_brute(
         .where(F.col("rank") <= k)
         .select("query_id", point_key, "dist2", "rank")
     )
+
+
+def knn_join(
+    points: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    res: int = 10,
+    point_key: str = "event_id",
+) -> DataFrame:
+    """Distributed kNN for LARGE query sets — queries live in a
+    DataFrame, no per-query driver state (the cutover target for
+    ``knn``'s driver-side ring loop, which collects per-ring counts and
+    would thrash the driver at thousands of queries).
+
+    Round r probes a 3×3 neighbor-cell ring at resolution ``res - r``
+    (coarsening doubles the covered distance while keeping 9 candidate
+    cells per query — the resolution ladder replaces the ring-radius
+    ladder). A query resolves once it has ≥ k candidates within one
+    cell span: every point that close is provably inside the ring, so
+    its exact top-k is already among the candidates. Unresolved
+    queries carry to the next (coarser) round; the only driver-side
+    signal is one emptiness check per round, bounded by ``res`` rounds.
+
+    Returns (query_id, point_key, dist2, rank), identical to knn()."""
+    from geowave_spark import WORLD_X_U
+    from geowave_spark.index.native import _spread_col, grid_coord_col
+    from geowave_spark import LAT_OFF_U, LON_OFF_U
+
+    out = None
+    remaining = queries_df.select("query_id", "qx", "qy")
+    for r in range(res + 1):
+        res_r = res - r
+        n_side = 1 << res_r
+        cell_span = WORLD_X_U >> res_r
+
+        gx0 = grid_coord_col(F.col("qx"), res_r, LON_OFF_U)
+        gy0 = grid_coord_col(F.col("qy"), res_r, LAT_OFF_U)
+
+        def clamp(g):
+            return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
+
+        spread = remaining.select(
+            "query_id",
+            "qx",
+            "qy",
+            *[
+                _spread_col(clamp(gx0 + d)).alias(f"_sx{i}")
+                for i, d in enumerate((-1, 0, 1))
+            ],
+            *[
+                F.shiftleft(_spread_col(clamp(gy0 + d)), 1).alias(f"_sy{i}")
+                for i, d in enumerate((-1, 0, 1))
+            ],
+        )
+        cells = F.array_distinct(
+            F.array(
+                *[
+                    F.col(f"_sx{i}").bitwiseOR(F.col(f"_sy{j}"))
+                    for i in range(3)
+                    for j in range(3)
+                ]
+            )
+        )
+        qring = F.broadcast(
+            spread.select("query_id", "qx", "qy", F.explode(cells).alias("_cell"))
+        )
+        pts = points.withColumn(
+            "_cell", cell_col(F.col("x_u"), F.col("y_u"), res_r)
+        )
+        dx = F.col("x_u") - F.col("qx")
+        dy = F.col("y_u") - F.col("qy")
+        cand = pts.join(qring, "_cell").withColumn("dist2", dx * dx + dy * dy)
+
+        safe2 = F.lit(int(cell_span) * int(cell_span))
+        w = Window.partitionBy("query_id").orderBy("dist2", point_key)
+        ranked = cand.withColumn("rank", F.row_number().over(w))
+        resolved = (
+            ranked.where((F.col("rank") <= k) & (F.col("dist2") <= safe2))
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") >= k)
+            .select("query_id")
+        )
+        hit = (
+            ranked.join(F.broadcast(resolved), "query_id")
+            .where(F.col("rank") <= k)
+            .select("query_id", point_key, "dist2", "rank")
+        )
+        out = hit if out is None else out.unionByName(hit)
+        remaining = remaining.join(resolved, "query_id", "leftanti").persist()
+        if res_r == 0 or not remaining.take(1):
+            break
+    return out
+
+
+KNN_DISTRIBUTED_CUTOVER = 64
+
+
+def knn_auto(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: list[tuple[int, int, int]],
+    k: int,
+    **kw,
+) -> DataFrame:
+    """Route small query sets through the driver-ring knn() and large
+    ones through the distributed knn_join() — the documented cutover
+    (driver-side ring counts are fine for a handful of queries, a
+    scale hazard for thousands)."""
+    if len(queries) <= KNN_DISTRIBUTED_CUTOVER:
+        return knn(spark, points, queries, k, **kw)
+    qdf = spark.createDataFrame(
+        [(int(q), int(x), int(y)) for q, x, y in queries],
+        "query_id long, qx long, qy long",
+    )
+    return knn_join(points, qdf, k, point_key=kw.get("point_key", "event_id"))

@@ -172,3 +172,80 @@ def stateful_user_stats(
     return keyed.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ------------------------------------------------------ source abstraction
+
+
+def open_stream(spark: SparkSession, source: dict, schema: StructType | str | None = None) -> DataFrame:
+    """Open a streaming source from a spec dict — the reference's
+    format-plugin seam (extensions/formats/*; BasicKafkaIT.java wires
+    Kafka through the same adapter/index write path as files). The
+    returned DataFrame always carries the EVENT schema, so every
+    downstream stage (indexing, windowing, dedupe, sinks) is
+    source-agnostic:
+
+      {"format": "file",  "path": dir, "ext": "parquet"}
+      {"format": "kafka", "options": {"kafka.bootstrap.servers": ...,
+                                      "subscribe": topic}}
+          — value bytes parsed as JSON into ``schema``
+      {"format": "rate",  "options": {"rowsPerSecond": "500"}}
+          — the embedded test harness: the monotonically increasing
+            ``value`` becomes the event key and the event fields are
+            derived with the same deterministic integer arithmetic as
+            the batch fixtures (sources.testgeo.xy_cols), so assertions
+            can recompute every expected row
+    """
+    fmt = source["format"]
+    opts = source.get("options", {})
+    if fmt == "file":
+        return (
+            spark.readStream.schema(schema)
+            .format(source.get("ext", "parquet"))
+            .load(source["path"])
+        )
+    if fmt == "kafka":
+        raw = spark.readStream.format("kafka").options(**opts).load()
+        parsed = raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("_e")
+        )
+        return parsed.select("_e.*")
+    if fmt == "rate":
+        from geowave_spark.sources.testgeo import xy_cols
+
+        raw = spark.readStream.format("rate").options(**opts).load()
+        x, y = xy_cols(F.col("value"))
+        return raw.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 97).alias("user_id"),
+            x,
+            y,
+        )
+    raise ValueError(f"unknown stream source format {fmt!r}")
+
+
+def stream_ingest_source(
+    spark: SparkSession,
+    source: dict,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str | None = None,
+    res: int = 16,
+    available_now: bool = True,
+):
+    """Source-agnostic indexed append ingest: open_stream → the same
+    native cell-assignment expression as batch indexing → parquet
+    append sink. With a Kafka spec this is BasicKafkaIT end-to-end;
+    with the rate spec it is the embedded-broker stand-in the tests
+    drive."""
+    indexed = indexed_stream(open_stream(spark, source, schema), res)
+    writer = (
+        indexed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

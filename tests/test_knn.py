@@ -29,3 +29,23 @@ def test_knn_matches_brute(spark, points, k):
         exp[["query_id", "event_id", "dist2", "rank"]]
     )
     assert len(got) == k * len(QUERIES)
+
+
+def test_knn_join_matches_brute_large_queryset(spark):
+    """Distributed knn_join (resolution-ladder rounds, no per-query
+    driver state) must equal brute force over a large query set."""
+    from geowave_spark.operators.knn import knn_brute, knn_join
+    from geowave_spark.sources.testgeo import events_points
+
+    pts = events_points(spark, "/root/testdata/sf0.001")
+    queries = [(i, (i * 7_919_993) % 300_000_000 - 150_000_000,
+                (i * 3_644_437) % 150_000_000 - 75_000_000) for i in range(150)]
+    qdf = spark.createDataFrame(
+        [(int(q), int(x), int(y)) for q, x, y in queries],
+        "query_id long, qx long, qy long",
+    )
+    got = knn_join(pts, qdf, 5)
+    exp = knn_brute(spark, pts, queries, 5)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in exp.collect()}
+    assert g == e
