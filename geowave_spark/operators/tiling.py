@@ -147,11 +147,18 @@ def cut_tile(
     """Resample the overlapping part of ``img`` (covering img_box in µdeg,
     row 0 = north/y_hi) into the (level, tx, ty) tile; background fill
     outside the footprint — the MosaicPerPyramidLevelBuilder per-cell cut
-    (RasterDataAdapter.java:552-830), nearest-neighbor, integer math."""
+    (RasterDataAdapter.java:552-830), nearest-neighbor, integer math.
+
+    Multi-band / typed: ``img`` may be (h, w) or (h, w, bands) of any
+    sample dtype (the DataBuffer type generality of
+    RasterDataAdapter.java:444-550); ``background`` may be a scalar or
+    a per-band sequence (backgroundValuesPerBand). The output keeps the
+    input's band shape and dtype."""
     ix_lo, iy_lo, ix_hi, iy_hi = img_box
     tx_lo, ty_lo, tx_hi, ty_hi = _tile_bounds(level, tx, ty)
     h, w = img.shape[:2]
-    out = np.full((tile_size, tile_size), background, dtype=np.uint8)
+    out = np.empty((tile_size, tile_size) + img.shape[2:], dtype=img.dtype)
+    out[...] = np.asarray(background, dtype=img.dtype)
     # tile pixel centers in µdeg
     px = tx_lo + ((np.arange(tile_size) * 2 + 1) * (tx_hi - tx_lo)) // (2 * tile_size)
     py = ty_hi - ((np.arange(tile_size) * 2 + 1) * (ty_hi - ty_lo)) // (2 * tile_size)
@@ -163,8 +170,19 @@ def cut_tile(
     if mx.any() and my.any():
         sub = img[np.clip(sy, 0, h - 1)][:, np.clip(sx, 0, w - 1)]
         mask = my[:, None] & mx[None, :]
+        if img.ndim == 3:
+            mask = mask[:, :, None]
         out = np.where(mask, sub, out)
     return out
+
+
+def merge_no_data(acc: np.ndarray, tile: np.ndarray, no_data=NO_DATA) -> np.ndarray:
+    """NoDataMergeStrategy per-sample merge: a sample in ``acc`` equal
+    to its band's no-data value is filled from ``tile`` (first
+    non-no-data writer wins — merge/nodata/NoDataMergeStrategy.java).
+    ``no_data`` may be scalar or per-band."""
+    nd = np.asarray(no_data, dtype=acc.dtype)
+    return np.where(acc == nd, tile, acc)
 
 
 def tile_cut_and_merge(

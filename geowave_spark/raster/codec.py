@@ -95,3 +95,38 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+_RAW2_MAGIC = b"RAW2"
+_DTYPES = ["uint8", "int16", "uint16", "int32", "float32", "float64"]
+
+
+def encode_raw_typed(img: np.ndarray) -> bytes:
+    """Typed multi-band container: magic + dtype code + h,w,c — the
+    DataBuffer-type generality of the reference's RasterTile payloads
+    (extensions/adapters/raster/.../RasterTile.java, DataBuffer types)."""
+    import struct
+
+    name = str(img.dtype)
+    if name not in _DTYPES:
+        raise ValueError(f"unsupported sample dtype {name}")
+    if img.ndim == 2:
+        h, w = img.shape
+        c = 1
+    else:
+        h, w, c = img.shape
+    return (
+        _RAW2_MAGIC
+        + struct.pack("<IIII", _DTYPES.index(name), h, w, c)
+        + np.ascontiguousarray(img).tobytes()
+    )
+
+
+def decode_raw_typed(data: bytes) -> np.ndarray:
+    import struct
+
+    if bytes(data[:4]) != _RAW2_MAGIC:
+        raise ValueError("not RAW2")
+    d, h, w, c = struct.unpack_from("<IIII", data, 4)
+    img = np.frombuffer(data, dtype=_DTYPES[d], offset=20).reshape(h, w, c)
+    return img[:, :, 0] if c == 1 else img

@@ -181,3 +181,52 @@ def test_tile_cut_and_merge_shuffled_input_invariance(spark, images):
     else:
         r = raw.sort_values(key).reset_index(drop=True)
         assert all(x == y for x, y in zip(b["tile"], r["tile"]))
+
+
+def test_multiband_typed_cut_and_merge_golden():
+    """Multi-band int16 tiles with per-band background values and
+    per-band no-data first-wins merge — analytically-known expected
+    pixels (the GeoWaveBasicRasterIT.testNoDataMergeStrategy pattern
+    generalized beyond single-band uint8)."""
+    from geowave_spark.operators.tiling import cut_tile, merge_no_data
+    from geowave_spark.raster.codec import decode_raw_typed, encode_raw_typed
+
+    level, tx, ty = 6, 20, 30
+    n = 1 << level
+    tx_lo = tx * WORLD_X_U // n - LON_OFF_U
+    tx_hi = (tx + 1) * WORLD_X_U // n - LON_OFF_U
+    ty_lo = ty * WORLD_X_U // n - LAT_OFF_U
+    ty_hi = (ty + 1) * WORLD_X_U // n - LAT_OFF_U
+    span = tx_hi - tx_lo
+
+    bg = (-7, 1000)  # per-band background / no-data values
+    img_a = np.zeros((16, 16, 2), dtype=np.int16)
+    img_a[:, :, 0] = 50
+    img_a[:, :, 1] = -300
+    img_b = np.zeros((16, 16, 2), dtype=np.int16)
+    img_b[:, :, 0] = 99
+    img_b[:, :, 1] = 77
+
+    # codec round-trip is bit-exact for typed multi-band payloads
+    assert np.array_equal(decode_raw_typed(encode_raw_typed(img_a)), img_a)
+
+    box_a = (tx_lo, ty_lo, tx_lo + span // 2, ty_hi)  # west half
+    box_b = (tx_lo, ty_lo, tx_hi, ty_hi)  # full tile
+    ta = cut_tile(img_a, box_a, level, tx, ty, tile_size=32, background=bg)
+    tb = cut_tile(img_b, box_b, level, tx, ty, tile_size=32, background=bg)
+    assert ta.shape == (32, 32, 2) and ta.dtype == np.int16
+
+    merged = merge_no_data(ta, tb, no_data=bg)
+    west = merged[:, : 16 - 1]
+    east = merged[:, 16 + 1 :]
+    assert (west[:, :, 0] == 50).all() and (west[:, :, 1] == -300).all()
+    assert (east[:, :, 0] == 99).all() and (east[:, :, 1] == 77).all()
+
+    # a band-0 sample that HITS the no-data value in the first writer
+    # is filled from the second, independently per band
+    img_c = img_a.copy()
+    img_c[:, :, 0] = -7  # band 0 writes no-data; band 1 stays -300
+    tc = cut_tile(img_c, box_a, level, tx, ty, tile_size=32, background=bg)
+    merged2 = merge_no_data(tc, tb, no_data=bg)
+    assert (merged2[:, : 16 - 1, 0] == 99).all()  # band 0 filled from b
+    assert (merged2[:, : 16 - 1, 1] == -300).all()  # band 1 kept from c
