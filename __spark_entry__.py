@@ -573,22 +573,42 @@ GEOM_DWITHIN_U = 1_000_000
 U_NX0, U_NX1, U_NY0 = -20_000_000, 20_000_000, 0
 
 
+_GEOM_FIXTURE_CACHE: dict = {}
+
+
+def _fixture_cached(tag, sf, build):
+    """Session-lifetime persisted fixtures: the WKB-construction UDF
+    runs once per (fixture, sf) instead of once per join side per
+    query (geometry tables would be stored parquet in production).
+    Keyed by the active SparkSession so a restarted session rebuilds
+    instead of reusing handles from a stopped one."""
+    from pyspark.sql import SparkSession
+
+    key = (id(SparkSession.getActiveSession()), tag, sf)
+    df = _GEOM_FIXTURE_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        df.count()
+        _GEOM_FIXTURE_CACHE[key] = df
+    return df
+
+
 def _lshapes(spark, sf):
     from geowave_spark.sources.testgeo import supplier_lshapes
 
-    return supplier_lshapes(spark, sf)
+    return _fixture_cached("lshapes", sf, lambda: supplier_lshapes(spark, sf))
 
 
 def _tracks(spark, sf):
     from geowave_spark.sources.testgeo import part_tracks
 
-    return part_tracks(spark, sf)
+    return _fixture_cached("tracks", sf, lambda: part_tracks(spark, sf))
 
 
 def _snapped(spark, sf):
     from geowave_spark.sources.testgeo import customer_snapped_boxes
 
-    return customer_snapped_boxes(spark, sf)
+    return _fixture_cached("snapped", sf, lambda: customer_snapped_boxes(spark, sf))
 
 
 def _q_geom_poly_join(spark, sf):

@@ -63,16 +63,32 @@ def main():
         "sim_topk",
         "xz_join",
         "xz_extent",
+        "xz_extent_keyed",
+        "st_bbox_time",
+        "hilbert_bbox",
         "split_plan",
         "audio_stats",
         "frame_sample",
+        "geom_poly_join",
+        "geom_line_join",
+        "geom_crosses_join",
+        # geom_dwithin_join is correctness-gated at sf0.01 but excluded
+        # here: at sf0.1 the hotspot fixture makes its TRUE result set
+        # ~16M pairs (every clustered point within 1° of every clustered
+        # track) — an output-bound query, not an operator benchmark
+        "pred_contains",
+        "phash_dedup",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
     # parquet footer caches) amortize over hours on a real cluster and
-    # would otherwise be billed to whichever query happens to run first
+    # would otherwise be billed to whichever query happens to run first.
+    # Stored-index materialization is a WRITE-path cost (ingest-time in
+    # production), so it is also excluded from query timings.
     qs["bbox"](spark, sf_dir).count()
     qs["spatial_join"](spark, sf_dir).count()
+    for warm in ("xz_extent_keyed", "st_bbox_time", "hilbert_bbox"):
+        qs[warm](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from geowave_spark.functions import register_all
 from geowave_spark.geom.wkb import Geometry
 from geowave_spark.operators.binning import bin_by_cell
-from geowave_spark.operators.knn import knn as _knn
+
 from geowave_spark.operators.nn_join import nn_self_join
 from geowave_spark.operators.spatial_join import box_point_join
 from geowave_spark.operators.spatial_query import (
@@ -136,8 +136,30 @@ class DataStore:
             self._types[points_name], self._types[extents_name], how=how, **kw
         )
 
+    def geom_join(
+        self,
+        left_name: str,
+        right_name: str,
+        predicate: str = "intersects",
+        how: str = "inner",
+        **kw,
+    ) -> DataFrame:
+        """General-geometry join (non-convex polygons, linestrings,
+        geometry×geometry) on any CompareOperation or within-distance —
+        the TieredSpatialJoin full surface. Sides must carry a WKB
+        ``geom`` column (override with left_geom/right_geom)."""
+        from geowave_spark.operators.geom_join import geom_geom_join
+
+        return geom_geom_join(
+            self._types[left_name], self._types[right_name], predicate, how=how, **kw
+        )
+
     def knn(self, name: str, queries: list, k: int, **kw) -> DataFrame:
-        return _knn(self.spark, self._types[name], queries, k, **kw)
+        """Routes large query sets through the distributed knn_join
+        automatically (operators.knn.knn_auto cutover)."""
+        from geowave_spark.operators.knn import knn_auto
+
+        return knn_auto(self.spark, self._types[name], queries, k, **kw)
 
     def nn_join(self, name: str, max_dist_u: int, k: int, **kw) -> DataFrame:
         return nn_self_join(self._types[name], max_dist_u, k, **kw)

@@ -673,6 +673,76 @@ def line_box_relate(chain: np.ndarray, bounds) -> tuple[bool, bool, bool, bool]:
     return bool(hit.any()), interior, outside, not outside
 
 
+def lines_box_relate_bulk(chains: list, bounds):
+    """Vectorized line_box_relate over MANY polylines at once: one
+    Liang-Barsky pass over the concatenation of every chain's segments,
+    then a bincount reduction per line. Returns four bool arrays
+    (intersects, interior_hit, outside_part, covered), one entry per
+    chain — the bulk kernel behind box×lines join refinement groups."""
+    x0, y0, x1, y1 = bounds
+    n = len(chains)
+    segs_per = np.array([len(c) - 1 for c in chains])
+    p = np.concatenate([c[:-1] for c in chains])
+    q = np.concatenate([c[1:] for c in chains])
+    seg_line = np.repeat(np.arange(n), segs_per)
+    d = q - p
+    t_lo = np.zeros(len(p))
+    t_hi = np.ones(len(p))
+    t_lo, t_hi = _clip_axis(p[:, 0], d[:, 0], x0, x1, t_lo, t_hi)
+    t_lo, t_hi = _clip_axis(p[:, 1], d[:, 1], y0, y1, t_lo, t_hi)
+    hit = t_lo <= t_hi
+    tm = (t_lo + t_hi) / 2
+    mx = p[:, 0] + tm * d[:, 0]
+    my = p[:, 1] + tm * d[:, 1]
+    interior_seg = hit & (mx > x0) & (mx < x1) & (my > y0) & (my < y1)
+    verts = np.concatenate(chains)
+    vert_line = np.repeat(np.arange(n), [len(c) for c in chains])
+    out_vert = (
+        (verts[:, 0] < x0) | (verts[:, 0] > x1) | (verts[:, 1] < y0) | (verts[:, 1] > y1)
+    )
+    inter = np.bincount(seg_line, weights=hit, minlength=n) > 0
+    interior = np.bincount(seg_line, weights=interior_seg, minlength=n) > 0
+    outside = np.bincount(vert_line, weights=out_vert, minlength=n) > 0
+    return inter, interior, outside, ~outside
+
+
+def line_boxes_relate_bulk(chain: np.ndarray, bounds_arr: np.ndarray):
+    """One polyline × MANY boxes: Liang-Barsky over the (segments ×
+    boxes) grid. ``bounds_arr`` is (B, 4) [x0, y0, x1, y1]; returns
+    per-box (intersects, interior_hit, outside_part, covered)."""
+    x0 = bounds_arr[:, 0][None, :]
+    y0 = bounds_arr[:, 1][None, :]
+    x1 = bounds_arr[:, 2][None, :]
+    y1 = bounds_arr[:, 3][None, :]
+    p, q = chain[:-1], chain[1:]
+    d = q - p
+    px, py = p[:, 0][:, None], p[:, 1][:, None]
+    dx, dy = d[:, 0][:, None], d[:, 1][:, None]
+    t_lo = np.zeros((len(p), bounds_arr.shape[0]))
+    t_hi = np.ones_like(t_lo)
+    for pv, dv, lo, hi in ((px, dx, x0, x1), (py, dy, y0, y1)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (lo - pv) / dv
+            t2 = (hi - pv) / dv
+        tmin = np.minimum(t1, t2)
+        tmax = np.maximum(t1, t2)
+        zero = np.broadcast_to(dv == 0, t_lo.shape)
+        inside0 = (pv >= lo) & (pv <= hi)
+        t_lo = np.where(zero, np.where(inside0, t_lo, 1.0), np.maximum(t_lo, tmin))
+        t_hi = np.where(zero, np.where(inside0, t_hi, 0.0), np.minimum(t_hi, tmax))
+    hit = t_lo <= t_hi
+    tm = (t_lo + t_hi) / 2
+    mx = px + tm * dx
+    my = py + tm * dy
+    interior = hit & (mx > x0) & (mx < x1) & (my > y0) & (my < y1)
+    vx, vy = chain[:, 0][:, None], chain[:, 1][:, None]
+    out_vert = (vx < x0) | (vx > x1) | (vy < y0) | (vy > y1)
+    inter_b = hit.any(axis=0)
+    interior_b = interior.any(axis=0)
+    outside_b = out_vert.any(axis=0)
+    return inter_b, interior_b, outside_b, ~outside_b
+
+
 def points_distance_to_geom(xs, ys, g: Geometry) -> np.ndarray:
     """Planar distance from a batch of points to one geometry —
     vectorized over the (points × segments) grid; 0 inside areal g."""

@@ -191,6 +191,82 @@ def _line_box_eval(name: str, chain: np.ndarray, gb, line_first: bool) -> bool:
     raise ValueError(name)
 
 
+def _line_box_eval_arrays(name, inter, interior, outside, covered, line_first):
+    """Array form of _line_box_eval over per-line relate vectors."""
+    if name == "intersects":
+        return inter
+    if name == "disjoint":
+        return ~inter
+    if name == "crosses":
+        return interior & outside
+    if name == "touches":
+        return inter & ~interior
+    if name in ("overlaps", "equals"):
+        return np.zeros(len(inter), dtype=bool)
+    box_covers = covered
+    box_contains = covered & interior
+    if line_first:
+        if name == "within":
+            return box_contains
+        if name == "covered_by":
+            return box_covers
+        if name in ("contains", "covers"):
+            return np.zeros(len(inter), dtype=bool)
+    else:
+        if name == "contains":
+            return box_contains
+        if name == "covers":
+            return box_covers
+        if name in ("within", "covered_by"):
+            return np.zeros(len(inter), dtype=bool)
+    raise ValueError(name)
+
+
+def eval_one_to_many(
+    name: str,
+    fn,
+    g: Geometry,
+    geoms: list[Geometry],
+    many_first: bool,
+    distance_u: float | None = None,
+) -> np.ndarray:
+    """pred(m_i, g) (many_first) / pred(g, m_i) for a list of parsed
+    geometries — bulk kernels when shapes allow (all-lines × box via
+    one Liang-Barsky pass, all-boxes × box via bounds arithmetic),
+    per-geometry exact predicates otherwise. The join refinement calls
+    this once per UNIQUE (geometry, g) pair and gathers."""
+    from geowave_spark.geom.predicates import (
+        line_boxes_relate_bulk,
+        lines_box_relate_bulk,
+    )
+
+    if distance_u is not None:
+        return np.array([P.distance(m, g) <= distance_u for m in geoms], dtype=bool)
+    gb = _as_box_bounds(g)
+    if gb is not None and geoms:
+        if all(m.gtype == "LineString" for m in geoms):
+            rel = lines_box_relate_bulk([m.parts[0] for m in geoms], gb)
+            return _line_box_eval_arrays(name, *rel, many_first)
+        bb = [_as_box_bounds(m) for m in geoms]
+        if all(b is not None for b in bb):
+            arr = np.asarray(bb, dtype=np.float64)
+            return _box_group_eval(
+                name, gb, arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], many_first
+            )
+    if gb is None and g.gtype == "LineString" and geoms:
+        bb = [_as_box_bounds(m) for m in geoms]
+        if all(b is not None for b in bb):
+            # reversed orientation: one line (the group key) × many
+            # boxes — the line is the first predicate argument exactly
+            # when the boxes are NOT
+            rel = line_boxes_relate_bulk(g.parts[0], np.asarray(bb, dtype=np.float64))
+            return _line_box_eval_arrays(name, *rel, not many_first)
+    out = np.empty(len(geoms), dtype=bool)
+    for i, m in enumerate(geoms):
+        out[i] = fn(m, g) if many_first else fn(g, m)
+    return out
+
+
 _SYMMETRIC = {"intersects", "disjoint", "touches", "equals"}
 
 

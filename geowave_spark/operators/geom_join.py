@@ -71,6 +71,9 @@ from geowave_spark import X_SCALE
 
 DEFAULT_MAX_CELLS = 32
 
+# shared across UDF instances within a python worker (see _keys_udf)
+_POLYFILL_CACHE: dict = {}
+
 
 def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
     """(wkb) -> struct(res int, cells array<long>): the insertion-id
@@ -80,22 +83,30 @@ def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
     expands the cover outward for distance predicates (getBufferAmount
     semantics, TieredSpatialJoin.java:146,413-419)."""
 
-    cache: dict[bytes, tuple[int, list[int]]] = {}
+    params = (max_cells, finest_res, buffer_u)
 
     @F.pandas_udf("res int, cells array<long>")
     def run(wkbs: pd.Series) -> pd.DataFrame:
         from geowave_spark.geom.wkb import Geometry
 
+        # worker-lifetime MODULE-level cache (not a closure capture):
+        # Catalyst evaluates the struct UDF once per output field and
+        # python workers are reused across queries, so a shared cache
+        # makes the second field projection and repeated fixture keying
+        # near-free
+        cache = _POLYFILL_CACHE
         res_out = np.empty(len(wkbs), dtype=np.int32)
         cells_out = []
         for i, b in enumerate(wkbs):
-            bb = bytes(b)
+            bb = (params, bytes(b))
             hit = cache.get(bb)
             if hit is None:
-                if len(cache) >= 8192:
+                if len(cache) >= 65536:
                     cache.clear()
-                g = wkb_loads(bb)  # µdeg coordinates
+                g = wkb_loads(bb[1])  # µdeg coordinates
                 if buffer_u == 0:
+                    from geowave_spark.geom.udfs import _as_box_bounds
+
                     # polyfill operates in degrees — scale down once
                     g_deg = Geometry(
                         g.gtype, [p / X_SCALE for p in g.parts], g.poly_ring_counts
@@ -107,7 +118,10 @@ def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
                         ),
                         finest_res,
                     )
-                    cells = polyfill(g_deg, r)
+                    # axis-aligned rectangles: every bbox-cover cell
+                    # intersects the geometry — trimming is a no-op
+                    is_rect = _as_box_bounds(g) is not None
+                    cells = polyfill(g_deg, r, exact_trim=not is_rect)
                 else:
                     x0, y0, x1, y1 = g.bounds
                     x0, y0 = x0 - buffer_u, y0 - buffer_u
@@ -158,6 +172,49 @@ def _coarsen_to(cells: Column, d_res: Column) -> Column:
     return F.array_distinct(
         F.transform(cells, lambda c: F.call_function("div", c, factor))
     )
+
+
+def _pair_refine_by_keys_udf(l_bc, r_bc, predicate: str, distance_u: float | None):
+    """(left_key, right_key) -> bool: broadcast-dictionary pair
+    refinement — candidate rows carry only the two KEYS (16 B/row at
+    the Arrow boundary instead of two repeated WKB blobs), the payloads
+    ride task broadcasts, and each batch evaluates every distinct
+    (geometry, geometry) pair ONCE and gathers (hotspot candidate sets
+    repeat the same pair through many shared cells). Bulk kernels
+    (all-lines × box, all-boxes × box) come from eval_one_to_many."""
+    fn = P.PREDICATES.get(predicate)
+
+    @F.pandas_udf("boolean")
+    def run(lk: pd.Series, rk: pd.Series) -> pd.Series:
+        from geowave_spark.geom.udfs import eval_one_to_many, parse_cached
+
+        ldict = l_bc.value
+        rdict = r_bc.value
+        out = np.zeros(len(lk), dtype=bool)
+        codes_l, uniq_l = pd.factorize(lk)
+        codes_r, uniq_r = pd.factorize(rk)
+        # group by the side with fewer distinct geometries in this batch
+        if len(uniq_r) <= len(uniq_l):
+            codes_g, uniq_g, gdict = codes_r, uniq_r, rdict
+            codes_v, uniq_v, vdict, many_first = codes_l, uniq_l, ldict, True
+        else:
+            codes_g, uniq_g, gdict = codes_l, uniq_l, ldict
+            codes_v, uniq_v, vdict, many_first = codes_r, uniq_r, rdict, False
+        order = np.argsort(codes_g, kind="stable")
+        bounds = np.searchsorted(codes_g[order], np.arange(len(uniq_g) + 1))
+        for u_i in range(len(uniq_g)):
+            idx = order[bounds[u_i] : bounds[u_i + 1]]
+            if not len(idx):
+                continue
+            g = parse_cached(gdict[uniq_g[u_i]])
+            sub = codes_v[idx]
+            u_sub, inv = np.unique(sub, return_inverse=True)
+            geoms = [parse_cached(vdict[uniq_v[s]]) for s in u_sub]
+            res_u = eval_one_to_many(predicate, fn, g, geoms, many_first, distance_u)
+            out[idx] = res_u[inv]
+        return pd.Series(out)
+
+    return run
 
 
 def _pair_refine_udf(predicate: str, distance_u: float | None):
@@ -227,8 +284,24 @@ def geom_geom_join(
         "_rg",
         max_cells,
     ).withColumnRenamed("res", "_rres").withColumnRenamed("cells", "_rcells").persist()
-    if broadcast_right is None or broadcast_right:
-        r = F.broadcast(r)
+    use_broadcast = broadcast_right is None or broadcast_right
+    if use_broadcast:
+        # key-only candidates: both sides' WKB payloads ride task
+        # broadcasts (the strategy-broadcast pattern of
+        # TieredSpatialJoin.java:138-141); candidate rows carry 16 B of
+        # keys instead of two repeated geometry blobs, and refinement
+        # evaluates each distinct pair once per batch
+        sc = spark.sparkContext
+        l_bc = sc.broadcast(
+            {row[left_key]: bytes(row["_lg"]) for row in l.select(left_key, "_lg").collect()}
+        )
+        r_bc = sc.broadcast(
+            {row[right_key]: bytes(row["_rg"]) for row in r.select(right_key, "_rg").collect()}
+        )
+        l = l.drop("_lg")
+        r = F.broadcast(r.drop("_rg"))
+    else:
+        l_bc = r_bc = None
 
     # collect the distinct res sets driver-side — tiny bounded lists,
     # the "collect distinct tiers per side" step of the reference
@@ -268,15 +341,37 @@ def geom_geom_join(
     l2 = l.withColumn("_jcell", F.explode("_lcells")).drop("_lcells")
     cand2 = l2.join(r2, (F.col("_jres") == F.col("_lres")) & (l2["_jcell"] == r2["_jcell"]))
 
-    cols = [left_key, "_lg", right_key, "_rg"]
+    cols = (
+        [left_key, right_key]
+        if use_broadcast
+        else [left_key, "_lg", right_key, "_rg"]
+    )
     cand = cand1.select(*cols).unionByName(cand2.select(*cols))
     if pair_filter is not None:
         # e.g. key ordering for symmetric self-joins — applied BEFORE
         # the refine UDF so filtered pairs never reach Python
         cand = cand.where(pair_filter)
 
-    refined = cand.where(_pair_refine_udf(predicate, distance_u)(F.col("_lg"), F.col("_rg")))
-    matched = refined.select(left_key, right_key).dropDuplicates([left_key, right_key])
+    if use_broadcast:
+        # key-only rows are 16 B — dedupe the candidate pairs BEFORE
+        # refinement (cheap narrow shuffle) so each pair reaches the
+        # predicate exactly once; shared-cell duplication factors of
+        # 2-3× at hotspot scale would otherwise multiply the UDF work
+        cand = cand.dropDuplicates([left_key, right_key])
+        matched = cand.where(
+            _pair_refine_by_keys_udf(l_bc, r_bc, predicate, distance_u)(
+                F.col(left_key), F.col(right_key)
+            )
+        )
+    else:
+        # WKB-carrying rows are fat: refine first, dedupe the (smaller)
+        # match set — the reference's reduceByKey placement
+        refined = cand.where(
+            _pair_refine_udf(predicate, distance_u)(F.col("_lg"), F.col("_rg"))
+        )
+        matched = refined.select(left_key, right_key).dropDuplicates(
+            [left_key, right_key]
+        )
 
     if how == "inner":
         return matched
@@ -300,6 +395,35 @@ def _point_refine_udf(predicate: str, distance_u: float | None):
         for u_i in range(len(uniq)):
             idx = np.nonzero(codes == u_i)[0]
             geom = parse_cached(bytes(uniq[u_i]))
+            if distance_u is not None:
+                out[idx] = points_distance_to_geom(x[idx], y[idx], geom) <= distance_u
+            else:
+                out[idx] = points_pred_batch(predicate, geom, x[idx], y[idx])
+        return pd.Series(out)
+
+    return run
+
+
+def _point_refine_by_id_udf(geom_bc, predicate: str, distance_u: float | None):
+    """(geom_key, x_u, y_u) -> bool: the broadcast-dictionary variant —
+    candidate rows carry only the geometry KEY; the WKB payloads ride a
+    task broadcast once per executor (the reference broadcasts its
+    strategy/predicate the same way, TieredSpatialJoin.java:138-141).
+    At millions of candidates this cuts the Arrow boundary from
+    ~130 B/row of repeated WKB to 8 B/row."""
+
+    @F.pandas_udf("boolean")
+    def run(k: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        from geowave_spark.geom.udfs import parse_cached
+
+        geoms = geom_bc.value
+        out = np.zeros(len(k), dtype=bool)
+        x = xs.to_numpy(dtype=np.float64)
+        y = ys.to_numpy(dtype=np.float64)
+        codes, uniq = pd.factorize(k)
+        for u_i in range(len(uniq)):
+            idx = np.nonzero(codes == u_i)[0]
+            geom = parse_cached(geoms[uniq[u_i]])
             if distance_u is not None:
                 out[idx] = points_distance_to_geom(x[idx], y[idx], geom) <= distance_u
             else:
@@ -333,23 +457,37 @@ def geom_point_join(
     are boundary-inclusive, 'touches' keeps boundary-only contact.
     ``distance_u`` switches to a buffered-cover + exact-distance join
     (GeomWithinDistance semantics)."""
-    par = points.sparkSession.sparkContext.defaultParallelism
-    g = (
-        geom_keys(
-            geoms.select(F.col(geom_key), F.col(geom_col).alias("_g")).repartition(par),
-            "_g",
-            max_cells,
-            buffer_u=int(distance_u) if distance_u else 0,
+    sc = points.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    use_broadcast = broadcast_geoms is None or broadcast_geoms
+    keyed_geoms = geom_keys(
+        geoms.select(F.col(geom_key), F.col(geom_col).alias("_g")).repartition(par),
+        "_g",
+        max_cells,
+        buffer_u=int(distance_u) if distance_u else 0,
+    ).persist()
+    if use_broadcast:
+        # ship the WKB payloads ONCE per executor as a task broadcast
+        # and keep candidate rows key-only — repeated per-candidate WKB
+        # through the join + Arrow boundary was the dominant cost at
+        # millions of candidates (hotspot cells)
+        rows = keyed_geoms.select(geom_key, "_g").collect()
+        geom_bc = sc.broadcast({r[geom_key]: bytes(r["_g"]) for r in rows})
+        g = keyed_geoms.drop("_g")
+        refine = _point_refine_by_id_udf(geom_bc, predicate, distance_u)(
+            F.col(geom_key), F.col("x_u"), F.col("y_u")
         )
-        .withColumn("cell", F.explode("cells"))
-        .drop("cells")
-        .persist()
-    )
-    if broadcast_geoms is None or broadcast_geoms:
+    else:
+        g = keyed_geoms
+        refine = _point_refine_udf(predicate, distance_u)(
+            F.col("_g"), F.col("x_u"), F.col("y_u")
+        )
+    g = g.withColumn("cell", F.explode("cells")).drop("cells")
+    if use_broadcast:
         g = F.broadcast(g)
     # distinct-res collect (tiny, bounded) → literal explode: every
     # point re-keys at each geometry res with no dimension join at all
-    res_vals = sorted(x[0] for x in g.select("res").distinct().collect())
+    res_vals = sorted(x[0] for x in keyed_geoms.select("res").distinct().collect())
     from geowave_spark.index.native import cell_col
     from geowave_spark.operators.spatial_join import _factor_for_res
 
@@ -364,7 +502,7 @@ def geom_point_join(
         g.withColumnRenamed("res", "_gres"),
         (keyed["res"] == F.col("_gres")) & (keyed["_jcell"] == g["cell"]),
         "inner",
-    ).where(_point_refine_udf(predicate, distance_u)(F.col("_g"), F.col("x_u"), F.col("y_u")))
+    ).where(refine)
     matched = j.select(point_key, geom_key)
 
     if how == "inner":
