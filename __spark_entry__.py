@@ -754,6 +754,18 @@ def _q_hilbert_bbox(spark, sf):
     )
 
 
+def _q_ice_bbox(spark, sf):
+    """bbox scan over the snapshot-table (Iceberg-style) store: manifest
+    file pruning on the stored cell stats, then row-group pruning, then
+    exact refinement (sources/icetable.py)."""
+    from geowave_spark.plans.store import ice_bbox_query, ice_events_store
+
+    x0, y0, x1, y1 = BBOX
+    return ice_bbox_query(spark, ice_events_store(spark, sf), x0, y0, x1, y1).select(
+        "event_id"
+    )
+
+
 PHASH_HAM_T = 7
 
 
@@ -836,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz_extent_keyed": _q_xz_extent_keyed,
         "st_bbox_time": _q_st_bbox_time,
         "hilbert_bbox": _q_hilbert_bbox,
+        "ice_bbox": _q_ice_bbox,
         "phash_dedup": _q_phash_dedup,
     }
 
@@ -1044,6 +1057,8 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
         "hilbert_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
+        "ice_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "phash_dedup": _phash_dedup_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "

@@ -148,6 +148,60 @@ def st_bbox_time_query(
     )
 
 
+# ------------------------------------------------ snapshot (Iceberg) store
+
+
+def ice_events_store(spark: SparkSession, sf_dir: str, res: int = 16):
+    """Event points committed to the snapshot table format
+    (sources/icetable.py) sorted by the SFC cell, so the manifest's
+    per-file [min, max] cell stats are tight ranges — bbox scans prune
+    whole files from the manifest before Spark lists them, then
+    parquet row-group stats prune inside the kept files."""
+    import hashlib as _h
+
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.sources.icetable import IceTable
+    from geowave_spark.sources.testgeo import events_points
+
+    digest = _h.md5(f"ice_events:{sf_dir}:{res}".encode()).hexdigest()[:12]
+    t = IceTable(os.path.join(CACHE_ROOT, f"ice_events_{digest}"))
+    if t.current_snapshot_id() is None:
+        pts = events_points(spark, sf_dir).withColumn(
+            "cell", cell_col(F.col("x_u"), F.col("y_u"), res)
+        )
+        t.commit_write(
+            pts.repartitionByRange(8, "cell").sortWithinPartitions("cell"),
+            mode="overwrite",
+            stats_cols=["cell"],
+        )
+    return t
+
+
+def ice_bbox_query(
+    spark: SparkSession,
+    table,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    res: int = 16,
+    max_ranges: int = 8,
+) -> DataFrame:
+    """bbox query with THREE pruning levels: manifest file pruning on
+    the cell envelope, decomposed cell ranges into parquet row groups,
+    exact native refinement on the survivors."""
+    from geowave_spark.index.zorder import bbox_ranges
+    from geowave_spark.operators.spatial_query import cell_range_predicate
+
+    ranges = bbox_ranges(x_lo, y_lo, x_hi, y_hi, res, max_ranges)
+    lo = min(r[0] for r in ranges)
+    hi = max(r[1] for r in ranges)
+    df, _report = table.scan(spark, {"cell": (int(lo), int(hi))})
+    return df.where(cell_range_predicate(F.col("cell"), ranges)).where(
+        F.col("x_u").between(x_lo, x_hi) & F.col("y_u").between(y_lo, y_hi)
+    )
+
+
 # ----------------------------------------------------- hilbert point index
 
 

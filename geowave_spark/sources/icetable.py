@@ -1,0 +1,267 @@
+"""Iceberg-style snapshot table over parquet — the engine's table format.
+
+The north rule stores the input corpus and every stage output "to
+Iceberg". No Iceberg runtime jars ship in this sandbox, so this module
+implements the *format contract* the engine relies on, minimally and
+from scratch (public Iceberg spec concepts: snapshots, manifests with
+per-file column stats, atomic metadata swap, time travel):
+
+  <root>/metadata/version-hint.text      latest metadata version N
+  <root>/metadata/v<N>.metadata.json     snapshot log + current pointer
+  <root>/metadata/manifest-<snap>.json   file list + per-file stats
+  <root>/data/snap-<id>/part-*.parquet   immutable data files
+
+Guarantees the engine uses:
+
+- **Atomic commits**: data + manifest are written first; the commit is
+  the `os.replace` of version-hint (readers see the old or the new
+  snapshot, never a partial write). Appends never rewrite old files.
+- **Snapshot isolation / time travel**: `read(snapshot_id=...)` and
+  `rollback()` replay any historical state (a killed pipeline resumes
+  against the snapshot it planned on).
+- **Manifest file pruning**: per-file min/max column stats are read
+  from parquet FOOTERS at commit time (no data scan); `scan()` drops
+  whole files whose stat ranges miss the predicate before Spark ever
+  lists them — the file-skipping layer Iceberg adds on top of parquet
+  row-group pruning. At 100 TB this is the difference between listing
+  a few hundred files and a few hundred thousand.
+
+Composes with sources/layout.py (SFC sort order inside files) and
+plans/checkpoint.py (per-partition lineage): sort by the index key at
+write time and the manifest stats become tight cell ranges, so a bbox
+scan prunes at file, row-group, and row level.
+
+Reference parity: the KV backends' tablet/region pruning
+(core/store/.../operations/DataStoreOperations.java splits +
+SplitsProvider row-range histogram) — here expressed as table-format
+metadata instead of a live cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _json_safe(v):
+    if isinstance(v, (bytes, bytearray)):
+        return None
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _file_stats(path: str, stats_cols: list[str] | None) -> dict:
+    """Footer-only stats: rows + per-column [min, max] from row-group
+    metadata (never scans data pages)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).path for i in range(md.num_columns)]
+    want = set(stats_cols) if stats_cols is not None else set(names)
+    mins: dict = {}
+    maxs: dict = {}
+    ok: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            name = names[ci]
+            if name not in want:
+                continue
+            st = g.column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False
+                continue
+            ok.setdefault(name, True)
+            mn, mx = _json_safe(st.min), _json_safe(st.max)
+            if mn is None or mx is None:
+                ok[name] = False
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    stats = {
+        n: [mins[n], maxs[n]] for n in mins if ok.get(n) and n in maxs
+    }
+    return {
+        "path": path,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "stats": stats,
+    }
+
+
+class IceTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ------------------------------------------------------- metadata io
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def _version(self) -> int:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _metadata(self) -> dict:
+        v = self._version()
+        if v == 0:
+            return {"current_snapshot_id": None, "snapshots": []}
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.loads(f.read())
+
+    def _commit_metadata(self, meta: dict) -> None:
+        """Atomic swap: write v<N+1>, then os.replace the hint."""
+        v = self._version() + 1
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json"), "w") as f:
+            f.write(json.dumps(meta))
+        tmp = self._hint_path() + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._hint_path())
+
+    def _manifest(self, snapshot_id: int) -> list[dict]:
+        with open(os.path.join(self.meta_dir, f"manifest-{snapshot_id}.json")) as f:
+            return json.loads(f.read())
+
+    # ---------------------------------------------------------- snapshots
+
+    def snapshots(self) -> list[dict]:
+        return self._metadata()["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        return self._metadata()["current_snapshot_id"]
+
+    def files(self, snapshot_id: int | None = None) -> list[dict]:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return []
+        return self._manifest(sid)
+
+    # -------------------------------------------------------------- write
+
+    def commit_write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` as immutable data files and commit a snapshot.
+        ``mode`` 'append' unions the parent's file list; 'overwrite'
+        replaces it. Returns the new snapshot id."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(mode)
+        meta = self._metadata()
+        sid = (
+            max((s["id"] for s in meta["snapshots"]), default=0) + 1
+        )
+        data_dir = os.path.join(self.root, "data", f"snap-{sid:05d}")
+        df.write.mode("error").parquet(data_dir)
+        new_files = [
+            _file_stats(os.path.join(data_dir, fn), stats_cols)
+            for fn in sorted(os.listdir(data_dir))
+            if fn.endswith(".parquet")
+        ]
+        manifest = list(new_files)
+        if mode == "append" and meta["current_snapshot_id"] is not None:
+            manifest = self._manifest(meta["current_snapshot_id"]) + manifest
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+            f.write(json.dumps(manifest))
+        meta["snapshots"].append(
+            {
+                "id": sid,
+                "parent": meta["current_snapshot_id"],
+                "ts": time.time(),
+                "operation": mode,
+                "added_files": len(new_files),
+                "added_rows": sum(x["rows"] for x in new_files),
+            }
+        )
+        meta["current_snapshot_id"] = sid
+        self._commit_metadata(meta)
+        return sid
+
+    def rollback(self, snapshot_id: int) -> int:
+        """Commit a new snapshot whose state is a historical one (time
+        travel as a WRITE — the audit trail keeps going forward)."""
+        meta = self._metadata()
+        if snapshot_id not in {s["id"] for s in meta["snapshots"]}:
+            raise KeyError(snapshot_id)
+        sid = max(s["id"] for s in meta["snapshots"]) + 1
+        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+            f.write(json.dumps(self._manifest(snapshot_id)))
+        meta["snapshots"].append(
+            {
+                "id": sid,
+                "parent": meta["current_snapshot_id"],
+                "ts": time.time(),
+                "operation": f"rollback-to-{snapshot_id}",
+                "added_files": 0,
+                "added_rows": 0,
+            }
+        )
+        meta["current_snapshot_id"] = sid
+        self._commit_metadata(meta)
+        return sid
+
+    # --------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        files = self.files(snapshot_id)
+        if not files:
+            raise ValueError("empty table")
+        return spark.read.parquet(*[f["path"] for f in files])
+
+    def scan(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Manifest-pruned read: drop every file whose [min, max] for a
+        constrained column misses the range, BEFORE Spark lists it; the
+        residual range predicate still applies (parquet row-group
+        pruning inside kept files). ``ranges`` maps column -> (lo, hi)
+        inclusive; a None bound is open. Returns (df, report)."""
+        files = self.files(snapshot_id)
+        if not files:
+            raise ValueError("empty table")
+        kept, skipped_rows = [], 0
+        for fi in files:
+            keep = True
+            for col, (lo, hi) in ranges.items():
+                st = fi["stats"].get(col)
+                if st is None:
+                    continue  # no stats -> cannot prune, must read
+                if (hi is not None and st[0] > hi) or (
+                    lo is not None and st[1] < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                kept.append(fi)
+            else:
+                skipped_rows += fi["rows"]
+        report = {
+            "files_total": len(files),
+            "files_read": len(kept),
+            "rows_skipped": skipped_rows,
+        }
+        if not kept:
+            df = spark.read.parquet(files[0]["path"]).limit(0)
+        else:
+            df = spark.read.parquet(*[f["path"] for f in kept])
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.where(df[col] >= lo)
+            if hi is not None:
+                df = df.where(df[col] <= hi)
+        return df, report

@@ -1,0 +1,94 @@
+"""Snapshot-table (Iceberg-style format) contract tests: atomic
+commits, snapshot isolation / time travel, rollback, and manifest
+file pruning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.sources.icetable import IceTable
+
+
+def _mk(spark, lo, hi, parts=4):
+    return spark.range(lo, hi, numPartitions=parts).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t1"))
+    s1 = t.commit_write(_mk(spark, 0, 100), mode="overwrite", stats_cols=["id"])
+    s2 = t.commit_write(_mk(spark, 100, 250), mode="append", stats_cols=["id"])
+    assert t.read(spark).count() == 250
+    # time travel: snapshot 1 still readable, bit-identical
+    assert t.read(spark, snapshot_id=s1).count() == 100
+    assert t.read(spark, snapshot_id=s1).agg(F.max("id")).first()[0] == 99
+    # overwrite replaces the file list but old snapshots survive
+    s3 = t.commit_write(_mk(spark, 0, 10), mode="overwrite")
+    assert t.read(spark).count() == 10
+    assert t.read(spark, snapshot_id=s2).count() == 250
+    hist = t.snapshots()
+    assert [s["id"] for s in hist] == [s1, s2, s3]
+    assert hist[1]["parent"] == s1
+
+
+def test_rollback(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t2"))
+    s1 = t.commit_write(_mk(spark, 0, 50), mode="overwrite")
+    t.commit_write(_mk(spark, 50, 60), mode="overwrite")
+    s3 = t.rollback(s1)
+    assert t.current_snapshot_id() == s3
+    assert t.read(spark).count() == 50
+    # rollback is a forward-moving commit, not history rewrite
+    assert len(t.snapshots()) == 3
+
+
+def test_manifest_file_pruning(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t3"))
+    # sorted + range-partitioned write -> disjoint per-file id ranges
+    df = (
+        spark.range(0, 10_000, numPartitions=1)
+        .select(F.col("id"), (F.col("id") % 7).alias("val"))
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id")
+    )
+    t.commit_write(df, mode="overwrite", stats_cols=["id"])
+    got, report = t.scan(spark, {"id": (9_000, 9_100)})
+    assert got.count() == 101
+    assert report["files_total"] >= 8
+    assert report["files_read"] < report["files_total"]
+    assert report["rows_skipped"] > 0
+    # correctness against an unpruned read
+    full = t.read(spark).where(F.col("id").between(9_000, 9_100)).count()
+    assert got.count() == full
+    # empty intersection prunes everything but keeps the schema
+    empty, rep2 = t.scan(spark, {"id": (1_000_000, None)})
+    assert empty.count() == 0 and empty.columns == got.columns
+    assert rep2["files_read"] == 0
+
+
+def test_commit_is_atomic_metadata_swap(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t4"))
+    t.commit_write(_mk(spark, 0, 10), mode="overwrite")
+    v1 = int(open(os.path.join(t.meta_dir, "version-hint.text")).read())
+    t.commit_write(_mk(spark, 10, 20), mode="append")
+    v2 = int(open(os.path.join(t.meta_dir, "version-hint.text")).read())
+    assert v2 == v1 + 1
+    # every historical metadata version remains readable
+    assert os.path.exists(os.path.join(t.meta_dir, f"v{v1}.metadata.json"))
+    assert os.path.exists(os.path.join(t.meta_dir, f"v{v2}.metadata.json"))
+
+
+def test_binary_columns_have_no_stats_but_never_prune_wrong(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t5"))
+    df = spark.range(0, 20).select(
+        F.col("id"), F.encode(F.col("id").cast("string"), "utf-8").alias("payload")
+    )
+    t.commit_write(df, mode="overwrite", stats_cols=["id", "payload"])
+    for fi in t.files():
+        assert "payload" not in fi["stats"]  # binary -> no stats recorded
+    got, report = t.scan(spark, {"id": (5, 6)})
+    assert got.count() == 2
