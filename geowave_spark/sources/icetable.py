@@ -153,10 +153,14 @@ class IceTable:
         df: DataFrame,
         mode: str = "append",
         stats_cols: list[str] | None = None,
+        summary: dict | None = None,
     ) -> int:
         """Write ``df`` as immutable data files and commit a snapshot.
         ``mode`` 'append' unions the parent's file list; 'overwrite'
-        replaces it. Returns the new snapshot id."""
+        replaces it. ``summary`` is arbitrary JSON metadata recorded on
+        the snapshot entry (Iceberg snapshot-summary analog — the
+        checkpoint layer stores per-partition lineage there). Returns
+        the new snapshot id."""
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         meta = self._metadata()
@@ -183,6 +187,7 @@ class IceTable:
                 "operation": mode,
                 "added_files": len(new_files),
                 "added_rows": sum(x["rows"] for x in new_files),
+                "summary": summary or {},
             }
         )
         meta["current_snapshot_id"] = sid

@@ -92,3 +92,45 @@ def test_binary_columns_have_no_stats_but_never_prune_wrong(spark, tmp_path):
         assert "payload" not in fi["stats"]  # binary -> no stats recorded
     got, report = t.scan(spark, {"id": (5, 6)})
     assert got.count() == 2
+
+
+# -------------------------------------------- snapshot-backed stage store
+
+
+def test_ice_stage_store_resume_and_atomicity(spark, tmp_path):
+    from geowave_spark.plans.checkpoint import IceStageStore
+
+    store = IceStageStore(str(tmp_path / "ice_stages"))
+    calls = []
+    attempts = {3: 0}
+
+    def make(k):
+        calls.append(k)
+        if k == 3:
+            attempts[3] += 1
+            if attempts[3] == 1:
+                raise RuntimeError("simulated executor loss")
+        return spark.range(k * 10, k * 10 + 5).withColumn("v", F.col("id") * 2)
+
+    # killed mid-stage: partitions 1-2 committed, 3 never becomes visible
+    with pytest.raises(RuntimeError):
+        store.run_stage(spark, "s1", [1, 2, 3], make, fingerprint="fp1")
+    assert store.completed_keys("s1", "fp1") == {1, 2}
+
+    # resume computes ONLY the missing partition; output is complete
+    calls.clear()
+    out = store.run_stage(spark, "s1", [1, 2, 3], make, fingerprint="fp1")
+    assert calls == [3]
+    assert out.count() == 15
+    assert sorted(r.part_key for r in out.select("part_key").distinct().collect()) == [1, 2, 3]
+
+    # changed fingerprint -> full recompute, and the read excludes stale rows
+    calls.clear()
+    out2 = store.run_stage(spark, "s1", [1, 2], make, fingerprint="fp2")
+    assert sorted(calls) == [1, 2]
+    assert out2.count() == 10
+    # old snapshots stay time-travelable (lineage is never rewritten)
+    m = store.metrics("s1")
+    assert len(m) == 5 and all("wall_ms" in r and r["n_rows"] == 5 for r in m)
+    fps = [r["fingerprint"] for r in m]
+    assert fps.count("fp1") == 3 and fps.count("fp2") == 2
