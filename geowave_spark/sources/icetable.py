@@ -217,6 +217,72 @@ class IceTable:
         self._commit_metadata(meta)
         return sid
 
+    # -------------------------------------------------------- maintenance
+
+    def compact(
+        self,
+        spark: SparkSession,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Rewrite the current file set into ``target_files`` larger
+        files (Iceberg's rewrite_data_files): incremental appends (e.g.
+        one snapshot per checkpointed partition) accumulate small files
+        whose per-file stat ranges overlap; compaction bin-packs them
+        re-sorted by ``sort_by`` (the index key), restoring tight
+        manifest ranges so file pruning works again. Data is identical;
+        committed as a normal overwrite snapshot (old files stay
+        time-travelable until expire_snapshots)."""
+        files = self.files()
+        if not files:
+            raise ValueError("empty table")
+        if target_files is None:
+            total = sum(f["bytes"] for f in files)
+            target_files = max(1, -(-total // (128 << 20)))  # ~128 MiB each
+        df = self.read(spark)
+        if sort_by:
+            df = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(target_files)
+        if stats_cols is None and sort_by:
+            stats_cols = sort_by
+        return self.commit_write(
+            df, mode="overwrite", stats_cols=stats_cols, summary={"compaction": True}
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop history older than the last ``keep_last`` snapshots and
+        delete data files no retained snapshot references (Iceberg's
+        expire_snapshots). The current snapshot is always retained."""
+        meta = self._metadata()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"removed_snapshots": 0, "removed_files": 0}
+        keep = snaps[-keep_last:]
+        cur = meta["current_snapshot_id"]
+        if cur is not None and cur not in {s["id"] for s in keep}:
+            keep = [s for s in snaps if s["id"] == cur] + keep
+        live: set[str] = set()
+        for s in keep:
+            live.update(f["path"] for f in self._manifest(s["id"]))
+        removed_files = 0
+        for s in snaps:
+            if s in keep:
+                continue
+            for f in self._manifest(s["id"]):
+                if f["path"] not in live and os.path.exists(f["path"]):
+                    os.remove(f["path"])
+                    removed_files += 1
+                    live.add(f["path"])  # count each orphan once
+            os.remove(os.path.join(self.meta_dir, f"manifest-{s['id']}.json"))
+        removed = len(snaps) - len(keep)
+        meta["snapshots"] = keep
+        self._commit_metadata(meta)
+        return {"removed_snapshots": removed, "removed_files": removed_files}
+
     # --------------------------------------------------------------- read
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

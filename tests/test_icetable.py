@@ -134,3 +134,42 @@ def test_ice_stage_store_resume_and_atomicity(spark, tmp_path):
     assert len(m) == 5 and all("wall_ms" in r and r["n_rows"] == 5 for r in m)
     fps = [r["fingerprint"] for r in m]
     assert fps.count("fp1") == 3 and fps.count("fp2") == 2
+
+
+def test_compact_and_expire(spark, tmp_path):
+    t = IceTable(str(tmp_path / "t6"))
+    # many small appends with interleaved key ranges -> overlapping stats
+    for i in range(6):
+        df = spark.range(i, 6000, 6, numPartitions=2).select(
+            F.col("id"), (F.col("id") % 13).alias("val")
+        )
+        t.commit_write(df, mode="append", stats_cols=["id"])
+    before = t.files()
+    assert len(before) == 12
+    # overlapping per-file ranges: the narrow scan must read one file
+    # per append (6 of 12) because every append's low-half file covers it
+    _, rep0 = t.scan(spark, {"id": (100, 140)})
+    assert rep0["files_read"] == 6
+    expected = sorted(r.id for r in t.read(spark).collect())
+
+    sid = t.compact(spark, sort_by=["id"], target_files=3)
+    assert t.current_snapshot_id() == sid
+    after = t.files()
+    assert len(after) == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == expected
+    # tight disjoint ranges again: the same scan reads exactly one file
+    got, rep1 = t.scan(spark, {"id": (100, 140)})
+    assert rep1["files_read"] == 1
+    assert got.count() == 41
+
+    # expiry drops history + unreferenced files but keeps the current state
+    n_snapshots = len(t.snapshots())
+    assert n_snapshots == 7
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] == 6 and res["removed_files"] == 12
+    assert len(t.snapshots()) == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == expected
+    import glob
+
+    live_files = glob.glob(str(tmp_path / "t6" / "data" / "*" / "*.parquet"))
+    assert len(live_files) == 3
