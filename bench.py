@@ -66,6 +66,7 @@ def main():
         "xz_extent_keyed",
         "st_bbox_time",
         "hilbert_bbox",
+        "ice_bbox",
         "split_plan",
         "audio_stats",
         "frame_sample",
@@ -87,7 +88,7 @@ def main():
     # production), so it is also excluded from query timings.
     qs["bbox"](spark, sf_dir).count()
     qs["spatial_join"](spark, sf_dir).count()
-    for warm in ("xz_extent_keyed", "st_bbox_time", "hilbert_bbox"):
+    for warm in ("xz_extent_keyed", "st_bbox_time", "hilbert_bbox", "ice_bbox"):
         qs[warm](spark, sf_dir).count()
 
     times: dict[str, float] = {}
