@@ -74,6 +74,27 @@ DEFAULT_MAX_CELLS = 32
 # shared across UDF instances within a python worker (see _keys_udf)
 _POLYFILL_CACHE: dict = {}
 
+_ARROW_BATCH = 65536
+
+
+def _widen_arrow_batches(spark) -> None:
+    """Grouped-kernel refinement pays a fixed numpy cost per (Arrow
+    batch × distinct geometry); with Spark's default 10k-row batches
+    and ~1k broadcast geometries that product dominates the actual
+    kernels. Widen to 64k rows for this session — refine rows are
+    ≤24 B key-only tuples, so a batch stays ~1.5 MB. Safe for
+    fat-payload UDF stages elsewhere (raster/multimodal): Spark 4's
+    ``spark.sql.execution.arrow.maxBytesPerBatch`` (64 MB default)
+    still caps every batch by size. Never lowers a user-raised
+    setting."""
+    k = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        cur = int(spark.conf.get(k))
+    except Exception:
+        cur = 10000
+    if 0 < cur < _ARROW_BATCH:
+        spark.conf.set(k, str(_ARROW_BATCH))
+
 
 def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
     """(wkb) -> struct(res int, cells array<long>): the insertion-id
@@ -266,6 +287,7 @@ def geom_geom_join(
         )
     buffer_u = int(distance_u) if distance_u else 0
     spark = left.sparkSession
+    _widen_arrow_batches(spark)
     par = spark.sparkContext.defaultParallelism
     # repartition before the polyfill UDF (a single-file source would
     # otherwise run all of it in one task), persist after it: both key
@@ -380,6 +402,19 @@ def geom_geom_join(
     raise ValueError(how)
 
 
+def _group_indices(codes: np.ndarray, n_uniq: int):
+    """Yield (u_i, idx) per factorized group via one argsort +
+    searchsorted — O(n log n) total, not the O(n·groups) of a per-group
+    ``codes == u_i`` scan (with ~1000 geometries per batch that scan
+    was the dominant refine cost, not the geometry kernels)."""
+    order = np.argsort(codes, kind="stable")
+    bounds = np.searchsorted(codes[order], np.arange(n_uniq + 1))
+    for u_i in range(n_uniq):
+        idx = order[bounds[u_i] : bounds[u_i + 1]]
+        if len(idx):
+            yield u_i, idx
+
+
 def _point_refine_udf(predicate: str, distance_u: float | None):
     """(geom_wkb, x_u, y_u) -> bool: grouped fully-vectorized point
     refinement — one numpy kernel per distinct geometry per batch."""
@@ -392,8 +427,7 @@ def _point_refine_udf(predicate: str, distance_u: float | None):
         x = xs.to_numpy(dtype=np.float64)
         y = ys.to_numpy(dtype=np.float64)
         codes, uniq = pd.factorize(g)
-        for u_i in range(len(uniq)):
-            idx = np.nonzero(codes == u_i)[0]
+        for u_i, idx in _group_indices(codes, len(uniq)):
             geom = parse_cached(bytes(uniq[u_i]))
             if distance_u is not None:
                 out[idx] = points_distance_to_geom(x[idx], y[idx], geom) <= distance_u
@@ -421,8 +455,7 @@ def _point_refine_by_id_udf(geom_bc, predicate: str, distance_u: float | None):
         x = xs.to_numpy(dtype=np.float64)
         y = ys.to_numpy(dtype=np.float64)
         codes, uniq = pd.factorize(k)
-        for u_i in range(len(uniq)):
-            idx = np.nonzero(codes == u_i)[0]
+        for u_i, idx in _group_indices(codes, len(uniq)):
             geom = parse_cached(geoms[uniq[u_i]])
             if distance_u is not None:
                 out[idx] = points_distance_to_geom(x[idx], y[idx], geom) <= distance_u
@@ -458,6 +491,7 @@ def geom_point_join(
     ``distance_u`` switches to a buffered-cover + exact-distance join
     (GeomWithinDistance semantics)."""
     sc = points.sparkSession.sparkContext
+    _widen_arrow_batches(points.sparkSession)
     par = sc.defaultParallelism
     use_broadcast = broadcast_geoms is None or broadcast_geoms
     keyed_geoms = geom_keys(
