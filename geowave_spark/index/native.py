@@ -24,6 +24,15 @@ _M32 = 0x00000000FFFFFFFF
 
 
 def _spread_col(c: Column) -> Column:
+    # PITFALL: each level references its input TWICE, so the expression
+    # tree holds 2^6 = 64 inlined copies of whatever ``c`` is. With a
+    # plain column input that's harmless (codegen CSE / cheap reads),
+    # but feeding a COMPUTED expression makes Filter conditions blow
+    # past the codegen method limit and fall back to per-reference
+    # interpreted evaluation (measured 118 s vs 1 s on a 20M-row
+    # filter). Only call this on attribute columns in hot paths;
+    # equi-join keys that don't need SFC ordering should use packed
+    # (gx, gy) ids instead (see operators/geom_join.py).
     c = c.bitwiseAND(F.lit(_M32))
     c = (c.bitwiseOR(F.shiftleft(c, 16))).bitwiseAND(F.lit(_M16))
     c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(_M8))

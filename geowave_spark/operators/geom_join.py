@@ -65,7 +65,7 @@ from geowave_spark.geom.predicates import (
 )
 from geowave_spark.geom.wkb import box, wkb_loads
 from geowave_spark.index.polyfill import polyfill
-from geowave_spark.index.zorder import pick_res_for_extent
+from geowave_spark.index.zorder import morton_decode, pick_res_for_extent
 from geowave_spark.operators.spatial_join import POINT_RES, points_keyed_by_res
 from geowave_spark import X_SCALE
 
@@ -106,7 +106,9 @@ def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
 
     params = (max_cells, finest_res, buffer_u)
 
-    @F.pandas_udf("res int, cells array<long>")
+    @F.pandas_udf(
+        "res int, cells array<long>, bx0 long, by0 long, bx1 long, by1 long, rect boolean"
+    )
     def run(wkbs: pd.Series) -> pd.DataFrame:
         from geowave_spark.geom.wkb import Geometry
 
@@ -116,8 +118,11 @@ def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
         # makes the second field projection and repeated fixture keying
         # near-free
         cache = _POLYFILL_CACHE
-        res_out = np.empty(len(wkbs), dtype=np.int32)
+        n = len(wkbs)
+        res_out = np.empty(n, dtype=np.int32)
         cells_out = []
+        bounds_out = np.empty((n, 4), dtype=np.int64)
+        rect_out = np.empty(n, dtype=bool)
         for i, b in enumerate(wkbs):
             bb = (params, bytes(b))
             hit = cache.get(bb)
@@ -125,28 +130,30 @@ def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
                 if len(cache) >= 65536:
                     cache.clear()
                 g = wkb_loads(bb[1])  # µdeg coordinates
-                if buffer_u == 0:
-                    from geowave_spark.geom.udfs import _as_box_bounds
+                from geowave_spark.geom.udfs import _as_box_bounds
 
+                # axis-aligned rectangles: every bbox-cover cell
+                # intersects the geometry — trimming is a no-op, the
+                # cover is the closed-bbox cover, and bounds fully
+                # describe the geometry (native refine / reference-
+                # point dedupe both key off this flag)
+                is_rect = _as_box_bounds(g) is not None
+                gx0, gy0, gx1, gy1 = g.bounds
+                if buffer_u == 0:
                     # polyfill operates in degrees — scale down once
                     g_deg = Geometry(
                         g.gtype, [p / X_SCALE for p in g.parts], g.poly_ring_counts
                     )
-                    x0, y0, x1, y1 = g.bounds
                     r = min(
                         pick_res_for_extent(
-                            int(x1 - x0), int(y1 - y0), max_cells
+                            int(gx1 - gx0), int(gy1 - gy0), max_cells
                         ),
                         finest_res,
                     )
-                    # axis-aligned rectangles: every bbox-cover cell
-                    # intersects the geometry — trimming is a no-op
-                    is_rect = _as_box_bounds(g) is not None
                     cells = polyfill(g_deg, r, exact_trim=not is_rect)
                 else:
-                    x0, y0, x1, y1 = g.bounds
-                    x0, y0 = x0 - buffer_u, y0 - buffer_u
-                    x1, y1 = x1 + buffer_u, y1 + buffer_u
+                    x0, y0 = gx0 - buffer_u, gy0 - buffer_u
+                    x1, y1 = gx1 + buffer_u, gy1 + buffer_u
                     r = min(
                         pick_res_for_extent(
                             int(x1 - x0), int(y1 - y0), max_cells
@@ -157,11 +164,39 @@ def _keys_udf(max_cells: int, finest_res: int, buffer_u: int, scale: int):
                         box(x0 / X_SCALE, y0 / X_SCALE, x1 / X_SCALE, y1 / X_SCALE),
                         r,
                     )
-                hit = (r, cells)
+                # store cells as packed (gx<<32 | gy), not Morton: the
+                # join only needs a bijective cell id, and packed ids
+                # keep every derived expression (parent shift, the
+                # reference-point cell in the dedupe filter) a handful
+                # of shift/mask ops — Morton spread/compact trees
+                # blow up Catalyst filter codegen (see index/native.py
+                # _spread_col pitfall note)
+                if cells:
+                    mc = np.asarray(cells, dtype=np.int64)
+                    cgx, cgy = morton_decode(mc)
+                    cells = ((cgx << 32) | cgy).tolist()
+                hit = (
+                    r,
+                    cells,
+                    (int(round(gx0)), int(round(gy0)), int(round(gx1)), int(round(gy1))),
+                    is_rect,
+                )
                 cache[bb] = hit
             res_out[i] = hit[0]
             cells_out.append(hit[1])
-        return pd.DataFrame({"res": res_out, "cells": cells_out})
+            bounds_out[i] = hit[2]
+            rect_out[i] = hit[3]
+        return pd.DataFrame(
+            {
+                "res": res_out,
+                "cells": cells_out,
+                "bx0": bounds_out[:, 0],
+                "by0": bounds_out[:, 1],
+                "bx1": bounds_out[:, 2],
+                "by1": bounds_out[:, 3],
+                "rect": rect_out,
+            }
+        )
 
     return run
 
@@ -180,19 +215,28 @@ def geom_keys(
     if scale != 1:
         raise NotImplementedError("store geometries in µdeg; scale=1 only")
     k = _keys_udf(max_cells, finest_res, buffer_u, scale)(F.col(geom_col))
-    return df.withColumn("res", k["res"]).withColumn("cells", k["cells"])
+    return df.withColumns(
+        {f: k[f] for f in ("res", "cells", "bx0", "by0", "bx1", "by1", "rect")}
+    )
+
+
+_M32_PACK = (1 << 32) - 1
+
+
+def _packed_parent(c: Column, d_res: Column) -> Column:
+    """Ancestor of a packed (gx<<32 | gy) cell id: shift each half by
+    d_res (reprojectToTier analog, TieredSFCIndexStrategy.java:514-535).
+    ``shiftright`` via call_function accepts a column shift count; ids
+    are non-negative so arithmetic shift is exact."""
+    gx = F.call_function("shiftright", F.shiftright(c, 32), d_res)
+    gy = F.call_function("shiftright", c.bitwiseAND(F.lit(_M32_PACK)), d_res)
+    return F.shiftleft(gx, 32).bitwiseOR(gy)
 
 
 def _coarsen_to(cells: Column, d_res: Column) -> Column:
-    """Distinct exact parent cells: cells >> 2*d_res via a literal
-    factor lookup (reprojectToTier analog as array math, pre-explode so
-    duplicates collapse before they multiply join candidates)."""
-    factor = F.try_element_at(
-        F.array(*[F.lit(1 << (2 * r)) for r in range(POINT_RES + 1)]), d_res + 1
-    )
-    return F.array_distinct(
-        F.transform(cells, lambda c: F.call_function("div", c, factor))
-    )
+    """Distinct exact parent cells (pre-explode so duplicates collapse
+    before they multiply join candidates)."""
+    return F.array_distinct(F.transform(cells, lambda c: _packed_parent(c, d_res)))
 
 
 def _pair_refine_by_keys_udf(l_bc, r_bc, predicate: str, distance_u: float | None):
@@ -236,6 +280,43 @@ def _pair_refine_by_keys_udf(l_bc, r_bc, predicate: str, distance_u: float | Non
         return pd.Series(out)
 
     return run
+
+
+def _box_pair_native_pred(predicate: str, distance_u: float | None) -> Column | None:
+    """CompareOperation between two full-dimensional axis-aligned
+    rectangles as pure native bounds arithmetic over the candidate
+    frame's (_lbx0.., _rbx0..) columns — no Python in the refine at
+    all. Valid only when every geometry on both sides is a
+    non-degenerate rect (the caller checks): closed-set JTS semantics
+    reduce to interval comparisons, and contains/covers coincide
+    because a full-dimensional rect nested in another always has
+    interior-interior overlap."""
+    lx0, ly0, lx1, ly1 = (F.col(c) for c in ("_lbx0", "_lby0", "_lbx1", "_lby1"))
+    rx0, ry0, rx1, ry1 = (F.col(c) for c in ("_rbx0", "_rby0", "_rbx1", "_rby1"))
+    if distance_u is not None:
+        gx = F.greatest(lx0 - rx1, rx0 - lx1, F.lit(0)).cast("double")
+        gy = F.greatest(ly0 - ry1, ry0 - ly1, F.lit(0)).cast("double")
+        return gx * gx + gy * gy <= float(distance_u) ** 2
+    closed = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+    interior = (lx0 < rx1) & (rx0 < lx1) & (ly0 < ry1) & (ry0 < ly1)
+    l_in_r = (lx0 >= rx0) & (lx1 <= rx1) & (ly0 >= ry0) & (ly1 <= ry1)
+    r_in_l = (rx0 >= lx0) & (rx1 <= lx1) & (ry0 >= ly0) & (ry1 <= ly1)
+    if predicate == "intersects":
+        return closed
+    if predicate in ("contains", "covers"):
+        return r_in_l
+    if predicate in ("within", "covered_by"):
+        return l_in_r
+    if predicate == "touches":
+        return closed & ~interior
+    if predicate == "overlaps":
+        return interior & ~l_in_r & ~r_in_l
+    if predicate == "equals":
+        return (lx0 == rx0) & (ly0 == ry0) & (lx1 == rx1) & (ly1 == ry1)
+    if predicate == "crosses":
+        # area × area can never cross (JTS dimension rule)
+        return F.lit(False)
+    return None
 
 
 def _pair_refine_udf(predicate: str, distance_u: float | None):
@@ -295,35 +376,70 @@ def geom_geom_join(
     # persist the Arrow polyfill re-executes per reference, the exact
     # spot the reference persists reprojected tiers
     # (TieredSpatialJoin.java:510 MEMORY_AND_DISK_SER)
+    _KEY_FIELDS = ("res", "cells", "bx0", "by0", "bx1", "by1", "rect")
     l = geom_keys(
         left.select(F.col(left_key), F.col(left_geom).alias("_lg")).repartition(par),
         "_lg",
         max_cells,
         buffer_u=buffer_u,
-    ).withColumnRenamed("res", "_lres").withColumnRenamed("cells", "_lcells").persist()
+    ).withColumnsRenamed({c: f"_l{c}" for c in _KEY_FIELDS}).persist()
     r = geom_keys(
         right.select(F.col(right_key), F.col(right_geom).alias("_rg")).repartition(par),
         "_rg",
         max_cells,
-    ).withColumnRenamed("res", "_rres").withColumnRenamed("cells", "_rcells").persist()
+    ).withColumnsRenamed({c: f"_r{c}" for c in _KEY_FIELDS}).persist()
+
+    # driver-side tiny aggregates deciding the two box fast paths:
+    # - every geometry a non-degenerate rect on BOTH sides → refine is
+    #   pure native bounds arithmetic (no Python, no payload broadcast)
+    # - every COVER a closed-bbox cover (rect geometry, or any geometry
+    #   under a distance buffer) → candidate dedupe is a free narrow
+    #   filter: keep a pair only in the cell containing the reference
+    #   point max(lo_l, lo_r) of the two cover bounds (the PBSM
+    #   reference-point technique, Patel & DeWitt SIGMOD'96) instead of
+    #   a dropDuplicates shuffle of every shared-cell duplicate
+    def _side_stats(df, p):
+        row = df.agg(
+            F.min(F.col(f"_{p}rect")).alias("rect"),
+            F.min(
+                F.col(f"_{p}rect")
+                & (F.col(f"_{p}bx1") > F.col(f"_{p}bx0"))
+                & (F.col(f"_{p}by1") > F.col(f"_{p}by0"))
+            ).alias("fulldim"),
+        ).first()
+        return (
+            row["rect"] if row["rect"] is not None else True,
+            row["fulldim"] if row["fulldim"] is not None else True,
+        )
+
+    l_rect, l_fulldim = _side_stats(l, "l")
+    r_rect, r_fulldim = _side_stats(r, "r")
+    native_pred = (
+        _box_pair_native_pred(predicate, distance_u)
+        if (l_fulldim and r_fulldim)
+        else None
+    )
+    skip_dedupe = r_rect and (l_rect or buffer_u > 0)
+
     use_broadcast = broadcast_right is None or broadcast_right
+    l_bc = r_bc = None
     if use_broadcast:
         # key-only candidates: both sides' WKB payloads ride task
         # broadcasts (the strategy-broadcast pattern of
         # TieredSpatialJoin.java:138-141); candidate rows carry 16 B of
         # keys instead of two repeated geometry blobs, and refinement
-        # evaluates each distinct pair once per batch
+        # evaluates each distinct pair once per batch. The native-rect
+        # path needs no payloads at all — bounds columns refine.
         sc = spark.sparkContext
-        l_bc = sc.broadcast(
-            {row[left_key]: bytes(row["_lg"]) for row in l.select(left_key, "_lg").collect()}
-        )
-        r_bc = sc.broadcast(
-            {row[right_key]: bytes(row["_rg"]) for row in r.select(right_key, "_rg").collect()}
-        )
+        if native_pred is None:
+            l_bc = sc.broadcast(
+                {row[left_key]: bytes(row["_lg"]) for row in l.select(left_key, "_lg").collect()}
+            )
+            r_bc = sc.broadcast(
+                {row[right_key]: bytes(row["_rg"]) for row in r.select(right_key, "_rg").collect()}
+            )
         l = l.drop("_lg")
         r = F.broadcast(r.drop("_rg"))
-    else:
-        l_bc = r_bc = None
 
     # collect the distinct res sets driver-side — tiny bounded lists,
     # the "collect distinct tiers per side" step of the reference
@@ -363,37 +479,64 @@ def geom_geom_join(
     l2 = l.withColumn("_jcell", F.explode("_lcells")).drop("_lcells")
     cand2 = l2.join(r2, (F.col("_jres") == F.col("_lres")) & (l2["_jcell"] == r2["_jcell"]))
 
-    cols = (
-        [left_key, right_key]
-        if use_broadcast
-        else [left_key, "_lg", right_key, "_rg"]
-    )
-    cand = cand1.select(*cols).unionByName(cand2.select(*cols))
+    cols = [left_key, right_key]
+    if native_pred is None and not use_broadcast:
+        cols += ["_lg", "_rg"]
+    if skip_dedupe or native_pred is not None:
+        cols += ["_lbx0", "_lby0", "_lbx1", "_lby1", "_rbx0", "_rby0", "_rbx1", "_rby1"]
+    sel1 = [F.col(c) for c in cols]
+    sel2 = [F.col(c) for c in cols]
+    if skip_dedupe:
+        sel1 += [F.col("_jres").alias("_cres"), l1["_jcell"].alias("_ccell")]
+        sel2 += [F.col("_jres").alias("_cres"), l2["_jcell"].alias("_ccell")]
+    cand = cand1.select(*sel1).unionByName(cand2.select(*sel2))
     if pair_filter is not None:
         # e.g. key ordering for symmetric self-joins — applied BEFORE
         # the refine UDF so filtered pairs never reach Python
         cand = cand.where(pair_filter)
 
-    if use_broadcast:
+    if skip_dedupe:
+        # reference-point dedupe: of the cells a pair shares at the
+        # match res, exactly one contains max(lo, lo) of the two cover
+        # bounds (bbox covers include every cell of the closed rect by
+        # grid_coord monotonicity) — keep the pair only there. Pure
+        # narrow filter; no shuffle, and with packed cell ids the
+        # per-row expression is two divisions and three shifts.
+        from geowave_spark import LAT_OFF_U
+        from geowave_spark.index.native import grid_coord_col
+
+        refx = F.greatest(F.col("_lbx0") - F.lit(buffer_u), F.col("_rbx0"))
+        refy = F.greatest(F.col("_lby0") - F.lit(buffer_u), F.col("_rby0"))
+        d = F.lit(POINT_RES) - F.col("_cres")
+        gx = F.call_function("shiftright", grid_coord_col(refx, POINT_RES), d)
+        gy = F.call_function("shiftright", grid_coord_col(refy, POINT_RES, LAT_OFF_U), d)
+        cand = cand.where(F.col("_ccell") == F.shiftleft(gx, 32).bitwiseOR(gy))
+
+    if native_pred is not None:
+        matched = cand.where(native_pred).select(left_key, right_key)
+        if not skip_dedupe:
+            matched = matched.dropDuplicates([left_key, right_key])
+    elif use_broadcast:
         # key-only rows are 16 B — dedupe the candidate pairs BEFORE
         # refinement (cheap narrow shuffle) so each pair reaches the
         # predicate exactly once; shared-cell duplication factors of
         # 2-3× at hotspot scale would otherwise multiply the UDF work
-        cand = cand.dropDuplicates([left_key, right_key])
+        if not skip_dedupe:
+            cand = cand.dropDuplicates([left_key, right_key])
         matched = cand.where(
             _pair_refine_by_keys_udf(l_bc, r_bc, predicate, distance_u)(
                 F.col(left_key), F.col(right_key)
             )
-        )
+        ).select(left_key, right_key)
     else:
         # WKB-carrying rows are fat: refine first, dedupe the (smaller)
         # match set — the reference's reduceByKey placement
         refined = cand.where(
             _pair_refine_udf(predicate, distance_u)(F.col("_lg"), F.col("_rg"))
         )
-        matched = refined.select(left_key, right_key).dropDuplicates(
-            [left_key, right_key]
-        )
+        matched = refined.select(left_key, right_key)
+        if not skip_dedupe:
+            matched = matched.dropDuplicates([left_key, right_key])
 
     if how == "inner":
         return matched
@@ -522,14 +665,17 @@ def geom_point_join(
     # distinct-res collect (tiny, bounded) → literal explode: every
     # point re-keys at each geometry res with no dimension join at all
     res_vals = sorted(x[0] for x in keyed_geoms.select("res").distinct().collect())
-    from geowave_spark.index.native import cell_col
-    from geowave_spark.operators.spatial_join import _factor_for_res
+    from geowave_spark import LAT_OFF_U
+    from geowave_spark.index.native import grid_coord_col
 
     pts = points.withColumn(
-        "_pcell", cell_col(F.col("x_u"), F.col("y_u"), POINT_RES)
+        "_pcell",
+        F.shiftleft(grid_coord_col(F.col("x_u"), POINT_RES), 32).bitwiseOR(
+            grid_coord_col(F.col("y_u"), POINT_RES, LAT_OFF_U)
+        ),
     ).withColumn("res", F.explode(F.array(*[F.lit(int(v)) for v in res_vals])))
     keyed = pts.withColumn(
-        "_jcell", F.call_function("div", F.col("_pcell"), _factor_for_res(F.col("res")))
+        "_jcell", _packed_parent(F.col("_pcell"), F.lit(POINT_RES) - F.col("res"))
     )
 
     j = keyed.join(
