@@ -783,6 +783,48 @@ def _q_phash_dedup(spark, sf):
     return phash_hamming_pairs(imgs, max_hamming=PHASH_HAM_T)
 
 
+KNN_BULK_MOD = 97
+
+
+def _q_knn_bulk(spark, sf):
+    """Distributed kNN over a LARGE query set (no per-query driver
+    state): the resolution-ladder knn_join, the documented cutover
+    target for knn()'s driver-ring loop. Queries are a deterministic
+    subset of the event points themselves (event_id % 97 == 0)."""
+    from geowave_spark.operators.knn import knn_join
+
+    pts = events_points(spark, sf)
+    qdf = pts.where(F.col("event_id") % KNN_BULK_MOD == 0).select(
+        F.col("event_id").alias("query_id"),
+        F.col("x_u").alias("qx"),
+        F.col("y_u").alias("qy"),
+    )
+    return knn_join(pts, qdf, KNN_K)
+
+
+def _q_sql_spatial(spark, sf):
+    """SqlQueryRunner-analog routing in the driver contract: a plain
+    spark.sql spatial predicate (GeomIntersects between two registered
+    geometry views) is detected from the analyzed logical plan and
+    rerouted through the indexed general-geometry join
+    (plans/sql_rewrite.py). Raises if the plan degraded to a cartesian
+    product, so a silent fallback can never masquerade as a pass —
+    matches SqlQueryRunner.java:91-246."""
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    _lshapes(spark, sf).createOrReplaceTempView("gw_sql_lsh")
+    _snapped(spark, sf).createOrReplaceTempView("gw_sql_snb")
+    df = ds.sql(
+        "SELECT o.s_suppkey, b.c_custkey FROM gw_sql_lsh o, gw_sql_snb b "
+        "WHERE GeomIntersects(o.geom, b.geom)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        raise RuntimeError("spatial SQL predicate was not routed to the indexed join")
+    return df
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bbox": _q_bbox,
@@ -850,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
         "phash_dedup": _q_phash_dedup,
+        "knn_bulk": _q_knn_bulk,
+        "sql_spatial": _q_sql_spatial,
     }
 
 
@@ -932,6 +976,15 @@ def oracle_sql() -> dict[str, str]:
         f"(p.y_u - (b.y_lo + b.y_hi)//2) * (p.y_u - (b.y_lo + b.y_hi)//2) "
         f"<= {DIST_RADIUS_U}::BIGINT * {DIST_RADIUS_U}::BIGINT",
         "knn": f"{pts}, q(query_id, qx, qy) AS (VALUES {knn_vals}), "
+        f"d AS (SELECT q.query_id, p.event_id, "
+        f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy) AS dist2, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy), p.event_id) AS rank "
+        f"FROM {EVENTS_PTS} p, q) "
+        f"SELECT query_id, event_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {KNN_K}",
+        "knn_bulk": f"{pts}, "
+        f"q AS (SELECT event_id AS query_id, x_u AS qx, y_u AS qy FROM {EVENTS_PTS} "
+        f"WHERE event_id % {KNN_BULK_MOD} = 0), "
         f"d AS (SELECT q.query_id, p.event_id, "
         f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy) AS dist2, "
         f"row_number() OVER (PARTITION BY q.query_id ORDER BY "
@@ -1064,6 +1117,15 @@ def _oracle_sql_geom() -> dict[str, str]:
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",
+        # L-shape (union of two closed rects) × snapped box INTERSECTS —
+        # the sql_spatial routed query's ground truth
+        "sql_spatial": f"WITH {lsh}, {snb} "
+        "SELECT o.s_suppkey, b.c_custkey FROM lsh o, snb b WHERE "
+        + " OR ".join(
+            f"({r[0]} <= b.x_hi AND b.x_lo <= {r[2]} "
+            f"AND {r[1]} <= b.y_hi AND b.y_lo <= {r[3]})"
+            for r in (r1, r2)
+        ),
     }
 
 

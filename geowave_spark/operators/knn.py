@@ -132,10 +132,21 @@ def knn_join(
     queries carry to the next (coarser) round; the only driver-side
     signal is one emptiness check per round, bounded by ``res`` rounds.
 
+    The ladder STARTS at the density resolution — the finest res whose
+    3×3 ring holds ≥ 2k points for a uniform corpus (one count() of the
+    point table picks it). Uniform-density queries resolve in round 1;
+    only queries in sparse regions escalate coarser. Starting finer
+    than the data supports just burns empty rounds (each round is a
+    driver-gated job), which dominated wall time at low densities.
+
     Returns (query_id, point_key, dist2, rank), identical to knn()."""
     from geowave_spark import WORLD_X_U
-    from geowave_spark.index.native import _spread_col, grid_coord_col
+    from geowave_spark.index.native import grid_coord_col
     from geowave_spark import LAT_OFF_U, LON_OFF_U
+
+    n_pts = points.count()
+    density_res = max(0, (max(9 * n_pts // (2 * k), 1)).bit_length() - 1) // 2
+    res = min(res, density_res)
 
     out = None
     remaining = queries_df.select("query_id", "qx", "qy")
@@ -144,39 +155,41 @@ def knn_join(
         n_side = 1 << res_r
         cell_span = WORLD_X_U >> res_r
 
-        gx0 = grid_coord_col(F.col("qx"), res_r, LON_OFF_U)
-        gy0 = grid_coord_col(F.col("qy"), res_r, LAT_OFF_U)
-
         def clamp(g):
             return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
 
-        spread = remaining.select(
+        # packed (gx<<32 | gy) ring-cell ids, NOT Morton: the join only
+        # needs a bijective id, and _spread_col on a COMPUTED input
+        # (clamp(gx±1)) inlines 2^6 copies of it per level — the
+        # Catalyst codegen blowup documented at index/native.py
+        # _spread_col (measured here: 259 s → ~10 s for an 11-round
+        # ladder at sf0.001)
+        base = remaining.select(
             "query_id",
             "qx",
             "qy",
-            *[
-                _spread_col(clamp(gx0 + d)).alias(f"_sx{i}")
-                for i, d in enumerate((-1, 0, 1))
-            ],
-            *[
-                F.shiftleft(_spread_col(clamp(gy0 + d)), 1).alias(f"_sy{i}")
-                for i, d in enumerate((-1, 0, 1))
-            ],
+            grid_coord_col(F.col("qx"), res_r, LON_OFF_U).alias("_gx"),
+            grid_coord_col(F.col("qy"), res_r, LAT_OFF_U).alias("_gy"),
         )
         cells = F.array_distinct(
             F.array(
                 *[
-                    F.col(f"_sx{i}").bitwiseOR(F.col(f"_sy{j}"))
-                    for i in range(3)
-                    for j in range(3)
+                    F.shiftleft(clamp(F.col("_gx") + dx), 32).bitwiseOR(
+                        clamp(F.col("_gy") + dy)
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
                 ]
             )
         )
         qring = F.broadcast(
-            spread.select("query_id", "qx", "qy", F.explode(cells).alias("_cell"))
+            base.select("query_id", "qx", "qy", F.explode(cells).alias("_cell"))
         )
         pts = points.withColumn(
-            "_cell", cell_col(F.col("x_u"), F.col("y_u"), res_r)
+            "_cell",
+            F.shiftleft(grid_coord_col(F.col("x_u"), res_r, LON_OFF_U), 32).bitwiseOR(
+                grid_coord_col(F.col("y_u"), res_r, LAT_OFF_U)
+            ),
         )
         dx = F.col("x_u") - F.col("qx")
         dy = F.col("y_u") - F.col("qy")
@@ -184,7 +197,11 @@ def knn_join(
 
         safe2 = F.lit(int(cell_span) * int(cell_span))
         w = Window.partitionBy("query_id").orderBy("dist2", point_key)
-        ranked = cand.withColumn("rank", F.row_number().over(w))
+        # persisted: the round's take(1) gate and the caller's final
+        # action would otherwise each recompute every round's window
+        # (bounded: rounds start at the density res, so a ring holds
+        # ~2k candidates per query; coarser rounds see few queries)
+        ranked = cand.withColumn("rank", F.row_number().over(w)).persist()
         resolved = (
             ranked.where((F.col("rank") <= k) & (F.col("dist2") <= safe2))
             .groupBy("query_id")
