@@ -79,6 +79,8 @@ def main():
         # track) — an output-bound query, not an operator benchmark
         "pred_contains",
         "phash_dedup",
+        "knn_bulk",
+        "sql_spatial",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
