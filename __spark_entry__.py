@@ -470,13 +470,23 @@ def _q_sim_topk_lsh(spark, sf):
     return topk_lsh(spark, emb, queries_df, SIM_K)
 
 
+def _boxes_cached(spark, sf):
+    """customer_boxes as a materialized fixture (production shape: a
+    stored parquet extent table exposes plain columns). Deriving XZ keys
+    over the *expression-defined* fixture instead re-inlines the box
+    CASE tree at every grid-coord reference — the derived filter blew
+    past the 64 KB codegen method limit and fell back to interpreted.
+    The persist boundary makes downstream plans reference attributes."""
+    return _fixture_cached("boxes", sf, lambda: customer_boxes(spark, sf))
+
+
 def _q_xz_extent(spark, sf):
     """Extent bbox query through the XZ-order index (one key per
     extent, XZOrderSFC/XZHierarchicalIndexStrategy parity)."""
     from geowave_spark.index.xz import xz_extent_query
 
     x0, y0, x1, y1 = BBOX
-    return xz_extent_query(customer_boxes(spark, sf), x0, y0, x1, y1).select(
+    return xz_extent_query(_boxes_cached(spark, sf), x0, y0, x1, y1).select(
         "c_custkey"
     )
 
@@ -486,7 +496,7 @@ def _q_xz_join(spark, sf):
     row per extent; bounded 4x probe-side duplication."""
     from geowave_spark.index.xz import xz_box_point_join
 
-    return xz_box_point_join(events_points(spark, sf), customer_boxes(spark, sf))
+    return xz_box_point_join(events_points(spark, sf), _boxes_cached(spark, sf))
 
 
 SPLIT_RES, SPLIT_TARGET = 5, 200

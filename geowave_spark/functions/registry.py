@@ -35,12 +35,19 @@ from geowave_spark.geom.udfs import register_geom_functions
 def register_all(spark: SparkSession) -> None:
     register_geom_functions(spark)
 
-    # Spark has no SQL-macro DDL, so the GWQL text-predicate *names* are
-    # registered as scalar python UDFs purely for SQL-text compatibility;
-    # hot paths use the native Column-API twins below instead.
-    spark.udf.register("strStartsWith", lambda s, p: s is not None and s.startswith(p), "boolean")
-    spark.udf.register("strEndsWith", lambda s, p: s is not None and s.endswith(p), "boolean")
-    spark.udf.register("strContains", lambda s, p: s is not None and p in s, "boolean")
+    # The GWQL text-predicate names are Spark SQL UDFs (RETURN <expr>):
+    # Catalyst inlines the body into the caller's plan, so they stay
+    # inside whole-stage codegen — no Python boundary, same plan as the
+    # native Column-API twins below.
+    for name, body in (
+        ("strStartsWith", "s IS NOT NULL AND startswith(s, p)"),
+        ("strEndsWith", "s IS NOT NULL AND endswith(s, p)"),
+        ("strContains", "s IS NOT NULL AND contains(s, p)"),
+    ):
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(s STRING, p STRING) "
+            f"RETURNS BOOLEAN RETURN {body}"
+        )
 
 
 # ------------------------------------------------------ Column-API twins

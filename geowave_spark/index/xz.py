@@ -49,15 +49,18 @@ from geowave_spark.index.zorder import grid_coord
 R_MAX_DEFAULT = 12  # finest XZ resolution (4096x4096 enlarged-cell grid)
 
 
-def _shift_factor(res: Column, r_max: int) -> Column:
-    """2^(r_max - res) as a literal array lookup (variable-shift analog;
-    floor-div by it coarsens an r_max grid coord to ``res`` exactly)."""
-    return F.element_at(
-        F.array(*[F.lit(1 << (r_max - r)) for r in range(r_max + 1)]), res + 1
-    )
+def _shr(g: Column, sh: Column) -> Column:
+    """Variable right-shift (exact floor-div by 2^sh for the nonnegative
+    grid coords used here). A single ShiftRight expression — NOT a
+    literal-array element_at lookup: under ANSI mode each element_at
+    carries an out-of-range error branch in codegen, and Catalyst
+    re-inlines the whole derived-key tree at every reference, which
+    previously blew the generated filter past the JVM's 64 KB method
+    limit (whole-stage codegen fell back to interpreted)."""
+    return F.call_function("shiftright", g, sh)
 
 
-def _min_fit_shift(g0: Column, g1: Column, r_max: int) -> Column:
+def _min_fit_shift(g0: Column, g1: Column) -> Column:
     """Smallest sh with (g1 >> sh) <= (g0 >> sh) + 1, in closed form.
 
     fit(sh) ⟺ (g1 - g0) + (g0 mod 2^sh) < 2^(sh+1), so sh is necessarily
@@ -70,8 +73,7 @@ def _min_fit_shift(g0: Column, g1: Column, r_max: int) -> Column:
     shc = F.when(span <= 1, F.lit(0)).otherwise(
         F.floor(F.log2(span.cast("double"))).cast("int")
     )
-    f = _shift_factor(F.lit(r_max) - shc, r_max)  # 2^shc
-    fits = F.call_function("div", g1, f) <= F.call_function("div", g0, f) + 1
+    fits = _shr(g1, shc) <= _shr(g0, shc) + 1
     return F.when(fits, shc).otherwise(shc + 1)
 
 
@@ -85,23 +87,43 @@ def xz_keys(
     coarsened by one exact floor-div; res = r_max - max(sh_x, sh_y)
     with per-axis minimal shifts from the closed form above."""
     x_lo, y_lo, x_hi, y_hi = (F.col(c) for c in cols)
-    df = (
-        boxes.withColumn("_gx0", grid_coord_col(x_lo, r_max, LON_OFF_U))
-        .withColumn("_gx1", grid_coord_col(x_hi, r_max, LON_OFF_U))
-        .withColumn("_gy0", grid_coord_col(y_lo, r_max, LAT_OFF_U))
-        .withColumn("_gy1", grid_coord_col(y_hi, r_max, LAT_OFF_U))
-        .withColumn("_shx", _min_fit_shift(F.col("_gx0"), F.col("_gx1"), r_max))
-        .withColumn("_shy", _min_fit_shift(F.col("_gy0"), F.col("_gy1"), r_max))
+
+    def staged(df: DataFrame, **exprs: Column) -> DataFrame:
+        # One-element inline(array(struct(...))) = a Generate node: each
+        # expression is evaluated ONCE and downstream plans (and the
+        # next stage) reference plain attributes. Plain withColumn
+        # projections would be collapsed/pushed-through by Catalyst,
+        # re-inlining each derivation at every reference — over an
+        # expression-defined input that blew the generated filter past
+        # the JVM's 64 KB method limit (codegen fell back to
+        # interpreted). The Generate itself stays inside whole-stage
+        # codegen, so the barrier costs nothing at runtime.
+        return df.select(
+            "*",
+            F.inline(F.array(F.struct(*[c.alias(n) for n, c in exprs.items()]))),
+        )
+
+    df = staged(
+        boxes,
+        _gx0=grid_coord_col(x_lo, r_max, LON_OFF_U),
+        _gx1=grid_coord_col(x_hi, r_max, LON_OFF_U),
+        _gy0=grid_coord_col(y_lo, r_max, LAT_OFF_U),
+        _gy1=grid_coord_col(y_hi, r_max, LAT_OFF_U),
     )
-    df = df.withColumn(
-        "res", F.lit(r_max) - F.greatest(F.col("_shx"), F.col("_shy"))
+    df = staged(
+        df,
+        _sh=F.greatest(
+            _min_fit_shift(F.col("_gx0"), F.col("_gx1")),
+            _min_fit_shift(F.col("_gy0"), F.col("_gy1")),
+        ),
     )
-    factor = _shift_factor(F.col("res"), r_max)
-    return (
-        df.withColumn("ax", F.call_function("div", F.col("_gx0"), factor))
-        .withColumn("ay", F.call_function("div", F.col("_gy0"), factor))
-        .drop("_gx0", "_gx1", "_gy0", "_gy1", "_shx", "_shy")
+    df = staged(
+        df,
+        res=F.lit(r_max) - F.col("_sh"),
+        ax=_shr(F.col("_gx0"), F.col("_sh")),
+        ay=_shr(F.col("_gy0"), F.col("_sh")),
     )
+    return df.drop("_gx0", "_gx1", "_gy0", "_gy1", "_sh")
 
 
 def xz_query_predicate(
@@ -127,25 +149,29 @@ def xz_query_predicate(
 def _xz_query_predicate_compact(
     qx0: int, qy0: int, qx1: int, qy1: int, r_max: int = R_MAX_DEFAULT
 ) -> Column:
-    """Same constraint as xz_query_predicate but as 4 per-res literal
-    array lookups instead of a 13-branch disjunction — used when
-    (res, ax, ay) are derived expressions rather than stored columns,
-    where the disjunction would inline the key expressions 13x (no
-    pushdown is possible on derived columns anyway)."""
+    """Same constraint as xz_query_predicate but phrased at the r_max
+    grid — used when (res, ax, ay) are derived expressions rather than
+    stored columns (no pushdown is possible on derived columns anyway,
+    and the 13-branch disjunction would inline the key expressions 13x).
 
-    def arr(vals):
-        return F.array(*[F.lit(v) for v in vals])
+    Per axis, with sh = r_max - res and gq = the query bounds' r_max
+    grid coords (constants): ax <= gx(qx1, res) ⟺ ax<<sh <= gq1, and
+    ax >= gx(qx0, res) - 1 ⟺ (ax+2)<<sh > gq0 (exact for nonnegative
+    ints). Two shifts and two comparisons per axis — no element_at
+    (whose ANSI out-of-range error branch per reference helped push the
+    previous form past the 64 KB codegen limit)."""
+    sh = F.lit(r_max) - F.col("res")
+    gqx0, gqx1 = int(grid_coord(qx0, r_max)), int(grid_coord(qx1, r_max))
+    gqy0, gqy1 = int(grid_coord(qy0, r_max)), int(grid_coord(qy1, r_max))
 
-    idx = F.col("res") + 1
+    def shl(g: Column) -> Column:
+        return F.call_function("shiftleft", g, sh)
+
     return (
-        F.col("ax").between(
-            F.element_at(arr([int(grid_coord(qx0, r)) - 1 for r in range(r_max + 1)]), idx),
-            F.element_at(arr([int(grid_coord(qx1, r)) for r in range(r_max + 1)]), idx),
-        )
-        & F.col("ay").between(
-            F.element_at(arr([int(grid_coord(qy0, r)) - 1 for r in range(r_max + 1)]), idx),
-            F.element_at(arr([int(grid_coord(qy1, r)) for r in range(r_max + 1)]), idx),
-        )
+        (shl(F.col("ax")) <= gqx1)
+        & (shl(F.col("ax") + 2) > gqx0)
+        & (shl(F.col("ay")) <= gqy1)
+        & (shl(F.col("ay") + 2) > gqy0)
     )
 
 
@@ -205,10 +231,10 @@ def xz_box_point_join(
         "_pgx", grid_coord_col(F.col("x_u"), r_max, LON_OFF_U)
     ).withColumn("_pgy", grid_coord_col(F.col("y_u"), r_max, LAT_OFF_U))
     keyed = pts.crossJoin(F.broadcast(res_dim.withColumnRenamed("res", "_pres")))
-    factor = _shift_factor(F.col("_pres"), r_max)
+    sh = F.lit(r_max) - F.col("_pres")
     keyed = (
-        keyed.withColumn("_gx", F.call_function("div", F.col("_pgx"), factor))
-        .withColumn("_gy", F.call_function("div", F.col("_pgy"), factor))
+        keyed.withColumn("_gx", _shr(F.col("_pgx"), sh))
+        .withColumn("_gy", _shr(F.col("_pgy"), sh))
         .withColumn("_dx", F.explode(F.array(F.lit(0), F.lit(1))))
         .withColumn("_dy", F.explode(F.array(F.lit(0), F.lit(1))))
     )
