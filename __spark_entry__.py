@@ -412,6 +412,31 @@ def _q_raster_retile(spark, sf):
     )
 
 
+RASTER_MB_N = 240  # typed multi-band fixture size
+RASTER_MB_BG = (-7777, 7777)  # per-band background / no-data values
+
+
+def _q_raster_multiband(spark, sf):
+    """Multi-band typed raster ingest (int16 x 2 bands, per-band
+    background + per-band no-data first-wins merge — the DataBuffer
+    generality of RasterDataAdapter.java:444-550). Oracle checks the
+    tile grid + contributor counts (pure functions of the id →
+    coordinate derivation); per-band pixel exactness vs a sequential
+    driver-side merge is asserted in tests/test_tiling.py."""
+    from geowave_spark.operators.tiling import tile_cut_and_merge
+    from geowave_spark.sources.images import images_table_typed
+
+    imgs = images_table_typed(
+        spark, RASTER_MB_N, w=RASTER_TS, h=RASTER_TS, bands=2, dtype="int16",
+        partitions=8,
+    )
+    tiles = tile_cut_and_merge(
+        imgs, RASTER_HALF, tile_size=RASTER_TS, bands=2, dtype="int16",
+        background=RASTER_MB_BG,
+    )
+    return tiles.select("level", "tx", "ty", "n_contrib")
+
+
 def _q_wms_render(spark, sf):
     """WMS GetMap: bbox query over the mosaic tile table rendered to a
     bounded output canvas (rows-only driver check — single binary image
@@ -875,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": _q_stats_summary,
         "raster_tiles": _q_raster_tiles,
         "raster_retile": _q_raster_retile,
+        "raster_multiband": _q_raster_multiband,
         "nn_join": _q_nn_join,
         "minhash_lsh": _q_minhash_lsh,
         "sim_topk_lsh": _q_sim_topk_lsh,
@@ -1158,14 +1184,16 @@ def _phash_dedup_oracle() -> str:
     )
 
 
-def _raster_tiles_oracle() -> str:
+def _raster_tiles_oracle(n: int = None) -> str:
     from geowave_spark.operators.tiling import pick_level
 
+    if n is None:
+        n = RASTER_N
     level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
     x, y = xy_sql("id")
     g = lambda e: grid_coord_sql(e, level)
     return (
-        f"WITH ids AS (SELECT unnest(generate_series(0, {RASTER_N - 1})) AS id), "
+        f"WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS id), "
         f"img AS (SELECT id, {x} AS x_u, {y} AS y_u FROM ids), "
         f"b AS (SELECT id, {g(f'(x_u - {RASTER_HALF})')} AS tx0, "
         f"{g(f'(x_u + {RASTER_HALF})')} AS tx1, "
@@ -1268,6 +1296,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100 "
         "FROM events GROUP BY 1",
         "raster_tiles": _raster_tiles_oracle(),
+        "raster_multiband": _raster_tiles_oracle(RASTER_MB_N),
         "raster_retile": (
             f"WITH base AS ({_raster_tiles_oracle()}) "
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"

@@ -191,6 +191,9 @@ def tile_cut_and_merge(
     tile_size: int = TILE_SIZE,
     level: int | None = None,
     ensure_contiguous: bool = False,
+    bands: int = 1,
+    dtype: str = "uint8",
+    background=NO_DATA,
 ) -> DataFrame:
     """Full raster ingest: assign → cut pixel tiles → merge collisions
     per tile with no-data-first-wins (NoDataMergeStrategy semantics).
@@ -227,7 +230,15 @@ def tile_cut_and_merge(
     ``repartitionByRange(image_id)`` + in-partition sort — one extra
     shuffle of the raw image rows, so it is opt-in; the default path
     stays shuffle-free for id-ordered sources (spark.range,
-    id-sorted parquet)."""
+    id-sorted parquet).
+
+    Multi-band / typed rasters (RasterDataAdapter DataBuffer
+    generality, extensions/adapters/raster/.../RasterDataAdapter.java:444-550):
+    ``bands``/``dtype`` set the sample model, ``background`` the
+    no-data fill — a scalar or a per-band sequence
+    (backgroundValuesPerBand). The merge rule is per-band no-data
+    first-wins (merge_no_data), identical in both phases, so the
+    two-phase split stays bit-exact for any sample model."""
     if level is None:
         w0 = images.select(F.first("w")).first()[0]
         level = pick_level(2 * half_span_u, int(w0), tile_size)
@@ -259,6 +270,10 @@ def tile_cut_and_merge(
         .select("tx", "ty", "image_id", "bytes", "fmt", "x_lo", "y_lo", "x_hi", "y_hi")
     )
 
+    np_dtype = np.dtype(dtype)
+    tile_shape = (tile_size, tile_size) if bands == 1 else (tile_size, tile_size, bands)
+    bg = background if np.isscalar(background) else np.asarray(background, dtype=np_dtype)
+
     def cut_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         """Phase 1: per Arrow batch, merge contributions per tile into
         one partial (batches are id-contiguous → disjoint id ranges)."""
@@ -268,7 +283,7 @@ def tile_cut_and_merge(
             pdf = pdf.sort_values(["tx", "ty", "image_id"], kind="stable")
             out = []
             for (tx, ty), g in pdf.groupby(["tx", "ty"], sort=False):
-                acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
+                acc = np.full(tile_shape, bg, dtype=np_dtype)
                 for row in g.itertuples(index=False):
                     img = decode_image(row.bytes, row.fmt)
                     t = cut_tile(
@@ -278,8 +293,9 @@ def tile_cut_and_merge(
                         int(tx),
                         int(ty),
                         tile_size,
+                        background=bg,
                     )
-                    acc = np.where(acc == NO_DATA, t, acc)
+                    acc = merge_no_data(acc, t, no_data=bg)
                 out.append(
                     (
                         int(tx),
@@ -305,7 +321,7 @@ def tile_cut_and_merge(
     def _fold_tiles(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for (tx, ty), g in pdf.groupby(["tx", "ty"], sort=False):
-            acc = np.full((tile_size, tile_size), NO_DATA, dtype=np.uint8)
+            acc = np.full(tile_shape, bg, dtype=np_dtype)
             total = 0
             prev_max = None
             for row in g.itertuples(index=False):
@@ -321,10 +337,8 @@ def tile_cut_and_merge(
                         "image_id ranges; pass ensure_contiguous=True"
                     )
                 prev_max = row.max_id
-                t = np.frombuffer(row.ptile, dtype=np.uint8).reshape(
-                    tile_size, tile_size
-                )
-                acc = np.where(acc == NO_DATA, t, acc)
+                t = np.frombuffer(row.ptile, dtype=np_dtype).reshape(tile_shape)
+                acc = merge_no_data(acc, t, no_data=bg)
                 total += int(row.n_part)
             out.append((lvl, int(tx), int(ty), total, acc.tobytes()))
         return pd.DataFrame(out, columns=["level", "tx", "ty", "n_contrib", "tile"])

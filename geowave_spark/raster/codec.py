@@ -53,6 +53,8 @@ def decode_raw(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(bytes(data))
+    if fmt == "raw2":
+        return decode_raw_typed(bytes(data))
     if fmt == "png":
         return png_decode(bytes(data))
     if fmt in ("jpeg", "jpg"):
@@ -72,6 +74,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "raw":
         return encode_raw(img)
+    if fmt == "raw2":
+        return encode_raw_typed(img)
     if fmt == "png":
         return png_encode(img)
     raise NotImplementedError(f"encode for {fmt!r} not available here")

@@ -120,3 +120,84 @@ def images_table(
 def images_pdf(n: int, w: int = 64, h: int = 64) -> pd.DataFrame:
     """Driver-side twin for oracle tests (identical bytes)."""
     return _gen_batch(np.arange(n), w, h)
+
+
+# --------------------------------------------------- typed multi-band set
+# Fixture for the DataBuffer-type generality of the reference's raster
+# adapter (RasterDataAdapter.java:444-550): int16 samples, 2 bands,
+# engine-native RAW2 typed container. Values stay in [-100, 400), so
+# any background/no-data choice outside that range never collides with
+# real samples.
+
+TYPED_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "bands int, dtype string, x_u long, y_u long"
+)
+
+
+def render_pixels_typed(
+    i: int, w: int, h: int, bands: int = 2, dtype: str = "int16"
+) -> np.ndarray:
+    """Deterministic typed multi-band pattern: per-band shifted gradient
+    plus a per-image offset (exactly reproducible driver-side)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (xx * 255 // max(w - 1, 1) + yy * 255 // max(h - 1, 1)) // 2
+    out = np.empty((h, w, bands), dtype=np.dtype(dtype))
+    for b in range(bands):
+        out[:, :, b] = (grad * (b + 1) + i * 31 + b * 17) % 401 - 100
+    return out
+
+
+def _gen_batch_typed(
+    ids: np.ndarray, w: int, h: int, bands: int, dtype: str
+) -> pd.DataFrame:
+    from geowave_spark.raster.codec import encode_raw_typed
+
+    xs, ys = xy_numpy(ids)
+    rows = []
+    for j, i in enumerate(ids):
+        img = render_pixels_typed(int(i), w, h, bands, dtype)
+        rows.append(
+            (
+                f"img{int(i):012d}",
+                encode_raw_typed(img),
+                w,
+                h,
+                "raw2",
+                bands,
+                dtype,
+                int(xs[j]),
+                int(ys[j]),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "image_id", "bytes", "w", "h", "fmt", "bands", "dtype", "x_u", "y_u",
+        ],
+    )
+
+
+def images_table_typed(
+    spark: SparkSession,
+    n: int,
+    w: int = 32,
+    h: int = 32,
+    bands: int = 2,
+    dtype: str = "int16",
+    partitions: int = 8,
+) -> DataFrame:
+    """Distributed deterministic typed multi-band image table."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_batch_typed(pdf["id"].to_numpy(), w, h, bands, dtype)
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, TYPED_SCHEMA)
+
+
+def images_pdf_typed(
+    n: int, w: int = 32, h: int = 32, bands: int = 2, dtype: str = "int16"
+) -> pd.DataFrame:
+    """Driver-side twin (identical bytes) for golden tests."""
+    return _gen_batch_typed(np.arange(n), w, h, bands, dtype)

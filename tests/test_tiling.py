@@ -230,3 +230,52 @@ def test_multiband_typed_cut_and_merge_golden():
     merged2 = merge_no_data(tc, tb, no_data=bg)
     assert (merged2[:, : 16 - 1, 0] == 99).all()  # band 0 filled from b
     assert (merged2[:, : 16 - 1, 1] == -300).all()  # band 1 kept from c
+
+
+def test_multiband_distributed_cut_and_merge_exact(spark):
+    """Distributed two-phase multi-band merge is bit-identical to the
+    sequential driver-side reference (cut + per-band no-data first-wins
+    in image_id order) — the multiband analog of the single-band
+    two-phase exactness guarantee."""
+    from geowave_spark.operators.tiling import merge_no_data
+    from geowave_spark.raster.codec import decode_raw_typed
+    from geowave_spark.sources.images import images_pdf_typed, images_table_typed
+
+    n, ts, bg = 40, 32, (-7777, 7777)
+    imgs = images_table_typed(spark, n, w=ts, h=ts, bands=2, dtype="int16", partitions=4)
+    tiles = tile_cut_and_merge(
+        imgs, HALF_SPAN, tile_size=ts, bands=2, dtype="int16", background=bg
+    ).toPandas()
+
+    # sequential reference
+    level = pick_level(2 * HALF_SPAN, ts, ts)
+    grid = 1 << level
+    pdf = images_pdf_typed(n, w=ts, h=ts, bands=2, dtype="int16")
+
+    def g(v, off):
+        return min(max((v + off) * grid // WORLD_X_U, 0), grid - 1)
+
+    ref: dict = {}
+    counts: dict = {}
+    for row in pdf.sort_values("image_id").itertuples(index=False):
+        img = decode_raw_typed(row.bytes)
+        box = (
+            row.x_u - HALF_SPAN, row.y_u - HALF_SPAN,
+            row.x_u + HALF_SPAN, row.y_u + HALF_SPAN,
+        )
+        for tx in range(g(box[0], LON_OFF_U), g(box[2], LON_OFF_U) + 1):
+            for ty in range(g(box[1], LAT_OFF_U), g(box[3], LAT_OFF_U) + 1):
+                t = cut_tile(img, box, level, tx, ty, ts, background=np.asarray(bg, dtype=np.int16))
+                key = (tx, ty)
+                if key not in ref:
+                    ref[key] = t
+                    counts[key] = 1
+                else:
+                    ref[key] = merge_no_data(ref[key], t, no_data=bg)
+                    counts[key] += 1
+
+    assert set(zip(tiles["tx"], tiles["ty"])) == set(ref)
+    for row in tiles.itertuples(index=False):
+        got = np.frombuffer(row.tile, dtype=np.int16).reshape(ts, ts, 2)
+        assert counts[(row.tx, row.ty)] == row.n_contrib
+        assert np.array_equal(got, ref[(row.tx, row.ty)]), (row.tx, row.ty)
