@@ -81,6 +81,7 @@ def main():
         "phash_dedup",
         "knn_bulk",
         "sql_spatial",
+        "raster_multiband",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
