@@ -93,6 +93,13 @@ def main():
     qs["spatial_join"](spark, sf_dir).count()
     for warm in ("xz_extent_keyed", "st_bbox_time", "hilbert_bbox", "ice_bbox"):
         qs[warm](spark, sf_dir).count()
+    # geometry-join path: polyfill + pair-refine UDF codegen and the
+    # session-cached geometry fixtures (stored tables in production —
+    # WKB construction is ingest-time, same rationale as stored-index
+    # materialization above). One poly join + one line join warms every
+    # geom_* / pred_* / sql_spatial dependency.
+    qs["geom_poly_join"](spark, sf_dir).count()
+    qs["geom_line_join"](spark, sf_dir).count()
 
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
