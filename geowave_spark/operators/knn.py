@@ -48,9 +48,24 @@ def knn(
     if max_ring is None:
         max_ring = n_side  # full-domain fallback (exactness guarantee)
 
-    pts = points.withColumn("_cell", cell_col(F.col("x_u"), F.col("y_u"), res))
+    # keyed once and persisted for the whole ladder — each round joins
+    # the same keyed table instead of re-scanning + re-keying it
+    pts = points.withColumn(
+        "_cell", cell_col(F.col("x_u"), F.col("y_u"), res)
+    ).persist()
 
+    # density-derived starting ring: smallest ring whose (2r+1)² cells
+    # hold ≥ 2k points at the table's mean density. Starting at ring 1
+    # burns a full join+count round per doubling for queries in sparse
+    # regions; starting too large only admits extra candidates (the
+    # safe-distance gate below is what guarantees exactness either
+    # way). Same rationale as knn_join's density resolution.
+    n_pts = pts.count()
+    density = max(n_pts / float(4**res), 1e-12)
     ring = 1
+    while (2 * ring + 1) ** 2 * density < 2 * k and ring < max_ring:
+        ring *= 2
+
     while True:
         cand_rows = []
         for qid, qx, qy in queries:
