@@ -47,16 +47,22 @@ class Geometry:
     gtype: str
     parts: list  # list[np.ndarray (N,2) float64]
     poly_ring_counts: list = field(default_factory=list)
+    _bounds: tuple | None = field(default=None, repr=False, compare=False)
 
     @property
     def bounds(self) -> tuple[float, float, float, float]:
-        allc = np.vstack(self.parts)
-        return (
-            float(allc[:, 0].min()),
-            float(allc[:, 1].min()),
-            float(allc[:, 0].max()),
-            float(allc[:, 1].max()),
-        )
+        # memoized: the keying path asks for bounds 2-3x per geometry
+        # (res pick + polyfill grid), and each recompute was a
+        # vstack + 4 reductions
+        if self._bounds is None:
+            allc = self.parts[0] if len(self.parts) == 1 else np.vstack(self.parts)
+            self._bounds = (
+                float(allc[:, 0].min()),
+                float(allc[:, 1].min()),
+                float(allc[:, 0].max()),
+                float(allc[:, 1].max()),
+            )
+        return self._bounds
 
     def polygons(self):
         """Iterate member polygons as lists of rings."""

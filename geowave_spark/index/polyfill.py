@@ -110,10 +110,9 @@ def polyfill(geom: Geometry, res: int, exact_trim: bool = True) -> list[int]:
     gx1 = int(grid_coord(round(x1 * X_SCALE), res))
     gy0 = int(grid_coord(round(y0 * X_SCALE), res))
     gy1 = int(grid_coord(round(y1 * X_SCALE), res))
-    gxs, gys = np.meshgrid(
-        np.arange(gx0, gx1 + 1), np.arange(gy0, gy1 + 1)
-    )
-    gxs, gys = gxs.ravel(), gys.ravel()
+    nx, ny = gx1 - gx0 + 1, gy1 - gy0 + 1
+    gxs = np.tile(np.arange(gx0, gx1 + 1), ny)
+    gys = np.repeat(np.arange(gy0, gy1 + 1), nx)
     if exact_trim and len(gxs) > 1:
         n = 1 << res
         X0 = (gxs * WORLD_X_U / n - LON_OFF_U) / X_SCALE
