@@ -103,6 +103,55 @@ def windowed_cell_counts(
     )
 
 
+def stream_spatial_join(
+    stream_points: DataFrame,
+    boxes: DataFrame,
+    point_key: str = "event_id",
+    box_key: str = "c_custkey",
+) -> DataFrame:
+    """Continuous indexed spatial join: a stream of points joined
+    against a STATIC extent table through the same (res, cell) keys as
+    the batch TieredSpatialJoin path (operators/spatial_join
+    .box_point_join) — a stream-static broadcast equi-join, natively
+    incremental in Structured Streaming (no state store: the static
+    side is fixed, so each micro-batch joins independently).
+
+    The reference has no streaming query surface (SURVEY §2.10); this
+    is the engine-side extension that turns the batch join into a
+    continuous enrichment operator (geofencing / region tagging at
+    ingest). The distinct-res set of the extent side is collected ONCE
+    at plan time (static table, tiny tier dimension — the
+    TierIndexMetaData pruning analog) and the stream fans out per res
+    via a literal-array explode, keeping the streaming plan a pure
+    broadcast-hash equi-join per micro-batch. Per-pair dedupe is
+    unnecessary by the same ≤1-key-match-per-pair construction as the
+    batch operator."""
+    from geowave_spark.operators.spatial_join import (
+        POINT_RES,
+        _factor_for_res,
+        boxes_with_cells,
+    )
+
+    b = boxes_with_cells(boxes)
+    res_vals = sorted(r[0] for r in b.select("res").distinct().collect())
+
+    pts = stream_points.withColumn(
+        "_pcell", cell_col(F.col("x_u"), F.col("y_u"), POINT_RES)
+    ).withColumn("res", F.explode(F.array(*[F.lit(int(r)) for r in res_vals])))
+    keyed = pts.withColumn(
+        "_jcell", F.call_function("div", F.col("_pcell"), _factor_for_res(F.col("res")))
+    )
+    j = keyed.join(
+        F.broadcast(b.withColumnRenamed("res", "_bres")),
+        (keyed["res"] == F.col("_bres")) & (keyed["_jcell"] == b["cell"]),
+        "inner",
+    ).where(
+        F.col("x_u").between(F.col("x_lo"), F.col("x_hi"))
+        & F.col("y_u").between(F.col("y_lo"), F.col("y_hi"))
+    )
+    return j.select(point_key, box_key)
+
+
 def stream_dedupe(
     stream: DataFrame,
     keys: list[str],
