@@ -126,6 +126,14 @@ def stream_spatial_join(
     broadcast-hash equi-join per micro-batch. Per-pair dedupe is
     unnecessary by the same ≤1-key-match-per-pair construction as the
     batch operator."""
+    return _stream_static_cell_join(stream_points, boxes).select(point_key, box_key)
+
+
+def _stream_static_cell_join(stream_points: DataFrame, boxes: DataFrame) -> DataFrame:
+    """Shared core of the streaming joins: key the stream at every
+    resolution present on the static (boxed) side and broadcast-equi-
+    join on (res, cell), refined by closed-bbox containment. Returns
+    the full joined row set (stream columns + box columns)."""
     from geowave_spark.operators.spatial_join import (
         POINT_RES,
         _factor_for_res,
@@ -141,7 +149,7 @@ def stream_spatial_join(
     keyed = pts.withColumn(
         "_jcell", F.call_function("div", F.col("_pcell"), _factor_for_res(F.col("res")))
     )
-    j = keyed.join(
+    return keyed.join(
         F.broadcast(b.withColumnRenamed("res", "_bres")),
         (keyed["res"] == F.col("_bres")) & (keyed["_jcell"] == b["cell"]),
         "inner",
@@ -149,7 +157,40 @@ def stream_spatial_join(
         F.col("x_u").between(F.col("x_lo"), F.col("x_hi"))
         & F.col("y_u").between(F.col("y_lo"), F.col("y_hi"))
     )
-    return j.select(point_key, box_key)
+
+
+def stream_distance_join(
+    stream_points: DataFrame,
+    right_points: DataFrame,
+    radius_u: int,
+    point_key: str = "event_id",
+    right_key: str = "c_custkey",
+) -> DataFrame:
+    """Continuous within-distance join (GeomWithinDistance as a stream
+    operator): each arriving point is paired with every static right
+    point within ``radius_u``, via the batch operator's exact shape —
+    the static side buffered to radius boxes (TieredSpatialJoin
+    bufferAmount semantics), the same stream-static (res, cell)
+    broadcast equi-join as stream_spatial_join, then the exact integer
+    squared-distance refine. Returns (point_key, right_key, dist2)."""
+    r = int(radius_u)
+    right_boxed = right_points.select(
+        F.col(right_key),
+        F.col("x_u").alias("rx"),
+        F.col("y_u").alias("ry"),
+        (F.col("x_u") - r).alias("x_lo"),
+        (F.col("y_u") - r).alias("y_lo"),
+        (F.col("x_u") + r).alias("x_hi"),
+        (F.col("y_u") + r).alias("y_hi"),
+    )
+    dx = F.col("x_u") - F.col("rx")
+    dy = F.col("y_u") - F.col("ry")
+    return (
+        _stream_static_cell_join(stream_points, right_boxed)
+        .withColumn("dist2", dx * dx + dy * dy)
+        .where(F.col("dist2") <= F.lit(r * r))
+        .select(point_key, right_key, "dist2")
+    )
 
 
 def stream_dedupe(

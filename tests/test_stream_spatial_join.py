@@ -50,3 +50,47 @@ def test_stream_spatial_join_matches_batch(spark, sf_dir, tmp_path):
     got = {(r["event_id"], r["c_custkey"]) for r in got_rows}
     assert len(got_rows) == len(got)  # no duplicate pairs across batches
     assert got == expected
+
+
+def test_stream_distance_join_matches_batch(spark, sf_dir, tmp_path):
+    from geowave_spark.operators.distance_join import point_distance_join
+    from geowave_spark.streaming.ingest import stream_distance_join
+
+    radius = 1_500_000  # 1.5 deg
+    pts = events_points(spark, sf_dir).limit(3000)
+    right = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_id") % 7 == 0)
+        .limit(300)
+        .select(F.col("event_id").alias("c_custkey"), "x_u", "y_u")
+    )
+
+    expected = {
+        (r["event_id"], r["c_custkey"], r["dist2"])
+        for r in point_distance_join(pts, right, radius).collect()
+    }
+    assert expected
+
+    src = str(tmp_path / "dsrc")
+    pts.where(F.col("event_id") % 2 == 0).write.parquet(src + "/a.parquet")
+    pts.where(F.col("event_id") % 2 == 1).write.parquet(src + "/b.parquet")
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_distance_join(stream, right, radius)
+        .writeStream.format("memory")
+        .queryName("stream_dj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT event_id, c_custkey, dist2 FROM stream_dj").collect()
+    got = {(r["event_id"], r["c_custkey"], r["dist2"]) for r in rows}
+    assert len(rows) == len(got)
+    assert got == expected
