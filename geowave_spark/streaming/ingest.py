@@ -108,6 +108,7 @@ def stream_spatial_join(
     boxes: DataFrame,
     point_key: str = "event_id",
     box_key: str = "c_custkey",
+    how: str = "inner",
 ) -> DataFrame:
     """Continuous indexed spatial join: a stream of points joined
     against a STATIC extent table through the same (res, cell) keys as
@@ -125,8 +126,28 @@ def stream_spatial_join(
     via a literal-array explode, keeping the streaming plan a pure
     broadcast-hash equi-join per micro-batch. Per-pair dedupe is
     unnecessary by the same ≤1-key-match-per-pair construction as the
-    batch operator."""
-    return _stream_static_cell_join(stream_points, boxes).select(point_key, box_key)
+    batch operator.
+
+    Output forms mirror the batch operator (per-side semi/anti,
+    TieredSpatialJoin.java:362-378): ``how='leftsemi'`` emits arriving
+    points inside ≥1 extent (each point exactly once), ``'leftanti'``
+    points inside none — stateless per micro-batch, since membership
+    depends only on the static side. The batch shape (inner pairs →
+    anti-join back) would read as a stream-stream join to the
+    analyzer, so semi/anti go directly against the broadcast extent
+    table with the containment predicate: a broadcast nested-loop
+    probe, exact and short-circuiting, sized for dimension-scale fence
+    sets (for huge extent tables, run the indexed ``'inner'`` form and
+    reduce downstream)."""
+    if how == "inner":
+        return _stream_static_cell_join(stream_points, boxes).select(point_key, box_key)
+    if how in ("leftsemi", "leftanti"):
+        cond = (
+            F.col("x_u").between(F.col("x_lo"), F.col("x_hi"))
+            & F.col("y_u").between(F.col("y_lo"), F.col("y_hi"))
+        )
+        return stream_points.join(F.broadcast(boxes), cond, how)
+    raise ValueError(how)
 
 
 def _stream_static_cell_join(stream_points: DataFrame, boxes: DataFrame) -> DataFrame:

@@ -94,3 +94,37 @@ def test_stream_distance_join_matches_batch(spark, sf_dir, tmp_path):
     got = {(r["event_id"], r["c_custkey"], r["dist2"]) for r in rows}
     assert len(rows) == len(got)
     assert got == expected
+
+
+def test_stream_spatial_join_semi_anti_match_batch(spark, sf_dir, tmp_path):
+    pts = events_points(spark, sf_dir).limit(2500)
+    boxes = customer_boxes(spark, sf_dir)
+
+    exp_semi = {r["event_id"] for r in box_point_join(pts, boxes, how="leftsemi").collect()}
+    exp_anti = {r["event_id"] for r in box_point_join(pts, boxes, how="leftanti").collect()}
+    assert exp_semi and exp_anti
+
+    src = str(tmp_path / "sa_src")
+    pts.where(F.col("event_id") % 2 == 0).write.parquet(src + "/a.parquet")
+    pts.where(F.col("event_id") % 2 == 1).write.parquet(src + "/b.parquet")
+
+    for how, expected in (("leftsemi", exp_semi), ("leftanti", exp_anti)):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        name = f"stream_{how}"
+        q = (
+            stream_spatial_join(stream, boxes, how=how)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT event_id FROM {name}").collect()
+        got = {r["event_id"] for r in rows}
+        assert len(rows) == len(got)  # each point emitted once
+        assert got == expected
