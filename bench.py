@@ -125,6 +125,17 @@ def main():
     join_rps = round(n_events / max(times["spatial_join"], 1e-9), 1)
     tile_rps = round(n_img / max(times["tile_cut_merge"], 1e-9), 1)
 
+    # pure-JVM calibration probe (zero shuffle, zero Python): its wall
+    # time depends only on the machine's momentary CPU/memory health,
+    # so readers can separate host-neighbor interference from engine
+    # regressions across bench runs (reference on this box, warm JVM at
+    # 32 threads: ~1.3 s — BENCH.md §1/§7 ceiling methodology)
+    t0 = time.time()
+    spark.range(4_000_000_000).selectExpr("xxhash64(id) h").selectExpr(
+        "bit_xor(h)"  # overflow-free under ANSI mode, unlike sum
+    ).collect()
+    jvm_probe = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -138,6 +149,7 @@ def main():
                     "counts": counts,
                     "spatial_join_input_rows_per_sec": join_rps,
                     "tile_assign_images_per_sec": tile_rps,
+                    "jvm_probe_sec": jvm_probe,
                 },
             }
         )
