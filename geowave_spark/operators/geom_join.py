@@ -210,8 +210,9 @@ def geom_keys(
     scale: int = 1,
 ) -> DataFrame:
     """Append (res, cells) index columns for a WKB geometry column.
-    Geometry coordinates are interpreted in µdeg when scale=1 (pass
-    X_SCALE for degree-valued geometries)."""
+    Geometry coordinates must be stored in µdeg (scale=1, the engine's
+    canonical unit); other scales are not implemented — convert at
+    ingest."""
     if scale != 1:
         raise NotImplementedError("store geometries in µdeg; scale=1 only")
     k = _keys_udf(max_cells, finest_res, buffer_u, scale)(F.col(geom_col))
@@ -237,6 +238,56 @@ def _coarsen_to(cells: Column, d_res: Column) -> Column:
     """Distinct exact parent cells (pre-explode so duplicates collapse
     before they multiply join candidates)."""
     return F.array_distinct(F.transform(cells, lambda c: _packed_parent(c, d_res)))
+
+
+# per-side payload-dictionary cap for the auto broadcast decision: a
+# side whose total WKB exceeds this is never collect()ed to the driver
+# (the 100×-scale hazard: the fact side of a fact×dim geometry join)
+BC_MAX_BYTES = 64 << 20
+
+
+def _collect_payload_dict(sc, df: DataFrame, key: str, geom_col: str):
+    """Broadcast {key: wkb} for one (small, size-gated) side. Keys must
+    be unique — a duplicate would silently refine candidates against
+    the wrong geometry (same validation stance as DataStore.delete)."""
+    rows = df.select(key, geom_col).collect()
+    d = {row[key]: bytes(row[geom_col]) for row in rows}
+    if len(d) != len(rows):
+        raise ValueError(
+            f"geom join: duplicate values in key column {key!r} — the "
+            "broadcast payload dictionary requires unique keys (pass "
+            "a unique id, or disable broadcasting for this side)"
+        )
+    return sc.broadcast(d)
+
+
+def _pair_refine_one_side_udf(bc, predicate: str, distance_u: float | None, dim_is_right: bool):
+    """(fact_wkb, dim_key) -> bool: ONE side's payloads ride a task
+    broadcast (the small dimension side); the other side's WKB stays on
+    the candidate rows and is never collected to the driver — the
+    fact-side-safe variant of _pair_refine_by_keys_udf. Batches group
+    by the dimension key, so each dim geometry's kernel runs once per
+    batch over all its fact candidates."""
+    fn = P.PREDICATES.get(predicate)
+
+    @F.pandas_udf("boolean")
+    def run(wkbs: pd.Series, keys: pd.Series) -> pd.Series:
+        from geowave_spark.geom.udfs import eval_one_to_many, parse_cached
+
+        d = bc.value
+        out = np.zeros(len(wkbs), dtype=bool)
+        codes, uniq = pd.factorize(keys)
+        for u_i, idx in _group_indices(codes, len(uniq)):
+            g = parse_cached(d[uniq[u_i]])
+            geoms = [parse_cached(bytes(wkbs.iloc[i])) for i in idx]
+            # dim on the right → the varying (fact) geometries are the
+            # predicate's FIRST argument
+            out[idx] = eval_one_to_many(
+                predicate, fn, g, geoms, dim_is_right, distance_u
+            )
+        return pd.Series(out)
+
+    return run
 
 
 def _pair_refine_by_keys_udf(l_bc, r_bc, predicate: str, distance_u: float | None):
@@ -360,7 +411,15 @@ def geom_geom_join(
     ``distance_u`` when given). Negative predicates (disjoint, or a
     distance exceeded) are expressed as ``how='leftanti'`` on the
     positive form, exactly like the reference's negative-predicate
-    subtractByKey (TieredSpatialJoin.java:362-368)."""
+    subtractByKey (TieredSpatialJoin.java:362-368).
+
+    ``broadcast_right=None`` (default) size-gates payload broadcasting
+    PER SIDE: a side whose total WKB is under BC_MAX_BYTES ships as a
+    driver-collected {key: wkb} task broadcast (keys must be unique);
+    a larger side keeps its WKB on the candidate rows and is never
+    collected. ``True`` forces both dictionaries (collects BOTH sides
+    — dimension-sized inputs only); ``False`` disables broadcasting
+    entirely (shuffle refine on row-carried WKB)."""
     if predicate == "disjoint":
         raise ValueError(
             "disjoint join = leftanti on the positive predicate "
@@ -389,7 +448,8 @@ def geom_geom_join(
         max_cells,
     ).withColumnsRenamed({c: f"_r{c}" for c in _KEY_FIELDS}).persist()
 
-    # driver-side tiny aggregates deciding the two box fast paths:
+    # driver-side tiny aggregates deciding the two box fast paths AND
+    # the broadcast plan:
     # - every geometry a non-degenerate rect on BOTH sides → refine is
     #   pure native bounds arithmetic (no Python, no payload broadcast)
     # - every COVER a closed-bbox cover (rect geometry, or any geometry
@@ -398,7 +458,10 @@ def geom_geom_join(
     #   point max(lo_l, lo_r) of the two cover bounds (the PBSM
     #   reference-point technique, Patel & DeWitt SIGMOD'96) instead of
     #   a dropDuplicates shuffle of every shared-cell duplicate
-    def _side_stats(df, p):
+    # - per-side total WKB bytes gate the payload-dictionary broadcast:
+    #   only a side under BC_MAX_BYTES is ever collect()ed (a fact-
+    #   scale side keeps its WKB on candidate rows — never the driver)
+    def _side_stats(df, p, geom_col):
         row = df.agg(
             F.min(F.col(f"_{p}rect")).alias("rect"),
             F.min(
@@ -406,14 +469,16 @@ def geom_geom_join(
                 & (F.col(f"_{p}bx1") > F.col(f"_{p}bx0"))
                 & (F.col(f"_{p}by1") > F.col(f"_{p}by0"))
             ).alias("fulldim"),
+            F.sum(F.length(geom_col)).alias("bytes"),
         ).first()
         return (
             row["rect"] if row["rect"] is not None else True,
             row["fulldim"] if row["fulldim"] is not None else True,
+            int(row["bytes"]) if row["bytes"] is not None else 0,
         )
 
-    l_rect, l_fulldim = _side_stats(l, "l")
-    r_rect, r_fulldim = _side_stats(r, "r")
+    l_rect, l_fulldim, l_bytes = _side_stats(l, "l", "_lg")
+    r_rect, r_fulldim, r_bytes = _side_stats(r, "r", "_rg")
     native_pred = (
         _box_pair_native_pred(predicate, distance_u)
         if (l_fulldim and r_fulldim)
@@ -421,25 +486,34 @@ def geom_geom_join(
     )
     skip_dedupe = r_rect and (l_rect or buffer_u > 0)
 
-    use_broadcast = broadcast_right is None or broadcast_right
+    # broadcast plan: None = auto (size-gated per side); True forces
+    # BOTH payload dictionaries (collects both sides — only safe when
+    # the caller knows both are dimension-sized); False disables all
+    # payload broadcasting (WKB-carrying shuffle refine).
+    if broadcast_right is None:
+        bc_l = l_bytes <= BC_MAX_BYTES
+        bc_r = r_bytes <= BC_MAX_BYTES
+    else:
+        bc_l = bc_r = bool(broadcast_right)
     l_bc = r_bc = None
-    if use_broadcast:
-        # key-only candidates: both sides' WKB payloads ride task
-        # broadcasts (the strategy-broadcast pattern of
-        # TieredSpatialJoin.java:138-141); candidate rows carry 16 B of
-        # keys instead of two repeated geometry blobs, and refinement
-        # evaluates each distinct pair once per batch. The native-rect
-        # path needs no payloads at all — bounds columns refine.
-        sc = spark.sparkContext
-        if native_pred is None:
-            l_bc = sc.broadcast(
-                {row[left_key]: bytes(row["_lg"]) for row in l.select(left_key, "_lg").collect()}
-            )
-            r_bc = sc.broadcast(
-                {row[right_key]: bytes(row["_rg"]) for row in r.select(right_key, "_rg").collect()}
-            )
+    sc = spark.sparkContext
+    if native_pred is None:
+        # payload dictionaries ride task broadcasts (the strategy-
+        # broadcast pattern of TieredSpatialJoin.java:138-141) so
+        # candidate rows carry keys, not repeated geometry blobs; the
+        # native-rect path needs no payloads at all — bounds refine
+        if bc_l:
+            l_bc = _collect_payload_dict(sc, l, left_key, "_lg")
+        if bc_r:
+            r_bc = _collect_payload_dict(sc, r, right_key, "_rg")
+    if bc_l or native_pred is not None:
         l = l.drop("_lg")
-        r = F.broadcast(r.drop("_rg"))
+    if bc_r or native_pred is not None:
+        r = r.drop("_rg")
+    if bc_r:
+        # the keyed (cells-only) right frame is dimension-sized too —
+        # hint the equi-joins to broadcast it and skip the shuffle
+        r = F.broadcast(r)
 
     # collect the distinct res sets driver-side — tiny bounded lists,
     # the "collect distinct tiers per side" step of the reference
@@ -480,8 +554,11 @@ def geom_geom_join(
     cand2 = l2.join(r2, (F.col("_jres") == F.col("_lres")) & (l2["_jcell"] == r2["_jcell"]))
 
     cols = [left_key, right_key]
-    if native_pred is None and not use_broadcast:
-        cols += ["_lg", "_rg"]
+    if native_pred is None:
+        if not bc_l:
+            cols.append("_lg")
+        if not bc_r:
+            cols.append("_rg")
     if skip_dedupe or native_pred is not None:
         cols += ["_lbx0", "_lby0", "_lbx1", "_lby1", "_rbx0", "_rby0", "_rbx1", "_rby1"]
     sel1 = [F.col(c) for c in cols]
@@ -516,7 +593,7 @@ def geom_geom_join(
         matched = cand.where(native_pred).select(left_key, right_key)
         if not skip_dedupe:
             matched = matched.dropDuplicates([left_key, right_key])
-    elif use_broadcast:
+    elif bc_l and bc_r:
         # key-only rows are 16 B — dedupe the candidate pairs BEFORE
         # refinement (cheap narrow shuffle) so each pair reaches the
         # predicate exactly once; shared-cell duplication factors of
@@ -528,6 +605,22 @@ def geom_geom_join(
                 F.col(left_key), F.col(right_key)
             )
         ).select(left_key, right_key)
+    elif bc_l or bc_r:
+        # fact×dim: the big side's WKB rides the candidate rows (fat —
+        # refine first, dedupe the smaller match set), the small side's
+        # payloads ride the task broadcast
+        refine = (
+            _pair_refine_one_side_udf(r_bc, predicate, distance_u, True)(
+                F.col("_lg"), F.col(right_key)
+            )
+            if bc_r
+            else _pair_refine_one_side_udf(l_bc, predicate, distance_u, False)(
+                F.col("_rg"), F.col(left_key)
+            )
+        )
+        matched = cand.where(refine).select(left_key, right_key)
+        if not skip_dedupe:
+            matched = matched.dropDuplicates([left_key, right_key])
     else:
         # WKB-carrying rows are fat: refine first, dedupe the (smaller)
         # match set — the reference's reduceByKey placement
@@ -636,20 +729,24 @@ def geom_point_join(
     sc = points.sparkSession.sparkContext
     _widen_arrow_batches(points.sparkSession)
     par = sc.defaultParallelism
-    use_broadcast = broadcast_geoms is None or broadcast_geoms
     keyed_geoms = geom_keys(
         geoms.select(F.col(geom_key), F.col(geom_col).alias("_g")).repartition(par),
         "_g",
         max_cells,
         buffer_u=int(distance_u) if distance_u else 0,
     ).persist()
+    if broadcast_geoms is None:
+        # auto: only a dimension-sized geometry table is collected
+        gbytes = keyed_geoms.agg(F.sum(F.length("_g"))).first()[0] or 0
+        use_broadcast = int(gbytes) <= BC_MAX_BYTES
+    else:
+        use_broadcast = bool(broadcast_geoms)
     if use_broadcast:
         # ship the WKB payloads ONCE per executor as a task broadcast
         # and keep candidate rows key-only — repeated per-candidate WKB
         # through the join + Arrow boundary was the dominant cost at
         # millions of candidates (hotspot cells)
-        rows = keyed_geoms.select(geom_key, "_g").collect()
-        geom_bc = sc.broadcast({r[geom_key]: bytes(r["_g"]) for r in rows})
+        geom_bc = _collect_payload_dict(sc, keyed_geoms, geom_key, "_g")
         g = keyed_geoms.drop("_g")
         refine = _point_refine_by_id_udf(geom_bc, predicate, distance_u)(
             F.col(geom_key), F.col("x_u"), F.col("y_u")

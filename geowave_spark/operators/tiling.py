@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geowave_spark import LAT_OFF_U, LON_OFF_U, WORLD_X_U
-from geowave_spark.raster.codec import decode_image, resample_nearest
+from geowave_spark.raster.codec import decode_image
 
 TILE_SIZE = 256  # default tile size, RasterDataAdapter.java:152
 NO_DATA = 0  # background/no-data sample value for merges
@@ -421,12 +421,18 @@ def retile(
     from_level: int,
     to_level: int,
     tile_size: int = TILE_SIZE,
+    interpolation: str = "nearest",
 ) -> DataFrame:
     """Re-tile a (level, tx, ty, tile) table to a different pyramid level
     (RasterTileResizeSparkRunner semantics: flatMap to new keys → group →
-    mosaic). Coarsening: 4^(Δ) children collapse into one parent with
-    nearest-neighbor decimation; refining: one parent explodes into
-    children upsampled from its quadrant."""
+    mosaic). Coarsening: 4^(Δ) children collapse into one parent;
+    refining: one parent explodes into children upsampled from its
+    quadrant. ``interpolation`` selects the resampling kernel —
+    'nearest' (decimation, the default) or 'bilinear' — the
+    configurable Interpolation of RasterDataAdapter.java:444-550."""
+    from geowave_spark.raster.codec import RESAMPLERS
+
+    resample = RESAMPLERS[interpolation]
     if to_level == from_level:
         return tiles
     d = abs(to_level - from_level)
@@ -449,7 +455,7 @@ def retile(
                 img = np.frombuffer(row["tile"], dtype=np.uint8).reshape(
                     tile_size, tile_size
                 )
-                small = resample_nearest(img, sub, sub)
+                small = resample(img, sub, sub)
                 ox = (int(row["tx"]) - ptx * k) * sub
                 # y axis: ty grows north; row 0 of the tile is north
                 oy = (pty * k + k - 1 - int(row["ty"])) * sub
@@ -478,7 +484,7 @@ def retile(
                         # child (cx, cy) with cy in grid coords (north-up)
                         oy = (k - 1 - cy) * sub
                         patch = img[oy : oy + sub, cx * sub : cx * sub + sub]
-                        up = resample_nearest(patch, tile_size, tile_size)
+                        up = resample(patch, tile_size, tile_size)
                         rows.append(
                             (
                                 to_level,

@@ -1,28 +1,38 @@
 """SQL-plan spatial-join routing — the SqlQueryRunner analog.
 
 The reference parses a Spark SQL query's logical plan JSON, and when
-the WHERE clause is exactly one Geom* UDF predicate over two relations
-(no AND/OR), reroutes execution to the indexed TieredSpatialJoin
-instead of the cartesian-product + per-row UDF plan Spark would pick
+the WHERE clause contains a Geom* UDF predicate over two relations,
+reroutes execution to the indexed TieredSpatialJoin instead of the
+cartesian-product + per-row UDF plan Spark would pick
 (analytics/spark/.../sparksql/SqlQueryRunner.java:91-246).
 
-Engine equivalent, same detection contract:
+Engine equivalent, same detection contract plus the reference's
+query-path residual split (OptimalCQLQuery.java:102-236 extracts the
+geometry constraint from a compound filter and keeps the rest as a
+client-side filter):
 
 1. analyze the SQL (spark.sql → analyzed logical plan → toJSON, the
    very artifact SqlQueryRunner walks);
-2. match the shape: exactly ONE Filter whose condition root is a
-   PythonUDF named Geom* with two binary AttributeReference children
-   (+ a literal radius for GeomWithinDistance);
+2. match the shape: exactly ONE Filter whose condition contains
+   exactly one PythonUDF named Geom* with two binary
+   AttributeReference children from different relations, reachable
+   from the condition root through And nodes only (+ a literal radius
+   for GeomWithinDistance) — extra AND conjuncts are the residual;
 3. resolve each geometry attribute's alias → underlying view;
 4. run the indexed general join over the DISTINCT geometries of each
    side and register the matched (left_geom, right_geom) pairs;
 5. re-issue the query as pairs ⋈ left ⋈ right — two hash equi-joins on
    geometry equality, NO CartesianProduct / BroadcastNestedLoopJoin —
-   preserving the original select list verbatim.
+   with the original select list, the residual conjuncts, and any
+   trailing GROUP BY / HAVING-free ORDER BY / LIMIT clauses reattached
+   verbatim. Clause slicing is literal/paren-aware (a subquery select
+   item or a string literal containing " from " slices correctly), not
+   a regex.
 
-Any other shape (extra conjuncts, subqueries, negative predicates)
-falls back to plain Spark SQL, exactly like the reference's
-runDefaultSQL fallback.
+Any other shape (OR over the spatial predicate, set operations, CTEs,
+explicit JOIN syntax, >1 Geom* call, subquery-nested predicate) falls
+back to plain Spark SQL, exactly like the reference's runDefaultSQL
+fallback — correct, just not index-routed.
 """
 
 from __future__ import annotations
@@ -43,7 +53,152 @@ PRED_MAP = {
     "GeomEquals": "equals",
 }
 
-_SELECT_RE = re.compile(r"^\s*SELECT\s+(.*?)\s+FROM\s", re.IGNORECASE | re.DOTALL)
+
+# --------------------------------------------------------- text scanning
+# The re-emission needs the original query's clause TEXT (select list,
+# residual conjuncts, trailing clauses). Slicing must ignore anything
+# inside string literals, quoted identifiers, or parentheses — a plain
+# regex up to the first FROM mis-slices subqueries and literals.
+
+
+def _mask(sql: str) -> str:
+    """Same-length copy of ``sql`` with every character that is inside
+    a quoted region or below paren depth 0 replaced by a space — clause
+    keywords are then findable with plain word-boundary searches."""
+    out = []
+    depth = 0
+    quote = None
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if quote is not None:
+            if c == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # doubled quote escape
+                    out.append("  ")
+                    i += 2
+                    continue
+                quote = None
+            out.append(" ")
+            i += 1
+            continue
+        if c in ("'", '"', "`"):
+            quote = c
+            out.append(" ")
+        elif c == "(":
+            depth += 1
+            out.append(" ")
+        elif c == ")":
+            depth -= 1
+            out.append(" ")
+        else:
+            out.append(c if depth == 0 else " ")
+        i += 1
+    return "".join(out)
+
+
+_TAIL_KW = r"GROUP|ORDER|LIMIT|HAVING|WINDOW|QUALIFY|DISTRIBUTE|SORT|CLUSTER"
+
+
+def _scan_clauses(sql: str):
+    """Split a plain SELECT query into (select, from, where, tail) TEXT
+    spans at the top level. Returns None for shapes the re-emitter
+    can't preserve (CTEs, set operations)."""
+    m = _mask(sql)
+    if re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", m, re.I):
+        return None
+    if not re.match(r"\s*SELECT\b", m, re.I):
+        return None  # WITH ... / EXPLAIN ... / etc.
+    sel_kw = re.match(r"\s*SELECT\b", m, re.I)
+    from_kw = re.search(r"\bFROM\b", m, re.I)
+    if from_kw is None:
+        return None
+    where_kw = re.search(r"\bWHERE\b", m, re.I)
+    tail_kw = re.search(rf"\b({_TAIL_KW})\b", m, re.I)
+    tail_at = tail_kw.start() if tail_kw else len(sql)
+    if where_kw is None or where_kw.start() > tail_at:
+        where_text = ""
+        from_end = tail_at
+    else:
+        where_text = sql[where_kw.end() : tail_at]
+        from_end = where_kw.start()
+    return {
+        "select": sql[sel_kw.end() : from_kw.start()].strip(),
+        "from": sql[from_kw.end() : from_end].strip(),
+        "where": where_text.strip(),
+        "tail": sql[tail_at:].strip(),
+    }
+
+
+def _split_conjuncts(where_text: str):
+    """Top-level AND split of a WHERE clause's text. Returns None when
+    a top-level OR is present (the spatial predicate would not be a
+    required conjunct)."""
+    m = _mask(where_text)
+    if re.search(r"\bOR\b", m, re.I):
+        return None
+    parts, last = [], 0
+    for kw in re.finditer(r"\bAND\b", m, re.I):
+        parts.append(where_text[last : kw.start()])
+        last = kw.end()
+    parts.append(where_text[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _balanced_inner(t: str) -> bool:
+    """True when ``t`` never closes a paren it didn't open and ends at
+    depth 0 (quote-aware)."""
+    depth = 0
+    quote = None
+    for c in t:
+        if quote is not None:
+            if c == quote:
+                quote = None
+            continue
+        if c in ("'", '"', "`"):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and quote is None
+
+
+def _strip_outer_parens(t: str) -> str:
+    t = t.strip()
+    while (
+        t.startswith("(")
+        and t.endswith(")")
+        and _balanced_inner(t[1:-1])
+    ):
+        t = t[1:-1].strip()
+    return t
+
+
+def _is_spatial_call(conjunct: str, name: str) -> bool:
+    """True when the conjunct text is exactly ``name( ... )`` (modulo
+    outer parens/whitespace) — the textual twin of the detected UDF.
+    The argument list must be the REST of the conjunct (balanced), so
+    ``GeomX(a,b) = (1=1)`` does not match."""
+    t = _strip_outer_parens(conjunct)
+    m = re.match(rf"{re.escape(name)}\s*\(", t, re.I)
+    if not m or not t.endswith(")"):
+        return False
+    return _balanced_inner(t[m.end() : -1])
+
+
+# --------------------------------------------------------- plan walking
+
+
+def _subtree_end(nodes: list[dict], i: int) -> int:
+    """End (exclusive) of the subtree rooted at pre-order index ``i``
+    in a TreeNode.toJSON flattened list (every node carries
+    num-children)."""
+    end = i + 1
+    for _ in range(int(nodes[i].get("num-children", 0))):
+        end = _subtree_end(nodes, end)
+    return end
 
 
 def _qual(attr: dict) -> str | None:
@@ -66,24 +221,58 @@ def _alias_to_view(nodes: list[dict], alias: str) -> str:
     return alias
 
 
+def _find_single_geom_udf(cond: list[dict]):
+    """Index of the single Geom* PythonUDF in a flattened condition
+    tree, provided every ancestor on the root→UDF path is an And —
+    i.e. the spatial predicate is a required conjunct. None otherwise."""
+    hits = [
+        i
+        for i, n in enumerate(cond)
+        if n["class"].endswith("expressions.PythonUDF")
+        and str(n.get("name", "")).startswith("Geom")
+    ]
+    if len(hits) != 1:
+        return None
+    target = hits[0]
+    j = 0
+    while j != target:
+        if not cond[j]["class"].endswith("expressions.And"):
+            return None
+        k = j + 1
+        nxt = None
+        for _ in range(int(cond[j].get("num-children", 0))):
+            e = _subtree_end(cond, k)
+            if k <= target < e:
+                nxt = k
+                break
+            k = e
+        if nxt is None:
+            return None
+        j = nxt
+    return target
+
+
 def detect_spatial_predicate(spark: SparkSession, sql: str):
-    """Return (predicate, distance_u, (view1, alias1, col1),
-    (view2, alias2, col2)) when the query matches the routable shape,
-    else None — the SqlQueryRunner.java:109-160 detection."""
+    """Return (udf_name, predicate, distance_u, (view1, alias1, col1),
+    (view2, alias2, col2), n_residual) when the query matches the
+    routable shape, else None — the SqlQueryRunner.java:109-160
+    detection extended with the OptimalCQLQuery conjunct split."""
     df = spark.sql(sql)
     nodes = json.loads(df._jdf.queryExecution().analyzed().toJSON())
     filters = [n for n in nodes if n["class"].endswith("logical.Filter")]
     if len(filters) != 1:
         return None
     cond = filters[0]["condition"]
-    root = cond[0]
-    if not root["class"].endswith("expressions.PythonUDF"):
+    u = _find_single_geom_udf(cond)
+    if u is None:
         return None
-    name = root.get("name", "")
+    root = cond[u]
+    span = cond[u : _subtree_end(cond, u)]
+    name = str(root.get("name", ""))
     distance_u = None
     if name == "GeomWithinDistance":
         predicate = "intersects"  # refine happens on the distance
-        lits = [n for n in cond[1:] if n["class"].endswith("expressions.Literal")]
+        lits = [n for n in span[1:] if n["class"].endswith("expressions.Literal")]
         if len(lits) != 1:
             return None
         distance_u = float(lits[0]["value"])
@@ -93,7 +282,7 @@ def detect_spatial_predicate(spark: SparkSession, sql: str):
         return None
     attrs = [
         n
-        for n in cond[1:]
+        for n in span[1:]
         if n["class"].endswith("expressions.AttributeReference")
         and n.get("dataType") == "binary"
     ]
@@ -107,13 +296,43 @@ def detect_spatial_predicate(spark: SparkSession, sql: str):
         sides.append((_alias_to_view(nodes, alias), alias, a["name"]))
     if sides[0][1] == sides[1][1]:
         return None  # both args off one relation: a scalar filter, not a join
-    return predicate, distance_u, sides[0], sides[1]
+    n_residual = 0 if u == 0 else 1  # root is an And → extra conjuncts exist
+    return name, predicate, distance_u, sides[0], sides[1], n_residual
+
+
+_REL_RE = re.compile(r"^\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$", re.I)
+
+
+def _from_matches(from_text: str, sides) -> bool:
+    """The re-emitter regenerates the FROM clause, so the original must
+    be exactly the two detected relations in comma form (optionally
+    aliased) — explicit JOIN syntax or a third relation falls back."""
+    m = _mask(from_text)
+    parts, last = [], 0
+    for c in re.finditer(",", m):
+        parts.append(from_text[last : c.start()])
+        last = c.end()
+    parts.append(from_text[last:])
+    if len(parts) != 2:
+        return False
+    seen = {}
+    for p in parts:
+        pm = _REL_RE.match(p)
+        if pm is None:
+            return False
+        rel, alias = pm.group(1), pm.group(2) or pm.group(1)
+        seen[alias.lower()] = rel.lower()
+    for view, alias, _col in sides:
+        if seen.get(alias.lower()) != view.lower():
+            return False
+    return True
 
 
 def try_rewrite_spatial_sql(spark: SparkSession, sql: str) -> DataFrame | None:
-    """Reroute a single-Geom*-predicate SQL join through the indexed
-    general-geometry join. Returns the rewritten DataFrame, or None
-    when the query doesn't match (caller falls back to spark.sql)."""
+    """Reroute a Geom*-predicate SQL join (plus optional residual AND
+    conjuncts and trailing clauses) through the indexed general-
+    geometry join. Returns the rewritten DataFrame, or None when the
+    query doesn't match (caller falls back to spark.sql)."""
     from pyspark.sql import functions as F
 
     from geowave_spark.operators.geom_join import geom_geom_join
@@ -121,11 +340,20 @@ def try_rewrite_spatial_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     hit = detect_spatial_predicate(spark, sql)
     if hit is None:
         return None
-    m = _SELECT_RE.match(sql)
-    if m is None:
+    name, predicate, distance_u, (v1, a1, g1), (v2, a2, g2), _nres = hit
+
+    clauses = _scan_clauses(sql)
+    if clauses is None or not clauses["where"]:
         return None
-    select_list = m.group(1)
-    predicate, distance_u, (v1, a1, g1), (v2, a2, g2) = hit
+    if not _from_matches(clauses["from"], [(v1, a1, g1), (v2, a2, g2)]):
+        return None
+    conjuncts = _split_conjuncts(clauses["where"])
+    if conjuncts is None:
+        return None
+    spatial = [c for c in conjuncts if _is_spatial_call(c, name)]
+    if len(spatial) != 1:
+        return None
+    residual = [c for c in conjuncts if c is not spatial[0]]
 
     lgeoms = spark.table(v1).select(F.col(g1).alias("__lg")).distinct()
     rgeoms = spark.table(v2).select(F.col(g2).alias("__rg")).distinct()
@@ -141,8 +369,12 @@ def try_rewrite_spatial_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     )
     pairs.createOrReplaceTempView("__gw_pairs")
     rewritten = (
-        f"SELECT {select_list} FROM __gw_pairs __wp "
+        f"SELECT {clauses['select']} FROM __gw_pairs __wp "
         f"JOIN {v1} {a1} ON {a1}.{g1} = __wp.__lg "
         f"JOIN {v2} {a2} ON {a2}.{g2} = __wp.__rg"
     )
+    if residual:
+        rewritten += " WHERE " + " AND ".join(f"({c})" for c in residual)
+    if clauses["tail"]:
+        rewritten += " " + clauses["tail"]
     return spark.sql(rewritten)

@@ -202,6 +202,54 @@ def ice_bbox_query(
     )
 
 
+# ---------------------------------------------------- attribute (secondary)
+
+
+def attr_store(spark: SparkSession, sf_dir: str, column: str = "user_id") -> DataFrame:
+    """Secondary attribute index: the events table stored range-
+    partitioned and sorted by a NON-spatial column — the engine's
+    AttributeIndex analog (core/store/.../api/AttributeIndex.java:
+    any adapter field can back a sorted secondary index). The sorted
+    layout makes a range predicate on ``column`` prune at the parquet
+    row-group level (PushedFilters + min/max stats), the same
+    write-once / scan-sorted contract as the spatial stores above."""
+
+    def build():
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .repartitionByRange(8, column)
+            .sortWithinPartitions(column)
+        )
+
+    return _materialize(spark, f"attr_{column}", sf_dir, build)
+
+
+def attr_range_query(stored: DataFrame, column: str, lo, hi) -> DataFrame:
+    """Range scan over the attribute-sorted layout. The predicate is a
+    plain BETWEEN on the stored sort column, so it lands in
+    PushedFilters and row-group pruning applies — no refinement stage
+    (the attribute IS the key, unlike SFC cells)."""
+    return stored.where(F.col(column).between(lo, hi))
+
+
+def choose_index(constraints: set[str]) -> str:
+    """Index selection for a query's constrained dimensions — the
+    ChooseBestMatchIndexQueryStrategy rule (extensions/adapters/vector/
+    .../index/ChooseBestMatchIndexQueryStrategy.java): prefer the index
+    whose key dimensions are exactly the constrained ones; a composite
+    only wins when BOTH its dimensions are constrained."""
+    if constraints >= {"spatial", "temporal"}:
+        return "spatial_temporal"
+    if "spatial" in constraints:
+        return "spatial"
+    if "temporal" in constraints:
+        return "attribute:ts"
+    attrs = sorted(c for c in constraints if c.startswith("attr:"))
+    if attrs:
+        return "attribute:" + attrs[0].split(":", 1)[1]
+    return "full_scan"
+
+
 # ----------------------------------------------------- hilbert point index
 
 

@@ -91,6 +91,37 @@ def resample_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def resample_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic bilinear resample at output pixel centers — the
+    reference's configurable Interpolation option for tile warping
+    (RasterDataAdapter.java:444-550 exposes INTERP_BILINEAR alongside
+    the nearest default). Source coordinates use the standard
+    half-pixel-center mapping sx = (j + .5) * w/out_w - .5, edge
+    clamped; weights are exact in float64, the result rounds half-up
+    back to the input dtype. Linear ramps are reproduced exactly
+    (tests/test_tiling.py golden)."""
+    h, w = img.shape[:2]
+    sy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
+RESAMPLERS = {"nearest": resample_nearest, "bilinear": resample_bilinear}
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB (fidelity gate: ≥40 dB lossy)."""
     a = a.astype(np.float64)

@@ -133,3 +133,98 @@ def test_geom_geom_semi_anti(spark, fixtures):
     ids = {r["p_partkey"] for r in trk.select("p_partkey").collect()}
     assert {r["p_partkey"] for r in semi.collect()} == matched
     assert {r["p_partkey"] for r in anti.collect()} == ids - matched
+
+
+def test_size_gate_mixed_broadcast_parity(spark, fixtures, monkeypatch):
+    """With the per-side byte cap forced to 0 one or both payload
+    dictionaries are disabled — every routing (fact-left×dim-right,
+    dim-left×fact-right, no-broadcast shuffle) must match the default
+    auto plan and brute force. Guards the 100×-scale contract: a side
+    over the cap is never collect()ed to the driver."""
+    from geowave_spark.operators import geom_join as GJ
+
+    brute = _pairs(
+        brute_geom_geom(
+            fixtures["trk"], fixtures["lsh"], "intersects", "p_partkey", "s_suppkey"
+        ),
+        "p_partkey",
+        "s_suppkey",
+    )
+
+    # auto (both sides small -> both dictionaries)
+    auto = geom_geom_join(
+        fixtures["trk"], fixtures["lsh"], "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+    )
+    assert _pairs(auto, "p_partkey", "s_suppkey") == brute
+
+    # cap 0: auto degrades to the shuffle path (neither side collected)
+    monkeypatch.setattr(GJ, "BC_MAX_BYTES", 0)
+    none_bc = geom_geom_join(
+        fixtures["trk"], fixtures["lsh"], "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+    )
+    assert _pairs(none_bc, "p_partkey", "s_suppkey") == brute
+
+    # one-side dictionaries: patch the gate so exactly one side fits
+    lsh_bytes = int(
+        fixtures["lsh"].agg(F.sum(F.length("geom"))).first()[0]
+    )
+    trk_bytes = int(
+        fixtures["trk"].agg(F.sum(F.length("geom"))).first()[0]
+    )
+    monkeypatch.setattr(GJ, "BC_MAX_BYTES", min(lsh_bytes, trk_bytes) + 8)
+    mixed = geom_geom_join(
+        fixtures["trk"], fixtures["lsh"], "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+    )
+    assert _pairs(mixed, "p_partkey", "s_suppkey") == brute
+
+    # and the flipped orientation (big side on the right)
+    flipped = geom_geom_join(
+        fixtures["lsh"], fixtures["trk"], "intersects",
+        left_key="s_suppkey", right_key="p_partkey",
+    )
+    flipped_brute = brute_geom_geom(
+        fixtures["lsh"], fixtures["trk"], "intersects", "s_suppkey", "p_partkey"
+    )
+    assert _pairs(flipped, "s_suppkey", "p_partkey") == _pairs(
+        flipped_brute, "s_suppkey", "p_partkey"
+    )
+
+
+def test_duplicate_payload_keys_raise(spark, fixtures):
+    """A duplicate key on a broadcast side would silently refine
+    against the wrong geometry — must raise instead."""
+    dup = fixtures["trk"].select(
+        (F.col("p_partkey") % 5).alias("p_partkey"), "geom"
+    )
+    with pytest.raises(Exception, match="unique"):
+        geom_geom_join(
+            dup, fixtures["lsh"], "intersects",
+            left_key="p_partkey", right_key="s_suppkey",
+        ).count()
+
+
+def test_point_join_size_gate_parity(spark, fixtures, monkeypatch):
+    """geom_point_join auto-gates its dimension collect: over the cap
+    it must fall back to the row-carried refine with identical rows."""
+    from geowave_spark.operators import geom_join as GJ
+    from geowave_spark.operators.geom_join import _point_refine_udf
+
+    brute = _pairs(
+        fixtures["pts"].select("event_id", "x_u", "y_u")
+        .crossJoin(fixtures["lsh"].select("s_suppkey", F.col("geom").alias("_g")))
+        .where(
+            _point_refine_udf("intersects", None)(
+                F.col("_g"), F.col("x_u"), F.col("y_u")
+            )
+        ),
+        "event_id",
+        "s_suppkey",
+    )
+    monkeypatch.setattr(GJ, "BC_MAX_BYTES", 0)
+    got = geom_point_join(
+        fixtures["pts"], fixtures["lsh"], "intersects", geom_key="s_suppkey"
+    )
+    assert _pairs(got, "event_id", "s_suppkey") == brute

@@ -69,15 +69,96 @@ def test_rewrite_crosses_predicate(spark, store):
     assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
 
 
+def test_residual_conjuncts_route_with_native_filter(spark, store):
+    """OptimalCQLQuery residual split: spatial conjunct through the
+    indexed join, attribute conjuncts reattached natively."""
+    sql = (
+        "SELECT t.p_partkey, o.s_suppkey FROM tracks_v t, lshapes_v o "
+        "WHERE GeomIntersects(t.geom, o.geom) AND t.p_partkey > 10 "
+        "AND o.s_suppkey % 2 = 0"
+    )
+    routed = store.sql(sql)
+    _no_cartesian(routed)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+
+
+def test_order_by_and_limit_preserved(spark, store):
+    """The round-2 re-emitter silently dropped ORDER BY / LIMIT; they
+    must now ride through the rewrite verbatim."""
+    sql = (
+        "SELECT t.p_partkey, o.s_suppkey FROM tracks_v t, lshapes_v o "
+        "WHERE GeomIntersects(t.geom, o.geom) "
+        "ORDER BY t.p_partkey, o.s_suppkey LIMIT 10"
+    )
+    routed = store.sql(sql)
+    _no_cartesian(routed)
+    naive = store.sql(sql, rewrite=False)
+    assert list(map(tuple, routed.collect())) == list(map(tuple, naive.collect()))
+    assert routed.count() == 10
+
+
+def test_group_by_preserved(spark, store):
+    sql = (
+        "SELECT t.p_partkey, count(*) AS n FROM tracks_v t, lshapes_v o "
+        "WHERE GeomIntersects(t.geom, o.geom) GROUP BY t.p_partkey"
+    )
+    routed = store.sql(sql)
+    _no_cartesian(routed)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+
+
+def test_select_literal_containing_from_slices_correctly(spark, store):
+    sql = (
+        "SELECT t.p_partkey, 'keep from here' AS lit "
+        "FROM tracks_v t, lshapes_v o WHERE GeomIntersects(t.geom, o.geom)"
+    )
+    routed = store.sql(sql)
+    _no_cartesian(routed)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+
+
+def test_select_subquery_item(spark, store):
+    """A scalar subquery in the select list must either route with
+    identical results or fall back to the plain plan — never mis-slice."""
+    sql = (
+        "SELECT t.p_partkey, (SELECT max(s_suppkey) FROM lshapes_v) AS mx "
+        "FROM tracks_v t, lshapes_v o WHERE GeomIntersects(t.geom, o.geom)"
+    )
+    routed = store.sql(sql)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+
+
 def test_unroutable_shapes_fall_back(spark, store):
     from geowave_spark.plans.sql_rewrite import try_rewrite_spatial_sql
 
-    # extra non-geom conjunct → not the single-predicate shape
+    # spatial predicate under OR → not a required conjunct
     assert (
         try_rewrite_spatial_sql(
             spark,
             "SELECT t.p_partkey FROM tracks_v t, lshapes_v o "
-            "WHERE GeomIntersects(t.geom, o.geom) AND t.p_partkey > 10",
+            "WHERE GeomIntersects(t.geom, o.geom) OR t.p_partkey > 10",
+        )
+        is None
+    )
+    # negated spatial predicate
+    assert (
+        try_rewrite_spatial_sql(
+            spark,
+            "SELECT t.p_partkey FROM tracks_v t, lshapes_v o "
+            "WHERE NOT GeomIntersects(t.geom, o.geom)",
+        )
+        is None
+    )
+    # two geom predicates → ambiguous
+    assert (
+        try_rewrite_spatial_sql(
+            spark,
+            "SELECT t.p_partkey FROM tracks_v t, lshapes_v o "
+            "WHERE GeomIntersects(t.geom, o.geom) AND GeomCrosses(t.geom, o.geom)",
         )
         is None
     )
@@ -94,6 +175,16 @@ def test_unroutable_shapes_fall_back(spark, store):
     assert (
         try_rewrite_spatial_sql(
             spark, "SELECT p_partkey FROM tracks_v WHERE p_partkey > 10"
+        )
+        is None
+    )
+    # set operation over the routable shape
+    assert (
+        try_rewrite_spatial_sql(
+            spark,
+            "SELECT t.p_partkey FROM tracks_v t, lshapes_v o "
+            "WHERE GeomIntersects(t.geom, o.geom) "
+            "UNION SELECT p_partkey FROM tracks_v",
         )
         is None
     )

@@ -279,3 +279,79 @@ def test_multiband_distributed_cut_and_merge_exact(spark):
         got = np.frombuffer(row.tile, dtype=np.int16).reshape(ts, ts, 2)
         assert counts[(row.tx, row.ty)] == row.n_contrib
         assert np.array_equal(got, ref[(row.tx, row.ty)]), (row.tx, row.ty)
+
+
+def test_bilinear_resample_reproduces_linear_ramps_exactly():
+    """Bilinear interpolation is exact on linear functions: a ramp
+    image resampled to any size must equal the analytically resampled
+    ramp (half-pixel-center mapping), and PSNR vs float truth stays
+    effectively infinite."""
+    from geowave_spark.raster.codec import psnr, resample_bilinear
+
+    h = w = 32
+    xs = np.arange(w, dtype=np.float64)
+    ys = np.arange(h, dtype=np.float64)
+    ramp = (ys[:, None] * 3.0 + xs[None, :] * 5.0).astype(np.float64)
+
+    for oh, ow in [(16, 16), (8, 24), (64, 64)]:
+        got = resample_bilinear(ramp, oh, ow)
+        sy = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
+        sx = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+        want = sy[:, None] * 3.0 + sx[None, :] * 5.0
+        assert np.allclose(got, want, atol=1e-9), (oh, ow)
+
+    # integer dtype path: rounded ramp stays within 1 LSB -> PSNR >= 40
+    ramp8 = np.clip(ramp, 0, 255).astype(np.uint8)
+    got8 = resample_bilinear(ramp8, 16, 16)
+    want = np.clip(
+        (np.clip((np.arange(16) + 0.5) * 2 - 0.5, 0, 31))[:, None] * 3.0
+        + (np.clip((np.arange(16) + 0.5) * 2 - 0.5, 0, 31))[None, :] * 5.0,
+        0,
+        255,
+    )
+    assert psnr(got8.astype(np.float64), want) >= 40.0
+    assert got8.dtype == np.uint8
+
+
+def test_retile_bilinear_distributed_matches_driver_reference(spark, images):
+    """retile(interpolation='bilinear') through the distributed
+    applyInPandas path equals a driver-side sequential mosaic using the
+    same kernel — same tile keys as nearest, different (smoother)
+    pixels."""
+    from geowave_spark.raster.codec import resample_bilinear
+
+    ts = 32
+    level = pick_level(2 * HALF_SPAN, ts, ts)
+    tiles = tile_cut_and_merge(images, HALF_SPAN, tile_size=ts, level=level)
+    base = tiles.select("level", "tx", "ty", "tile").toPandas()
+
+    got = (
+        retile(
+            spark.createDataFrame(base),
+            level,
+            level - 1,
+            ts,
+            interpolation="bilinear",
+        )
+        .toPandas()
+        .sort_values(["tx", "ty"])
+        .reset_index(drop=True)
+    )
+
+    # driver reference
+    ref: dict = {}
+    for row in base.sort_values(["tx", "ty"]).itertuples(index=False):
+        ptx, pty = row.tx // 2, row.ty // 2
+        acc = ref.setdefault((ptx, pty), np.zeros((ts, ts), dtype=np.uint8))
+        img = np.frombuffer(row.tile, dtype=np.uint8).reshape(ts, ts)
+        small = resample_bilinear(img, ts // 2, ts // 2)
+        ox = (row.tx - ptx * 2) * (ts // 2)
+        oy = (pty * 2 + 1 - row.ty) * (ts // 2)
+        acc[oy : oy + ts // 2, ox : ox + ts // 2] = small
+
+    assert set(zip(got["tx"], got["ty"])) == set(ref)
+    for row in got.itertuples(index=False):
+        want = ref[(row.tx, row.ty)]
+        assert np.array_equal(
+            np.frombuffer(row.tile, dtype=np.uint8).reshape(ts, ts), want
+        ), (row.tx, row.ty)
