@@ -212,10 +212,12 @@ def knn_join(
 
         safe2 = F.lit(int(cell_span) * int(cell_span))
         w = Window.partitionBy("query_id").orderBy("dist2", point_key)
-        # persisted: the round's take(1) gate and the caller's final
-        # action would otherwise each recompute every round's window
-        # (bounded: rounds start at the density res, so a ring holds
-        # ~2k candidates per query; coarser rounds see few queries)
+        # persisted for THIS round only: resolved, hit and the leftanti
+        # all read the window output once each; the round's results are
+        # then eagerly checkpointed (small: ≤ |resolved|×k result rows
+        # + one (query_id,qx,qy) row per unresolved query) and every
+        # prior frame is unpersisted — a long-lived session holds at
+        # most one round's working set, not the whole ladder's
         ranked = cand.withColumn("rank", F.row_number().over(w)).persist()
         resolved = (
             ranked.where((F.col("rank") <= k) & (F.col("dist2") <= safe2))
@@ -229,10 +231,20 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("query_id", point_key, "dist2", "rank")
         )
-        out = hit if out is None else out.unionByName(hit)
-        remaining = remaining.join(resolved, "query_id", "leftanti").persist()
+        new_out = (hit if out is None else out.unionByName(hit)).localCheckpoint(
+            eager=True
+        )
+        new_remaining = remaining.join(
+            resolved, "query_id", "leftanti"
+        ).localCheckpoint(eager=True)
+        ranked.unpersist()
+        if out is not None:
+            out.unpersist()
+        remaining.unpersist()
+        out, remaining = new_out, new_remaining
         if res_r == 0 or not remaining.take(1):
             break
+    remaining.unpersist()
     return out
 
 

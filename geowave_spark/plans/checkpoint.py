@@ -154,20 +154,19 @@ class IceStageStore:
             )
         # Read exactly the partitions committed under THIS fingerprint
         # (a changed input invalidates prior snapshots without deleting
-        # them — they stay time-travelable): each append snapshot's data
-        # lives in its own snap-<id> directory, so the matching file set
-        # is reconstructible from the snapshot log alone.
+        # them — they stay time-travelable): each append snapshot entry
+        # records the data files it added, so the matching file set is
+        # reconstructible from the snapshot log alone.
         want = set(part_keys)
-        sids = {
-            s["id"]
+        live = {f["path"] for f in t.files()}
+        paths = [
+            p
             for s in t.snapshots()
             if (s.get("summary") or {}).get("fingerprint") == fingerprint
             and (s.get("summary") or {}).get("part_key") in want
-        }
-        prefixes = tuple(
-            os.path.join(t.root, "data", f"snap-{sid:05d}") + os.sep for sid in sids
-        )
-        paths = [f["path"] for f in t.files() if f["path"].startswith(prefixes)]
+            for p in s.get("added_paths", [])
+            if p in live
+        ]
         return spark.read.parquet(*paths)
 
     def metrics(self, stage: str):

@@ -39,9 +39,11 @@ metadata instead of a live cluster.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -118,6 +120,36 @@ class IceTable:
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
             return json.loads(f.read())
 
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 60.0):
+        """Exclusive writer lock (O_CREAT|O_EXCL lock file) held across
+        the read-version → merge → write-metadata → replace-hint
+        sequence. Without it two concurrent commit_write calls can both
+        read version N and both publish v(N+1) — the second os.replace
+        of version-hint silently discards the first writer's snapshot
+        (a lost update in the format the checkpoint layer relies on for
+        durability). Readers never take the lock: the hint replace
+        stays the atomic publish point."""
+        lock = os.path.join(self.meta_dir, "commit.lock")
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire table commit lock {lock!r} in "
+                        f"{timeout}s (stale lock from a crashed writer? "
+                        "remove it manually after verifying no writer runs)"
+                    ) from None
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
     def _commit_metadata(self, meta: dict) -> None:
         """Atomic swap: write v<N+1>, then os.replace the hint."""
         v = self._version() + 1
@@ -163,58 +195,62 @@ class IceTable:
         the new snapshot id."""
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
-        meta = self._metadata()
-        sid = (
-            max((s["id"] for s in meta["snapshots"]), default=0) + 1
-        )
-        data_dir = os.path.join(self.root, "data", f"snap-{sid:05d}")
+        # data files land OUTSIDE the lock (the slow part, and they are
+        # invisible until the metadata publish) under a collision-free
+        # name — the snapshot id is only assigned under the lock
+        data_dir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
         df.write.mode("error").parquet(data_dir)
         new_files = [
             _file_stats(os.path.join(data_dir, fn), stats_cols)
             for fn in sorted(os.listdir(data_dir))
             if fn.endswith(".parquet")
         ]
-        manifest = list(new_files)
-        if mode == "append" and meta["current_snapshot_id"] is not None:
-            manifest = self._manifest(meta["current_snapshot_id"]) + manifest
-        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
-            f.write(json.dumps(manifest))
-        meta["snapshots"].append(
-            {
-                "id": sid,
-                "parent": meta["current_snapshot_id"],
-                "ts": time.time(),
-                "operation": mode,
-                "added_files": len(new_files),
-                "added_rows": sum(x["rows"] for x in new_files),
-                "summary": summary or {},
-            }
-        )
-        meta["current_snapshot_id"] = sid
-        self._commit_metadata(meta)
+        with self._commit_lock():
+            meta = self._metadata()
+            sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            manifest = list(new_files)
+            if mode == "append" and meta["current_snapshot_id"] is not None:
+                manifest = self._manifest(meta["current_snapshot_id"]) + manifest
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(manifest))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": meta["current_snapshot_id"],
+                    "ts": time.time(),
+                    "operation": mode,
+                    "added_files": len(new_files),
+                    "added_rows": sum(x["rows"] for x in new_files),
+                    "added_paths": [x["path"] for x in new_files],
+                    "summary": summary or {},
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
         return sid
 
     def rollback(self, snapshot_id: int) -> int:
         """Commit a new snapshot whose state is a historical one (time
         travel as a WRITE — the audit trail keeps going forward)."""
-        meta = self._metadata()
-        if snapshot_id not in {s["id"] for s in meta["snapshots"]}:
-            raise KeyError(snapshot_id)
-        sid = max(s["id"] for s in meta["snapshots"]) + 1
-        with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
-            f.write(json.dumps(self._manifest(snapshot_id)))
-        meta["snapshots"].append(
-            {
-                "id": sid,
-                "parent": meta["current_snapshot_id"],
-                "ts": time.time(),
-                "operation": f"rollback-to-{snapshot_id}",
-                "added_files": 0,
-                "added_rows": 0,
-            }
-        )
-        meta["current_snapshot_id"] = sid
-        self._commit_metadata(meta)
+        with self._commit_lock():
+            meta = self._metadata()
+            if snapshot_id not in {s["id"] for s in meta["snapshots"]}:
+                raise KeyError(snapshot_id)
+            sid = max(s["id"] for s in meta["snapshots"]) + 1
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(self._manifest(snapshot_id)))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": meta["current_snapshot_id"],
+                    "ts": time.time(),
+                    "operation": f"rollback-to-{snapshot_id}",
+                    "added_files": 0,
+                    "added_rows": 0,
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
         return sid
 
     # -------------------------------------------------------- maintenance
@@ -257,6 +293,10 @@ class IceTable:
         """Drop history older than the last ``keep_last`` snapshots and
         delete data files no retained snapshot references (Iceberg's
         expire_snapshots). The current snapshot is always retained."""
+        with self._commit_lock():
+            return self._expire_locked(keep_last)
+
+    def _expire_locked(self, keep_last: int) -> dict:
         meta = self._metadata()
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:

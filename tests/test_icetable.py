@@ -173,3 +173,36 @@ def test_compact_and_expire(spark, tmp_path):
 
     live_files = glob.glob(str(tmp_path / "t6" / "data" / "*" / "*.parquet"))
     assert len(live_files) == 3
+
+
+def test_concurrent_commits_no_lost_update(spark, tmp_path):
+    """Two writers racing commit_write must serialize on the writer
+    lock: every snapshot survives (no silent lost update from both
+    reading version N and both publishing v(N+1))."""
+    import threading
+
+    from geowave_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "race"))
+    t.commit_write(spark.range(1).selectExpr("id AS v"), mode="overwrite")
+
+    n_writers, errs = 6, []
+
+    def writer(i):
+        try:
+            df = spark.range(10).selectExpr(f"id + {i * 100} AS v")
+            t.commit_write(df, mode="append")
+        except Exception as ex:  # pragma: no cover - failure reporting
+            errs.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert len(t.snapshots()) == 1 + n_writers
+    # every append's rows are in the current state exactly once
+    assert t.read(spark).count() == 1 + n_writers * 10
+    ids = [s["id"] for s in t.snapshots()]
+    assert ids == sorted(set(ids))

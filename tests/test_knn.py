@@ -2,6 +2,7 @@
 semantics, NNMapReduce.java:60-95)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from geowave_spark.operators.knn import knn, knn_brute
 from geowave_spark.sources.testgeo import events_points
@@ -49,3 +50,35 @@ def test_knn_join_matches_brute_large_queryset(spark):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in exp.collect()}
     assert g == e
+
+
+def test_knn_join_releases_round_frames(spark):
+    """Ladder persist hygiene: running the ladder must not accumulate
+    one persisted frame per round per call — a long-lived session
+    (bench loop, streaming driver) holds at most the checkpointed
+    result, not every round's window output."""
+    from geowave_spark.operators.knn import knn_join
+    from geowave_spark.sources.testgeo import events_points
+
+    pts = events_points(spark, "/root/testdata/sf0.001")
+    qdf = pts.where(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("query_id"),
+        F.col("x_u").alias("qx"),
+        F.col("y_u").alias("qy"),
+    )
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    r1 = knn_join(pts, qdf, 5)
+    n1 = r1.count()
+    after1 = n_persisted()
+    r2 = knn_join(pts, qdf, 5)
+    assert r2.count() == n1
+    after2 = n_persisted()
+    # each call may leave its (checkpointed) result + final remaining
+    # until GC, but never a per-round accumulation (>=3 rounds run at
+    # this density if leaking)
+    assert after1 - base <= 3
+    assert after2 - after1 <= 3
