@@ -818,6 +818,24 @@ def _q_phash_dedup(spark, sf):
     return phash_hamming_pairs(imgs, max_hamming=PHASH_HAM_T)
 
 
+THUMB_W = THUMB_H = 16
+
+
+def _q_image_thumbs(spark, sf):
+    """Thumbnail pipeline (decode → bilinear resample → re-encode in
+    one mapInPandas pass): the oracle re-derives each thumbnail's
+    difference hash from the deterministic generator driver-side, so a
+    value match proves decode + resample + hash end-to-end without the
+    oracle reading a single byte column."""
+    from geowave_spark.operators.multimodal import image_thumbnails
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    return image_thumbnails(imgs, THUMB_W, THUMB_H).select(
+        "image_id", "w", "h", "thumb_hash"
+    )
+
+
 KNN_BULK_MOD = 97
 
 
@@ -1011,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
+        "image_thumbs": _q_image_thumbs,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
@@ -1235,6 +1254,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "ice_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "phash_dedup": _phash_dedup_oracle(),
+        "image_thumbs": _image_thumbs_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",
@@ -1263,6 +1283,23 @@ def _oracle_sql_geom() -> dict[str, str]:
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
     }
+
+
+def _image_thumbs_oracle() -> str:
+    """Thumbnail hashes re-derived from the deterministic generator
+    with the same bilinear kernel driver-side (no bytes read)."""
+    from geowave_spark.raster.codec import resample_bilinear
+    from geowave_spark.sources.images import dhash64, render_pixels
+
+    vals = ", ".join(
+        f"('img{i:012d}', "
+        f"{dhash64(resample_bilinear(render_pixels(i, RASTER_TS, RASTER_TS), THUMB_H, THUMB_W))})"
+        for i in range(RASTER_N)
+    )
+    return (
+        f"SELECT image_id, {THUMB_W} AS w, {THUMB_H} AS h, th AS thumb_hash "
+        f"FROM (VALUES {vals}) AS t(image_id, th)"
+    )
 
 
 def _phash_dedup_oracle() -> str:

@@ -158,3 +158,49 @@ def frame_resize(frames: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return frames.select("media_id", "frame_idx", "w", "h", "frame").mapInPandas(
         rs, "media_id long, frame_idx int, w int, h int, frame binary"
     )
+
+
+def image_thumbnails(
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+    interpolation: str = "bilinear",
+    out_fmt: str = "png",
+) -> DataFrame:
+    """Thumbnail pipeline over the image+caption table: decode (real
+    PNG/RAW codecs) → resample (nearest/bilinear, the configurable
+    Interpolation of RasterDataAdapter.java:444-550) → re-encode, all
+    inside one mapInPandas pass (one Arrow boundary, no per-row
+    Python). Emits (image_id, w, h, fmt, bytes, thumb_hash) where
+    thumb_hash is the 64-bit difference hash of the RESAMPLED pixels —
+    a deterministic end-to-end witness of the decode+resample path
+    (the oracle re-derives it from the generator without touching
+    bytes, the audio_stats pattern)."""
+    from geowave_spark.raster.codec import RESAMPLERS, decode_image, encode_image
+    from geowave_spark.sources.images import dhash64
+
+    resample = RESAMPLERS[interpolation]
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes), r.fmt)
+                small = resample(img, out_h, out_w)
+                rows.append(
+                    (
+                        r.image_id,
+                        out_w,
+                        out_h,
+                        out_fmt,
+                        encode_image(small, out_fmt),
+                        dhash64(small),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "w", "h", "fmt", "bytes", "thumb_hash"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        thumbs, "image_id string, w int, h int, fmt string, bytes binary, thumb_hash long"
+    )

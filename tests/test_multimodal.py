@@ -105,3 +105,27 @@ def test_stub_codecs_raise():
         decode_video(b"\x00", "h264", 16, 16)
     with pytest.raises(ValueError):
         decode_audio(b"\x00", "nonsense")
+
+
+def test_image_thumbnails_end_to_end(spark):
+    """Thumbnail pipeline: decoded thumbnail pixels equal a driver-side
+    decode→bilinear-resample of the same deterministic images (both
+    PNG and RAW inputs), round-tripped through the PNG re-encode."""
+    import numpy as np
+
+    from geowave_spark.operators.multimodal import image_thumbnails
+    from geowave_spark.raster.codec import decode_image, resample_bilinear
+    from geowave_spark.sources.images import images_table, render_pixels
+
+    n, w = 48, 32
+    imgs = images_table(spark, n, w=w, h=w, partitions=4)
+    out = image_thumbnails(imgs, 16, 16).toPandas().set_index("image_id")
+    assert len(out) == n
+    fmts = set()
+    for i in range(n):
+        row = out.loc[f"img{i:012d}"]
+        got = decode_image(bytes(row["bytes"]), row["fmt"])
+        want = resample_bilinear(render_pixels(i, w, w), 16, 16)
+        assert np.array_equal(got, want), i
+        fmts.add("raw" if i % 3 == 0 else "png")
+    assert fmts == {"raw", "png"}  # both decode paths exercised
