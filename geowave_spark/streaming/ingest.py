@@ -288,6 +288,20 @@ def stateful_user_stats(
 # ------------------------------------------------------ source abstraction
 
 
+def parse_kafka_events(raw: DataFrame, schema: StructType | str) -> DataFrame:
+    """Kafka record frame (key, value, topic, partition, offset,
+    timestamp — the fixed schema of Spark's kafka source) → typed event
+    rows: value bytes parsed as JSON into ``schema``. Split out from
+    open_stream so the engine-owned half of the Kafka branch is
+    testable without a broker (the connector itself is Spark's; this
+    transformation is identical on a batch frame of the same shape —
+    tests/test_streaming_source.py)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("_e")
+    )
+    return parsed.select("_e.*")
+
+
 def open_stream(spark: SparkSession, source: dict, schema: StructType | str | None = None) -> DataFrame:
     """Open a streaming source from a spec dict — the reference's
     format-plugin seam (extensions/formats/*; BasicKafkaIT.java wires
@@ -317,10 +331,7 @@ def open_stream(spark: SparkSession, source: dict, schema: StructType | str | No
         )
     if fmt == "kafka":
         raw = spark.readStream.format("kafka").options(**opts).load()
-        parsed = raw.select(
-            F.from_json(F.col("value").cast("string"), schema).alias("_e")
-        )
-        return parsed.select("_e.*")
+        return parse_kafka_events(raw, schema)
     if fmt == "rate":
         from geowave_spark.sources.testgeo import xy_cols
 
