@@ -131,20 +131,33 @@ def main():
     qs["geom_line_join"](spark, sf_dir).count()
     e._snapped(spark, sf_dir)
 
+    # best-of-N per query (default 2, full recompute each pass — only
+    # the documented ingest-time fixtures are cached): the pure-JVM
+    # probe catches CPU-steal windows but underestimates memory-
+    # bandwidth contention from host neighbors, which hits shuffle and
+    # Arrow paths 3-6× harder than the probe moves (observed: kde
+    # 1.5 s ↔ 9.5 s across windows whose probes differ only 1.5×).
+    # Min-of-2 bounds that one-sided noise; the JSON reports the raw
+    # per-pass sums too so the window quality stays visible.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
+    pass_totals = [0.0] * n_runs
     for name in bench_names:
-        # amortize GC debt OUTSIDE the timing window: ~38 back-to-back
-        # queries accumulate dead broadcasts/shuffle state in one JVM,
-        # and a full collection landing mid-query billed 25-30 s to
-        # whichever query it hit (observed on minhash_lsh in otherwise
-        # clean windows). A long-running cluster collects between
-        # queries as a matter of course; doing it explicitly here makes
-        # per-query numbers measure the query, not its predecessors.
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        counts[name] = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for p in range(n_runs):
+            # amortize GC debt OUTSIDE the timing window: ~38
+            # back-to-back queries accumulate dead broadcast/shuffle
+            # state in one JVM, and a full collection landing mid-query
+            # billed 25-30 s to whichever query it hit. A long-running
+            # cluster collects between queries as a matter of course.
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            counts[name] = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            pass_totals[p] += dt
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     # raster pipeline: cut + merge synthetic images (north-rule
     # tile-assignment throughput). Generation is persisted OUTSIDE the
@@ -153,9 +166,17 @@ def main():
     n_img = int(os.environ.get("SPARK_GRAFT_N_IMAGES", "2000"))
     imgs = images_table(spark, n_img, w=64, h=64, partitions=int(cpus)).persist()
     imgs.count()
-    t0 = time.time()
-    counts["tile_cut_merge"] = tile_cut_and_merge(imgs, 600_000, tile_size=64).count()
-    times["tile_cut_merge"] = round(time.time() - t0, 3)
+    best = None
+    for p in range(n_runs):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        counts["tile_cut_merge"] = tile_cut_and_merge(
+            imgs, 600_000, tile_size=64
+        ).count()
+        dt = time.time() - t0
+        pass_totals[p] += dt
+        best = dt if best is None else min(best, dt)
+    times["tile_cut_merge"] = round(best, 3)
     imgs.unpersist()
 
     total = round(sum(times.values()), 3)
@@ -181,6 +202,8 @@ def main():
                     "jvm_probe_sec": probe_post,
                     "jvm_probe_pre_sec": probes_pre,
                     "probe_ceiling_sec": probe_ceiling,
+                    "runs_per_query": n_runs,
+                    "pass_totals_sec": [round(t, 3) for t in pass_totals],
                     # true when the host never produced a clean window
                     # (pre) or degraded mid-suite (post): timings then
                     # measure the neighbor, not the engine
