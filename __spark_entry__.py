@@ -311,11 +311,17 @@ def _q_text_suffix(spark, sf):
 
 
 def _q_text_contains(spark, sf):
+    """CONTAINS through the STORED ngram inverted index (write-time
+    materialization, plans/store.ngram_store — the TextIndexStrategy
+    NGRAM layout): single-gram candidate scan with gram in
+    PushedFilters, leftsemi to the docs, exact contains refine."""
     from geowave_spark.operators.text_search import contains_search
+    from geowave_spark.plans.store import ngram_store
 
-    return contains_search(_docs(spark, sf), "text", "doc_id", "spark join").select(
-        "doc_id"
-    )
+    return contains_search(
+        _docs(spark, sf), "text", "doc_id", "spark join",
+        index=ngram_store(spark, sf),
+    ).select("doc_id")
 
 
 DL_X_LO, DL_X_HI = 150_000_000, -150_000_000  # antimeridian-crossing box
@@ -818,6 +824,25 @@ def _q_phash_dedup(spark, sf):
     return phash_hamming_pairs(imgs, max_hamming=PHASH_HAM_T)
 
 
+def _q_ice_image_tiles(spark, sf):
+    """The north rule's pipeline shape stated directly: the
+    image+caption corpus STORED in the snapshot-table format (sorted by
+    tile cell, manifest stats on cell + image_id) → scanned back →
+    tile cut + mosaic merge. Same oracle as raster_tiles — the storage
+    round trip must not change a single tile id or contributor count.
+    The cell-sorted read loses image-id contiguity, so the pipeline's
+    validated ensure_contiguous path restores it explicitly."""
+    from geowave_spark.operators.tiling import tile_cut_and_merge
+    from geowave_spark.plans.store import ice_images_store
+
+    t, level = ice_images_store(spark, RASTER_N, RASTER_TS, RASTER_TS, RASTER_HALF)
+    imgs = t.read(spark)
+    tiles = tile_cut_and_merge(
+        imgs, RASTER_HALF, tile_size=RASTER_TS, level=level, ensure_contiguous=True
+    )
+    return tiles.select("level", "tx", "ty", "n_contrib")
+
+
 THUMB_W = THUMB_H = 16
 
 
@@ -1030,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
         "image_thumbs": _q_image_thumbs,
+        "ice_image_tiles": _q_ice_image_tiles,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
@@ -1255,6 +1281,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
+        "ice_image_tiles": _raster_tiles_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",

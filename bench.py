@@ -117,7 +117,13 @@ def main():
     # production), so it is also excluded from query timings.
     qs["bbox"](spark, sf_dir).count()
     qs["spatial_join"](spark, sf_dir).count()
-    for warm in ("xz_extent_keyed", "st_bbox_time", "hilbert_bbox", "ice_bbox"):
+    for warm in (
+        "xz_extent_keyed",
+        "st_bbox_time",
+        "hilbert_bbox",
+        "ice_bbox",
+        "text_contains",  # stored ngram-index materialization (write path)
+    ):
         qs[warm](spark, sf_dir).count()
     # geometry-join path: polyfill + pair-refine UDF codegen and the
     # session-cached geometry fixtures (stored tables in production —

@@ -250,6 +250,71 @@ def choose_index(constraints: set[str]) -> str:
     return "full_scan"
 
 
+# --------------------------------------------- image+caption snapshot table
+
+
+def ice_images_store(
+    spark: SparkSession,
+    n: int,
+    w: int,
+    h: int,
+    half_span_u: int,
+    tile_size: int | None = None,
+):
+    """The north rule's core object: the image+caption corpus stored in
+    the snapshot-table format, laid out sorted by the image's tile cell
+    at the pyramid level the raster pipeline will cut at. Manifest
+    per-file [min, max] cell stats then prune whole files from a bbox
+    scan before Spark lists them; within files, row groups prune on the
+    same stored column. Captions, phash and geometry ride the same
+    rows (input_hint schema + x_u/y_u + cell)."""
+    import hashlib as _h
+
+    from geowave_spark.operators.tiling import pick_level
+    from geowave_spark.sources.icetable import IceTable
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * half_span_u, w, tile_size or w)
+    digest = _h.md5(f"ice_images:{n}:{w}:{h}:{half_span_u}:{level}".encode()).hexdigest()[:12]
+    t = IceTable(os.path.join(CACHE_ROOT, f"ice_images_{digest}"))
+    if t.current_snapshot_id() is None:
+        from geowave_spark.index.native import cell_col
+
+        imgs = images_table(spark, n, w=w, h=h, partitions=8).withColumn(
+            "cell", cell_col(F.col("x_u"), F.col("y_u"), level)
+        )
+        t.commit_write(
+            imgs.repartitionByRange(8, "cell").sortWithinPartitions("cell"),
+            mode="overwrite",
+            stats_cols=["cell", "image_id"],
+            summary={"level": level, "n_images": n},
+        )
+    return t, level
+
+
+# -------------------------------------------------------- text NGRAM index
+
+
+def ngram_store(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Stored character-ngram inverted index for CONTAINS search — the
+    TextIndexStrategy NGRAM key family's write path (core/index/.../
+    text/TextIndexStrategy.java): (gram, doc_id) laid out sorted by
+    gram so a single-gram candidate scan prunes at the row-group
+    level. Built once at ingest; queries on a cache hit read ONLY the
+    stored parquet."""
+    from geowave_spark.operators.text_search import ngram_index
+
+    def build():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return (
+            ngram_index(docs, "text", "doc_id", n)
+            .repartitionByRange(8, "gram")
+            .sortWithinPartitions("gram")
+        )
+
+    return _materialize(spark, f"ngram{n}", sf_dir, build)
+
+
 # ----------------------------------------------------- hilbert point index
 
 

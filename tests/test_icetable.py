@@ -263,3 +263,28 @@ def test_raster_pipeline_resumes_from_checkpoint(spark, tmp_path):
     total = got.groupby(["tx", "ty"])["n_contrib"].sum().sort_index()
     want = single.set_index(["tx", "ty"])["n_contrib"].sort_index()
     assert (total == want).all()
+
+
+def test_image_snapshot_table_bbox_scan_prunes_manifests(spark, tmp_path, monkeypatch):
+    """The north-rule corpus shape: image+caption rows stored sorted by
+    tile cell. A narrow cell-range scan must skip files at the MANIFEST
+    level (before Spark lists them) and return exactly the images whose
+    cell falls in the range."""
+    from geowave_spark.plans import store as S
+
+    monkeypatch.setattr(S, "CACHE_ROOT", str(tmp_path / "cache"))
+    t, level = S.ice_images_store(spark, 240, 32, 32, 600_000)
+
+    full = t.read(spark)
+    cells = sorted(r.cell for r in full.select("cell").distinct().collect())
+    lo, hi = cells[0], cells[max(len(cells) // 6, 0)]
+    df, report = t.scan(spark, {"cell": (int(lo), int(hi))})
+
+    assert report["files_total"] > report["files_read"]  # real file skipping
+    assert report["rows_skipped"] > 0
+    want = full.where((full.cell >= lo) & (full.cell <= hi))
+    assert df.count() == want.count() > 0
+    # captions + phash ride the same rows through the store round trip
+    got = {r.image_id: (r.caption, r.phash) for r in df.collect()}
+    exp = {r.image_id: (r.caption, r.phash) for r in want.collect()}
+    assert got == exp
