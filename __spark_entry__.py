@@ -614,24 +614,19 @@ GEOM_DWITHIN_U = 1_000_000
 U_NX0, U_NX1, U_NY0 = -20_000_000, 20_000_000, 0
 
 
-_GEOM_FIXTURE_CACHE: dict = {}
-
-
 def _fixture_cached(tag, sf, build):
-    """Session-lifetime persisted fixtures: the WKB-construction UDF
-    runs once per (fixture, sf) instead of once per join side per
-    query (geometry tables would be stored parquet in production).
-    Keyed by the active SparkSession so a restarted session rebuilds
-    instead of reusing handles from a stopped one."""
+    """Stored geometry fixtures: the WKB-construction UDF runs ONCE per
+    (fixture, sf) at materialization time and the result lives as
+    parquet (plans/store._materialize) — the production shape, where
+    geometry tables are stored and every query pays a real scan.
+    Replaces the round-2 in-memory session persist, so geom-join bench
+    entries now include genuine fixture IO."""
     from pyspark.sql import SparkSession
 
-    key = (id(SparkSession.getActiveSession()), tag, sf)
-    df = _GEOM_FIXTURE_CACHE.get(key)
-    if df is None:
-        df = build().persist()
-        df.count()
-        _GEOM_FIXTURE_CACHE[key] = df
-    return df
+    from geowave_spark.plans.store import _materialize
+
+    spark = SparkSession.getActiveSession()
+    return _materialize(spark, f"fix_{tag}", sf, build)
 
 
 def _lshapes(spark, sf):
@@ -822,6 +817,29 @@ def _q_phash_dedup(spark, sf):
 
     imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
     return phash_hamming_pairs(imgs, max_hamming=PHASH_HAM_T)
+
+
+PYR_LEVELS = 4  # coarsen the base mosaic this many levels
+
+
+def _q_raster_pyramid(spark, sf):
+    """buildPyramid (RasterDataAdapter.java:174-226): every coarser
+    level derived from the base mosaic by 4→1 retile coarsening; the
+    oracle checks the full multi-level tile grid (pixel decimation is
+    golden-tested via the retile tests)."""
+    from geowave_spark.operators.tiling import (
+        build_pyramid,
+        pick_level,
+        tile_cut_and_merge,
+    )
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
+    return build_pyramid(tiles, level, level - PYR_LEVELS, RASTER_TS).select(
+        "level", "tx", "ty"
+    )
 
 
 def _q_ice_image_tiles(spark, sf):
@@ -1056,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pairs": _q_sim_pairs,
         "image_thumbs": _q_image_thumbs,
         "ice_image_tiles": _q_ice_image_tiles,
+        "raster_pyramid": _q_raster_pyramid,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
@@ -1282,6 +1301,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
+        "raster_pyramid": _raster_pyramid_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",
@@ -1327,6 +1347,20 @@ def _image_thumbs_oracle() -> str:
         f"SELECT image_id, {THUMB_W} AS w, {THUMB_H} AS h, th AS thumb_hash "
         f"FROM (VALUES {vals}) AS t(image_id, th)"
     )
+
+
+def _raster_pyramid_oracle() -> str:
+    """Multi-level grid: each level's tiles are the distinct parents of
+    the level below, unioned with the base grid."""
+    parts = ["SELECT level, tx, ty FROM l0"]
+    ctes = [f"l0 AS (SELECT level, tx, ty FROM ({_raster_tiles_oracle()}))"]
+    for i in range(1, PYR_LEVELS + 1):
+        ctes.append(
+            f"l{i} AS (SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, "
+            f"ty // 2 AS ty FROM l{i - 1})"
+        )
+        parts.append(f"SELECT level, tx, ty FROM l{i}")
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
 
 
 def _phash_dedup_oracle() -> str:

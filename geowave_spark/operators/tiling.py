@@ -498,6 +498,31 @@ def retile(
     return tiles.mapInPandas(split_parent, "level int, tx long, ty long, tile binary")
 
 
+def build_pyramid(
+    tiles: DataFrame,
+    from_level: int,
+    to_level: int = 0,
+    tile_size: int = TILE_SIZE,
+    interpolation: str = "nearest",
+) -> DataFrame:
+    """Full pyramid from a base tile level down to ``to_level`` — the
+    buildPyramid option of RasterDataAdapter.java:174-226 (ingest
+    writes every coarser level so WMS reads never resample on the fly).
+    Each level derives from the previous by one retile coarsen
+    (4 children → 1 parent), so the total work is a geometric series
+    ≈ 4/3 of the base level; output includes the base level itself."""
+    if to_level > from_level:
+        raise ValueError("to_level must be ≤ from_level")
+    out = tiles.select("level", "tx", "ty", "tile")
+    cur = out
+    for lvl in range(from_level - 1, to_level - 1, -1):
+        cur = retile(cur, lvl + 1, lvl, tile_size, interpolation).select(
+            "level", "tx", "ty", "tile"
+        )
+        out = out.unionByName(cur)
+    return out
+
+
 def render_mosaic(
     tiles: DataFrame,
     x_lo: int,
