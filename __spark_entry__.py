@@ -1005,7 +1005,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz_extent_keyed": _q_xz_extent_keyed,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
-        "spatial_join_semi": _q_spatial_join_semi,
         "distance_join": _q_distance_join,
         "geom_poly_join": _q_geom_poly_join,
         "geom_line_join": _q_geom_line_join,
@@ -1032,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_retile": _q_raster_retile,
         "raster_retile_bilinear": _q_raster_retile_bilinear,
         "raster_multiband": _q_raster_multiband,
+        "ice_image_tiles": _q_ice_image_tiles,
         # --- aggregations / statistics
         "bbox_agg": _q_bbox_agg,
         "field_stats": _q_field_stats,
@@ -1058,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_loose": _q_bbox_loose,
         "polygon_disjoint": _q_polygon_disjoint,
         "bbox_dateline": _q_bbox_dateline,
+        "spatial_join_semi": _q_spatial_join_semi,
         "spatial_join_anti": _q_spatial_join_anti,
         "poly_join": _q_poly_join,
         "xz_extent": _q_xz_extent,
@@ -1073,7 +1074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
         "image_thumbs": _q_image_thumbs,
-        "ice_image_tiles": _q_ice_image_tiles,
         "raster_pyramid": _q_raster_pyramid,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
