@@ -107,7 +107,13 @@ def main():
         "phash_dedup",
         "knn_bulk",
         "sql_spatial",
+        "sql_spatial_mixed",
         "raster_multiband",
+        "attr_range",
+        "raster_retile_bilinear",
+        "raster_pyramid",
+        "image_thumbs",
+        "ice_image_tiles",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
@@ -123,6 +129,8 @@ def main():
         "hilbert_bbox",
         "ice_bbox",
         "text_contains",  # stored ngram-index materialization (write path)
+        "attr_range",  # attribute-sorted layout materialization (write path)
+        "ice_image_tiles",  # image snapshot-table commit (write path)
     ):
         qs[warm](spark, sf_dir).count()
     # geometry-join path: polyfill + pair-refine UDF codegen and the

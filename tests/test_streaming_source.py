@@ -118,3 +118,39 @@ def test_kafka_value_parse_roundtrip(spark):
     assert out[7].user_id == 42 and out[7].x_u == -73_950_000
     assert out[8].y_u == 48_850_000
     assert str(out[7].ts) == "2024-01-03 04:05:06"
+
+
+def test_streaming_image_thumbnails_match_batch(spark, tmp_path):
+    """The image pipeline over Structured Streaming: a file stream of
+    image+caption parquet flows through the SAME mapInPandas thumbnail
+    stage as batch, and the streamed output matches the batch run
+    hash-for-hash — the operator is source-agnostic by construction."""
+    from geowave_spark.operators.multimodal import image_thumbnails
+    from geowave_spark.sources.images import SCHEMA, images_table
+
+    src = str(tmp_path / "img_src")
+    images_table(spark, 90, w=32, h=32, partitions=3).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        image_thumbnails(stream, 16, 16)
+        .writeStream.format("memory")
+        .queryName("thumb_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.image_id: r.thumb_hash
+        for r in spark.sql("SELECT image_id, thumb_hash FROM thumb_stream").collect()
+    }
+    batch = {
+        r.image_id: r.thumb_hash
+        for r in image_thumbnails(
+            spark.read.parquet(src), 16, 16
+        ).select("image_id", "thumb_hash").collect()
+    }
+    assert len(got) == 90
+    assert got == batch
