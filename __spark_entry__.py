@@ -879,6 +879,26 @@ def _q_image_thumbs(spark, sf):
     )
 
 
+EMB_GRID = 4
+
+
+def _q_image_embed(spark, sf):
+    """Image embedding extraction (decode → block-mean kernel →
+    L2-normalize), emitted as integer-scaled (image_id, dim, val)
+    rows so the oracle — the same kernel re-run driver-side over the
+    generator — compares hash-exact."""
+    from geowave_spark.operators.multimodal import image_embed
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    emb = image_embed(imgs, kernel="blockmean", grid=EMB_GRID)
+    return emb.select(
+        "image_id", F.posexplode("embedding").alias("dim", "_v")
+    ).select(
+        "image_id", "dim", F.floor(F.col("_v") * 1_000_000).cast("long").alias("val_x1e6")
+    )
+
+
 KNN_BULK_MOD = 97
 
 
@@ -1074,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
         "image_thumbs": _q_image_thumbs,
+        "image_embed": _q_image_embed,
         "raster_pyramid": _q_raster_pyramid,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
@@ -1300,6 +1321,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
+        "image_embed": _image_embed_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
         "raster_pyramid": _raster_pyramid_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
@@ -1361,6 +1383,28 @@ def _raster_pyramid_oracle() -> str:
         )
         parts.append(f"SELECT level, tx, ty FROM l{i}")
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(parts)
+
+
+def _image_embed_oracle() -> str:
+    """Embedding values re-derived from the generator with the same
+    block-mean kernel driver-side, integer-scaled."""
+    import math
+
+    from geowave_spark.operators.multimodal import image_embed_vector
+    from geowave_spark.sources.images import render_pixels
+
+    rows = []
+    for i in range(RASTER_N):
+        vec = image_embed_vector(
+            render_pixels(i, RASTER_TS, RASTER_TS), "blockmean", EMB_GRID
+        )
+        for d, v in enumerate(vec):
+            rows.append(f"('img{i:012d}', {d}, {math.floor(v * 1_000_000)})")
+    return (
+        "SELECT image_id, dim, val_x1e6 FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, dim, val_x1e6)"
+    )
 
 
 def _phash_dedup_oracle() -> str:

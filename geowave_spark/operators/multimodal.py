@@ -204,3 +204,51 @@ def image_thumbnails(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         thumbs, "image_id string, w int, h int, fmt string, bytes binary, thumb_hash long"
     )
+
+
+def image_embed(images: DataFrame, kernel: str = "highpass", grid: int = 4) -> DataFrame:
+    """Deterministic image embedding: decode → feature kernel →
+    L2-normalize, float64 end to end so the vector is exactly
+    reproducible driver-side (the oracle re-derives it from the
+    generator). Kernels: 'blockmean' (grid×grid block means — compact,
+    captures global structure) and 'highpass' (centered horizontal
+    pixel differences — captures texture; on the synthetic corpus it
+    cleanly separates planted near-duplicate pairs, cosine ≥0.92, from
+    independent images, ≤0.38). A real deployment would swap the
+    kernel for a vision encoder — the Spark-side shape (mapInPandas,
+    one Arrow boundary, array<double> feeding operators/similarity) is
+    identical."""
+    from geowave_spark.raster.codec import decode_image
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes), r.fmt)
+                rows.append((r.image_id, image_embed_vector(img, kernel, grid)))
+            yield pd.DataFrame(rows, columns=["image_id", "embedding"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        embed, "image_id string, embedding array<double>"
+    )
+
+
+def image_embed_vector(img: np.ndarray, kernel: str = "highpass", grid: int = 4) -> list:
+    """Driver-reusable kernel of image_embed (oracle twin)."""
+    p = img.astype(np.float64)
+    if kernel == "blockmean":
+        h, w = p.shape[:2]
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        v = np.empty(grid * grid, dtype=np.float64)
+        for gy in range(grid):
+            for gx in range(grid):
+                v[gy * grid + gx] = p[ys[gy] : ys[gy + 1], xs[gx] : xs[gx + 1]].mean()
+        v /= 255.0
+    elif kernel == "highpass":
+        v = (p[:, 1:] - p[:, :-1]).flatten()
+        v -= v.mean()
+    else:
+        raise ValueError(f"unknown embedding kernel {kernel!r}")
+    n = float(np.sqrt((v * v).sum()))
+    return (v / n if n > 0 else v).tolist()

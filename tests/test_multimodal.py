@@ -129,3 +129,36 @@ def test_image_thumbnails_end_to_end(spark):
         assert np.array_equal(got, want), i
         fmts.add("raw" if i % 3 == 0 else "png")
     assert fmts == {"raw", "png"}  # both decode paths exercised
+
+
+def test_image_embedding_near_dup_recovers_planted_pairs(spark):
+    """Embedding-cosine near-dup on IMAGES: highpass embeddings feed
+    the exact cosine pair machinery; the planted near-duplicate pairs
+    (i%8==5 copies of i-3) separate cleanly — every planted pair
+    scores >=0.9 and no other pair reaches 0.7."""
+    from geowave_spark.operators.multimodal import image_embed
+    from geowave_spark.operators.similarity import dot_col
+    from geowave_spark.sources.images import images_table
+    from pyspark.sql import functions as F
+
+    n = 160
+    imgs = images_table(spark, n, w=32, h=32, partitions=4)
+    emb = image_embed(imgs, kernel="highpass")
+    a = emb.select(F.col("image_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("image_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot_col(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= 0.7)
+        .select("id_a", "id_b", "cos")
+        .collect()
+    )
+    got = {(r.id_a, r.id_b) for r in pairs}
+    want = {
+        (f"img{i - 3:012d}", f"img{i:012d}")
+        for i in range(n)
+        if i % 8 == 5 and i >= 3
+    }
+    assert got == want
+    assert all(r.cos >= 0.9 for r in pairs)
