@@ -51,6 +51,27 @@ def main():
         ).collect()
         return round(time.time() - t0, 3)
 
+    def disk_probe() -> float:
+        # shared-disk co-measurement: shuffle files and checkpoints live
+        # on local disk, and neighbor IO contention slows shuffle-heavy
+        # queries 2-3× while the CPU probe stays clean (observed:
+        # clean-probe windows with pass sums 149 s vs 85 s where ONLY
+        # the shuffle-heavy geom/knn queries regressed). Writes+reads
+        # 64 MiB through the same tmp filesystem Spark shuffles on.
+        import tempfile
+
+        buf = b"\x5a" * (8 << 20)
+        t0 = time.time()
+        with tempfile.NamedTemporaryFile(dir="/tmp") as f:
+            for _ in range(8):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            f.seek(0)
+            while f.read(8 << 20):
+                pass
+        return round(time.time() - t0, 3)
+
     # probe-gate the recording window: a degraded host (shared-box CPU
     # contention) inflated BENCH_r02 1.4× with unchanged code. Wait out
     # a bad window (bounded) instead of recording it; if it never
@@ -58,6 +79,7 @@ def main():
     probe_ceiling = float(os.environ.get("SPARK_GRAFT_PROBE_CEILING", "2.6"))
     jvm_probe()  # untimed JIT warmup of the probe itself
     probes_pre = [jvm_probe()]
+    disk_pre = disk_probe()
     waits = 0
     while probes_pre[-1] > probe_ceiling and waits < 6:
         time.sleep(20)
@@ -199,6 +221,7 @@ def main():
     tile_rps = round(n_img / max(times["tile_cut_merge"], 1e-9), 1)
 
     probe_post = jvm_probe()
+    disk_post = disk_probe()
 
     print(
         json.dumps(
@@ -216,6 +239,8 @@ def main():
                     "jvm_probe_sec": probe_post,
                     "jvm_probe_pre_sec": probes_pre,
                     "probe_ceiling_sec": probe_ceiling,
+                    "disk_probe_pre_sec": disk_pre,
+                    "disk_probe_post_sec": disk_post,
                     "runs_per_query": n_runs,
                     "pass_totals_sec": [round(t, 3) for t in pass_totals],
                     # true when the host never produced a clean window
