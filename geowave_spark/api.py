@@ -203,6 +203,47 @@ class DataStore:
 
     # ------------------------------------------------------------ delete
 
+    def attribute_index(self, name: str, column: str) -> DataFrame:
+        """Secondary attribute index over a registered type — the
+        AttributeIndex.java contract: the type stored range-partitioned
+        + sorted by ``column`` so range predicates prune row groups.
+        Returns the indexed frame; pair with `.where(col.between(...))`
+        (or use plans/store.attr_range_query on a stored path)."""
+        return (
+            self._types[name]
+            .repartitionByRange(8, column)
+            .sortWithinPartitions(column)
+        )
+
+    def thumbnails(
+        self, name: str, out_w: int, out_h: int, interpolation: str = "bilinear"
+    ) -> DataFrame:
+        """Thumbnail pipeline over a registered image type (decode →
+        resample → re-encode in one mapInPandas pass)."""
+        from geowave_spark.operators.multimodal import image_thumbnails
+
+        return image_thumbnails(self._types[name], out_w, out_h, interpolation)
+
+    def image_embeddings(self, name: str, kernel: str = "highpass") -> DataFrame:
+        """Deterministic image embeddings feeding the similarity
+        operators (brute/LSH/IVF ANN, cosine near-dup)."""
+        from geowave_spark.operators.multimodal import image_embed
+
+        return image_embed(self._types[name], kernel)
+
+    def build_pyramid(
+        self,
+        tiles: DataFrame,
+        from_level: int,
+        to_level: int = 0,
+        tile_size: int = 256,
+        interpolation: str = "nearest",
+    ) -> DataFrame:
+        """buildPyramid over a (level, tx, ty, tile) mosaic table."""
+        from geowave_spark.operators.tiling import build_pyramid
+
+        return build_pyramid(tiles, from_level, to_level, tile_size, interpolation)
+
     def delete(
         self,
         name: str,

@@ -116,3 +116,36 @@ def test_datastore_delete(spark, sf_dir):
     assert ds.sql("SELECT count(*) AS n FROM pts_del").first().n == total - removed
     # deleted region now empty
     assert ds.query("pts_del", bbox=bbox).count() == 0
+
+
+def test_datastore_round3_surfaces(spark):
+    """Facade coverage for the round-3 additions: attribute index,
+    thumbnails, embeddings, pyramid."""
+    import numpy as np
+
+    from geowave_spark.api import DataStore
+    from geowave_spark.operators.tiling import pick_level, tile_cut_and_merge
+    from geowave_spark.sources.images import images_table
+    from geowave_spark.sources.testgeo import events_points
+
+    ds = DataStore(spark)
+    ds.add_type("ev", events_points(spark, "/root/testdata/sf0.001"), indexed=False)
+    idx = ds.attribute_index("ev", "user_id")
+    lo, hi = 1, 5
+    got = idx.where(F.col("user_id").between(lo, hi)).count()
+    want = ds.type("ev").where(F.col("user_id").between(lo, hi)).count()
+    assert got == want
+
+    imgs = images_table(spark, 24, w=32, h=32, partitions=2)
+    ds.add_type("imgs", imgs, indexed=False)
+    th = ds.thumbnails("imgs", 8, 8).collect()
+    assert len(th) == 24 and all(r.w == 8 and r.h == 8 for r in th)
+    emb = ds.image_embeddings("imgs").collect()
+    assert len(emb) == 24
+    assert all(abs(float(np.dot(r.embedding, r.embedding)) - 1.0) < 1e-9 for r in emb)
+
+    level = pick_level(1_200_000, 32, 32)
+    tiles = tile_cut_and_merge(imgs, 600_000, tile_size=32, level=level)
+    pyr = ds.build_pyramid(tiles, level, level - 2, 32)
+    levels = {r.level for r in pyr.select("level").distinct().collect()}
+    assert levels == {level, level - 1, level - 2}
