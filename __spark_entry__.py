@@ -1007,11 +1007,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's DuckDB-oracle gate records the first 50 entries of this
     dict, so ordering is load-bearing: the first 50 are chosen to give
     every SURVEY.md §2 component and every LLM-pipeline operator at least
-    one oracle-checked row this round. The tail (entries 51+) holds
-    derived-path twins of in-window queries (bbox_loose/xz_extent/...)
-    that were hash-green in rounds 1 and 2, the three by-design
-    `no_oracle` ANN checks, and the binary-image WMS render — all of
-    which remain pytest-covered.
+    one oracle-checked row this round. Round-4 rotation: `image_thumbs`,
+    `image_embed`, `raster_pyramid` (oracle-defined in round 3 but never
+    inside the window) move IN; `pred_equals`, `pred_touches`,
+    `raster_retile` move to the tail (each 3-rounds hash-green and
+    subsumed by a stronger in-window sibling — pred_contains/pred_within/
+    poly_nonconvex for the CompareOps surface, raster_retile_bilinear for
+    retile). The tail (entries 51+) holds derived-path twins of in-window
+    queries that have at least one prior-round green gate row, the
+    by-design `no_oracle` ANN checks, and the binary-image WMS render —
+    all of which remain pytest-covered and stay in the full
+    tools/check_oracle.py sweep.
     """
     return {
         # --- range-scan queries across every live index path
@@ -1033,8 +1039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_spatial": _q_sql_spatial,
         "sql_spatial_mixed": _q_sql_spatial_mixed,
         # --- the 8-CompareOperation exact-refinement surface
-        "pred_equals": _q_pred_equals,
-        "pred_touches": _q_pred_touches,
         "pred_overlaps": _q_pred_overlaps,
         "pred_contains": _q_pred_contains,
         "pred_within": _q_pred_within,
@@ -1048,8 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bin": _q_spatial_bin,
         "kde": _q_kde,
         "raster_tiles": _q_raster_tiles,
-        "raster_retile": _q_raster_retile,
         "raster_retile_bilinear": _q_raster_retile_bilinear,
+        "raster_pyramid": _q_raster_pyramid,
         "raster_multiband": _q_raster_multiband,
         "ice_image_tiles": _q_ice_image_tiles,
         # --- aggregations / statistics
@@ -1072,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": _q_sim_topk,
         "audio_stats": _q_audio_stats,
         "frame_sample": _q_frame_sample,
+        "image_thumbs": _q_image_thumbs,
+        "image_embed": _q_image_embed,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
@@ -1093,9 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
-        "image_thumbs": _q_image_thumbs,
-        "image_embed": _q_image_embed,
-        "raster_pyramid": _q_raster_pyramid,
+        "pred_equals": _q_pred_equals,
+        "pred_touches": _q_pred_touches,
+        "raster_retile": _q_raster_retile,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,

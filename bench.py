@@ -31,6 +31,7 @@ def main():
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -223,6 +224,27 @@ def main():
     probe_post = jvm_probe()
     disk_post = disk_probe()
 
+    # The driver captures only the TAIL of stdout: round 3's artifact
+    # lost the headline total and the first ~14 query times because the
+    # final JSON line (with the full `counts` map + probe arrays) outgrew
+    # the capture window (BENCH_r03.json "parsed": null). Keep the final
+    # line COMPACT — per-query times + headline metrics only — and move
+    # the bulky diagnostics (row counts, probe series, pass totals) to a
+    # sidecar file the judge can still read.
+    sidecar = {
+        "counts": counts,
+        "jvm_probe_pre_sec": probes_pre,
+        "disk_probe_pre_sec": disk_pre,
+        "pass_totals_sec": [round(t, 3) for t in pass_totals],
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f)
+    except OSError:
+        sidecar_path = None
     print(
         json.dumps(
             {
@@ -233,22 +255,19 @@ def main():
                 "sf": sf_dir,
                 "extra": {
                     "cpus": int(cpus),
-                    "counts": counts,
                     "spatial_join_input_rows_per_sec": join_rps,
                     "tile_assign_images_per_sec": tile_rps,
                     "jvm_probe_sec": probe_post,
-                    "jvm_probe_pre_sec": probes_pre,
                     "probe_ceiling_sec": probe_ceiling,
-                    "disk_probe_pre_sec": disk_pre,
                     "disk_probe_post_sec": disk_post,
                     "runs_per_query": n_runs,
-                    "pass_totals_sec": [round(t, 3) for t in pass_totals],
                     # true when the host never produced a clean window
                     # (pre) or degraded mid-suite (post): timings then
                     # measure the neighbor, not the engine
                     "degraded_window": bool(
                         degraded_window or probe_post > probe_ceiling
                     ),
+                    "sidecar": sidecar_path,
                 },
             }
         )

@@ -246,18 +246,29 @@ def _coarsen_to(cells: Column, d_res: Column) -> Column:
 BC_MAX_BYTES = 64 << 20
 
 
-def _collect_payload_dict(sc, df: DataFrame, key: str, geom_col: str):
+def _collect_payload_dict(sc, df: DataFrame, key: str, geom_col: str, strict: bool = True):
     """Broadcast {key: wkb} for one (small, size-gated) side. Keys must
-    be unique — a duplicate would silently refine candidates against
-    the wrong geometry (same validation stance as DataStore.delete)."""
+    map to ONE geometry — a conflicting duplicate would silently refine
+    candidates against the wrong geometry (same validation stance as
+    DataStore.delete). Byte-identical duplicate rows are deduped (the
+    dict is still correct). On a CONFLICTING duplicate: raise when
+    ``strict`` (caller forced broadcasting), else return None so the
+    auto path degrades to the WKB-carrying shuffle refine instead of
+    failing a join that works without broadcasting."""
     rows = df.select(key, geom_col).collect()
-    d = {row[key]: bytes(row[geom_col]) for row in rows}
-    if len(d) != len(rows):
-        raise ValueError(
-            f"geom join: duplicate values in key column {key!r} — the "
-            "broadcast payload dictionary requires unique keys (pass "
-            "a unique id, or disable broadcasting for this side)"
-        )
+    d = {}
+    for row in rows:
+        k, wkb = row[key], bytes(row[geom_col])
+        prev = d.setdefault(k, wkb)
+        if prev != wkb:
+            if strict:
+                raise ValueError(
+                    f"geom join: key column {key!r} maps value {k!r} to "
+                    "multiple distinct geometries — the broadcast payload "
+                    "dictionary requires one geometry per key (pass a "
+                    "unique id, or disable broadcasting for this side)"
+                )
+            return None
     return sc.broadcast(d)
 
 
@@ -502,10 +513,15 @@ def geom_geom_join(
         # broadcast pattern of TieredSpatialJoin.java:138-141) so
         # candidate rows carry keys, not repeated geometry blobs; the
         # native-rect path needs no payloads at all — bounds refine
+        forced = broadcast_right is True
         if bc_l:
-            l_bc = _collect_payload_dict(sc, l, left_key, "_lg")
+            l_bc = _collect_payload_dict(sc, l, left_key, "_lg", strict=forced)
+            if l_bc is None:
+                bc_l = False  # conflicting dup keys → shuffle refine
         if bc_r:
-            r_bc = _collect_payload_dict(sc, r, right_key, "_rg")
+            r_bc = _collect_payload_dict(sc, r, right_key, "_rg", strict=forced)
+            if r_bc is None:
+                bc_r = False
     if bc_l or native_pred is not None:
         l = l.drop("_lg")
     if bc_r or native_pred is not None:
@@ -741,12 +757,18 @@ def geom_point_join(
         use_broadcast = int(gbytes) <= BC_MAX_BYTES
     else:
         use_broadcast = bool(broadcast_geoms)
+    geom_bc = None
     if use_broadcast:
         # ship the WKB payloads ONCE per executor as a task broadcast
         # and keep candidate rows key-only — repeated per-candidate WKB
         # through the join + Arrow boundary was the dominant cost at
         # millions of candidates (hotspot cells)
-        geom_bc = _collect_payload_dict(sc, keyed_geoms, geom_key, "_g")
+        geom_bc = _collect_payload_dict(
+            sc, keyed_geoms, geom_key, "_g", strict=broadcast_geoms is True
+        )
+        if geom_bc is None:
+            use_broadcast = False  # conflicting dup keys → shuffle refine
+    if use_broadcast:
         g = keyed_geoms.drop("_g")
         refine = _point_refine_by_id_udf(geom_bc, predicate, distance_u)(
             F.col(geom_key), F.col("x_u"), F.col("y_u")

@@ -159,12 +159,28 @@ class IceStageStore:
         # reconstructible from the snapshot log alone.
         want = set(part_keys)
         live = {f["path"] for f in t.files()}
+
+        def added(s: dict) -> list:
+            # Snapshots committed before the `added_paths` field existed
+            # (pre-round-3 stage stores) still resolve: the per-snapshot
+            # manifest is the FULL file set at that snapshot, so added
+            # files = manifest(id) − manifest(parent). Without this, a
+            # resume over an old store would silently drop those
+            # partitions (or read zero paths and error) even though
+            # completed_keys marks them done.
+            if "added_paths" in s:
+                return s["added_paths"]
+            here = {f["path"] for f in t.files(s["id"])}
+            parent = s.get("parent")
+            prev = {f["path"] for f in t.files(parent)} if parent else set()
+            return sorted(here - prev)
+
         paths = [
             p
             for s in t.snapshots()
             if (s.get("summary") or {}).get("fingerprint") == fingerprint
             and (s.get("summary") or {}).get("part_key") in want
-            for p in s.get("added_paths", [])
+            for p in added(s)
             if p in live
         ]
         return spark.read.parquet(*paths)

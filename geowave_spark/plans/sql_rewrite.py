@@ -132,14 +132,41 @@ def _scan_clauses(sql: str):
 def _split_conjuncts(where_text: str):
     """Top-level AND split of a WHERE clause's text. Returns None when
     a top-level OR is present (the spatial predicate would not be a
-    required conjunct)."""
+    required conjunct).
+
+    BETWEEN/CASE-aware: ``x BETWEEN a AND b`` contributes an And node
+    to the analyzed plan but its AND is part of the BETWEEN expression,
+    not a conjunct boundary — splitting there re-emits unparsable SQL
+    (``WHERE (v BETWEEN 1) AND (5)``). Same for ANDs inside a
+    top-level ``CASE ... END``. Token-scan the masked text in order,
+    skipping the AND that pairs with a pending BETWEEN at this depth
+    and any AND inside a CASE body."""
     m = _mask(where_text)
     if re.search(r"\bOR\b", m, re.I):
         return None
+    boundaries = []
+    pending_between = 0
+    case_depth = 0
+    for kw in re.finditer(r"\b(AND|BETWEEN|CASE|END)\b", m, re.I):
+        tok = kw.group(1).upper()
+        if tok == "CASE":
+            case_depth += 1
+        elif tok == "END":
+            case_depth = max(case_depth - 1, 0)
+        elif tok == "BETWEEN":
+            if case_depth == 0:
+                pending_between += 1
+        else:  # AND
+            if case_depth > 0:
+                continue
+            if pending_between > 0:
+                pending_between -= 1
+                continue
+            boundaries.append((kw.start(), kw.end()))
     parts, last = [], 0
-    for kw in re.finditer(r"\bAND\b", m, re.I):
-        parts.append(where_text[last : kw.start()])
-        last = kw.end()
+    for s, e in boundaries:
+        parts.append(where_text[last:s])
+        last = e
     parts.append(where_text[last:])
     return [p.strip() for p in parts if p.strip()]
 
@@ -377,4 +404,10 @@ def try_rewrite_spatial_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         rewritten += " WHERE " + " AND ".join(f"({c})" for c in residual)
     if clauses["tail"]:
         rewritten += " " + clauses["tail"]
-    return spark.sql(rewritten)
+    try:
+        return spark.sql(rewritten)
+    except Exception:
+        # a residual conjunct the text slicer mis-sliced (exotic syntax
+        # the splitter doesn't model) — fall back to plain spark.sql
+        # rather than failing a query that worked unrouted
+        return None

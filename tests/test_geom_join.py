@@ -193,17 +193,48 @@ def test_size_gate_mixed_broadcast_parity(spark, fixtures, monkeypatch):
     )
 
 
-def test_duplicate_payload_keys_raise(spark, fixtures):
-    """A duplicate key on a broadcast side would silently refine
-    against the wrong geometry — must raise instead."""
+def test_duplicate_payload_keys_degrade_on_auto_raise_on_forced(spark, fixtures):
+    """ADVICE r3 (low): a key column with conflicting duplicates must
+    not hard-fail the DEFAULT auto path — the join degrades to the
+    shuffle-refine branch (correct without any payload dictionary).
+    Only the FORCED broadcast mode (broadcast_right=True) raises, and
+    byte-identical duplicate rows broadcast fine in either mode."""
     dup = fixtures["trk"].select(
         (F.col("p_partkey") % 5).alias("p_partkey"), "geom"
     )
-    with pytest.raises(Exception, match="unique"):
+    # auto: degrades, matches brute force on the same (duplicated) keys
+    got = geom_geom_join(
+        dup, fixtures["lsh"], "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+    )
+    brute = brute_geom_geom(
+        dup, fixtures["lsh"], "intersects", "p_partkey", "s_suppkey"
+    )
+    assert _pairs(got, "p_partkey", "s_suppkey") == _pairs(
+        brute, "p_partkey", "s_suppkey"
+    )
+    # forced broadcast: the hard error is reserved for this mode
+    with pytest.raises(Exception, match="one geometry per key"):
         geom_geom_join(
             dup, fixtures["lsh"], "intersects",
             left_key="p_partkey", right_key="s_suppkey",
+            broadcast_right=True,
         ).count()
+    # byte-identical duplicate rows: dedupe, keep the broadcast plan
+    ident = fixtures["trk"].limit(50)
+    ident2 = ident.union(ident)
+    same = geom_geom_join(
+        ident2, fixtures["lsh"], "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+        broadcast_right=True,
+    )
+    base = geom_geom_join(
+        ident, fixtures["lsh"], "intersects",
+        left_key="p_partkey", right_key="s_suppkey",
+    )
+    assert _pairs(same, "p_partkey", "s_suppkey") == _pairs(
+        base, "p_partkey", "s_suppkey"
+    )
 
 
 def test_point_join_size_gate_parity(spark, fixtures, monkeypatch):

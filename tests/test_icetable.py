@@ -288,3 +288,53 @@ def test_image_snapshot_table_bbox_scan_prunes_manifests(spark, tmp_path, monkey
     got = {r.image_id: (r.caption, r.phash) for r in df.collect()}
     exp = {r.image_id: (r.caption, r.phash) for r in want.collect()}
     assert got == exp
+
+
+def test_ice_stage_store_resumes_pre_added_paths_format(spark, tmp_path):
+    """ADVICE r3 (medium): stage stores committed before snapshots
+    carried `added_paths` must still resume — added files fall back to
+    the manifest diff (manifest(id) − manifest(parent))."""
+    import json as _json
+    import os as _os
+
+    from geowave_spark.plans.checkpoint import IceStageStore
+
+    store = IceStageStore(str(tmp_path / "old_stages"))
+
+    def make(k):
+        return spark.range(k * 10, k * 10 + 5).withColumn("v", F.col("id") * 2)
+
+    store.run_stage(spark, "s1", [1, 2], make, fingerprint="fp1")
+
+    # simulate the pre-round-3 metadata format: strip added_paths from
+    # every committed snapshot
+    meta_dir = str(tmp_path / "old_stages" / "s1" / "metadata")
+    with open(_os.path.join(meta_dir, "version-hint.text")) as f:
+        v = int(f.read().strip())
+    mpath = _os.path.join(meta_dir, f"v{v}.metadata.json")
+    with open(mpath) as f:
+        meta = _json.load(f)
+    for s in meta["snapshots"]:
+        s.pop("added_paths", None)
+    with open(mpath, "w") as f:
+        f.write(_json.dumps(meta))
+
+    # all-old resume: completed keys are honored AND their data is read
+    calls = []
+
+    def make2(k):
+        calls.append(k)
+        return make(k)
+
+    out = store.run_stage(spark, "s1", [1, 2], make2, fingerprint="fp1")
+    assert calls == []
+    assert out.count() == 10
+    assert sorted(
+        r.part_key for r in out.select("part_key").distinct().collect()
+    ) == [1, 2]
+
+    # mixed old+new: a new partition appends a new-format snapshot on
+    # top of the stripped ones
+    out2 = store.run_stage(spark, "s1", [1, 2, 3], make2, fingerprint="fp1")
+    assert calls == [3]
+    assert out2.count() == 15

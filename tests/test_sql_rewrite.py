@@ -188,3 +188,63 @@ def test_unroutable_shapes_fall_back(spark, store):
         )
         is None
     )
+
+
+def test_between_residual_routes_and_matches(spark, store):
+    """ADVICE r3 (high): ``col BETWEEN a AND b`` analyzes to And nodes
+    so the query passes plan detection, but the text splitter used to
+    slice at BETWEEN's AND and re-emit unparsable SQL. The splitter is
+    now BETWEEN-aware; the query must route AND match the naive plan."""
+    sql = (
+        "SELECT t.p_partkey, o.s_suppkey FROM tracks_v t, lshapes_v o "
+        "WHERE GeomIntersects(t.geom, o.geom) AND t.p_partkey BETWEEN 5 AND 300"
+    )
+    routed = store.sql(sql)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+    _no_cartesian(routed)
+
+
+def test_between_chain_and_not_between(spark, store):
+    sql = (
+        "SELECT t.p_partkey, o.s_suppkey FROM tracks_v t, lshapes_v o "
+        "WHERE t.p_partkey BETWEEN 5 AND 300 "
+        "AND GeomIntersects(t.geom, o.geom) "
+        "AND o.s_suppkey NOT BETWEEN 900 AND 1000"
+    )
+    routed = store.sql(sql)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+    _no_cartesian(routed)
+
+
+def test_case_when_and_residual(spark, store):
+    """An AND inside CASE ... WHEN x AND y ... END must not split."""
+    sql = (
+        "SELECT t.p_partkey, o.s_suppkey FROM tracks_v t, lshapes_v o "
+        "WHERE GeomIntersects(t.geom, o.geom) AND "
+        "(CASE WHEN t.p_partkey > 5 AND o.s_suppkey > 0 THEN 1 ELSE 0 END) = 1"
+    )
+    routed = store.sql(sql)
+    naive = store.sql(sql, rewrite=False)
+    assert set(map(tuple, routed.collect())) == set(map(tuple, naive.collect()))
+
+
+def test_split_conjuncts_between_case_unit():
+    from geowave_spark.plans.sql_rewrite import _split_conjuncts
+
+    assert _split_conjuncts("a BETWEEN 1 AND 5 AND b = 2") == [
+        "a BETWEEN 1 AND 5",
+        "b = 2",
+    ]
+    assert _split_conjuncts(
+        "x BETWEEN 1 AND 2 AND y NOT BETWEEN 3 AND 4 AND z"
+    ) == ["x BETWEEN 1 AND 2", "y NOT BETWEEN 3 AND 4", "z"]
+    assert _split_conjuncts(
+        "CASE WHEN a AND b THEN 1 ELSE 0 END = 1 AND c"
+    ) == ["CASE WHEN a AND b THEN 1 ELSE 0 END = 1", "c"]
+    # BETWEEN inside parens is masked out entirely — paren group stays whole
+    assert _split_conjuncts("(a BETWEEN 1 AND 5) AND b") == [
+        "(a BETWEEN 1 AND 5)",
+        "b",
+    ]
