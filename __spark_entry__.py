@@ -283,6 +283,17 @@ def _q_time_bin_hour(spark, sf):
     )
 
 
+def _q_time_bin_week(spark, sf):
+    """WEEK periodic binning — ISO weeks (Monday start) since epoch,
+    completing the TemporalBinningStrategy.java:36-43 unit set."""
+    from geowave_spark.operators.temporal import time_bin_col
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.groupBy(time_bin_col(F.col("ts"), "WEEK").alias("bin_week")).agg(
+        F.count("*").alias("n"), F.sum("user_id").alias("sum_user")
+    )
+
+
 def _q_temporal_overlaps(spark, sf):
     from geowave_spark.operators.temporal import interval_end_col, time_overlaps
 
@@ -1001,6 +1012,27 @@ def _q_raster_retile_bilinear(spark, sf):
     ).select("level", "tx", "ty")
 
 
+def _q_raster_retile_bicubic(spark, sf):
+    """Re-tile with the bicubic (Keys a=−0.5) Interpolation option —
+    the third member of RasterDataAdapter.java:444-550's configurable
+    ladder. The oracle checks the re-keyed tile grid (kernel choice
+    cannot change tile keys); bicubic pixel fidelity is golden-tested
+    in tests/test_tiling.py (exact on linear/quadratic interiors)."""
+    from geowave_spark.operators.tiling import pick_level, retile, tile_cut_and_merge
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
+    return retile(
+        tiles.select("level", "tx", "ty", "tile"),
+        level,
+        level - 1,
+        RASTER_TS,
+        interpolation="bicubic",
+    ).select("level", "tx", "ty")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness gate.
 
@@ -1023,7 +1055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- range-scan queries across every live index path
         "bbox": _q_bbox,
         "polygon": _q_polygon,
-        "bbox_time": _q_bbox_time,
         "st_bbox_time": _q_st_bbox_time,
         "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
@@ -1063,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_summary": _q_stats_summary,
         # --- temporal + text predicates
         "temporal_overlaps": _q_temporal_overlaps,
+        "time_bin_week": _q_time_bin_week,
         "text_prefix": _q_text_prefix,
         "text_contains": _q_text_contains,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
@@ -1094,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": _q_histogram,
         "time_bin": _q_time_bin,
         "time_bin_hour": _q_time_bin_hour,
+        "bbox_time": _q_bbox_time,
         "text_suffix": _q_text_suffix,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
@@ -1102,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_equals": _q_pred_equals,
         "pred_touches": _q_pred_touches,
         "raster_retile": _q_raster_retile,
+        "raster_retile_bicubic": _q_raster_retile_bicubic,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
@@ -1357,6 +1391,10 @@ def _oracle_sql_geom() -> dict[str, str]:
             f"WITH base AS ({_raster_tiles_oracle()}) "
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
+        "raster_retile_bicubic": (
+            f"WITH base AS ({_raster_tiles_oracle()}) "
+            "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
+        ),
     }
 
 
@@ -1511,6 +1549,9 @@ def _oracle_sql_round2() -> dict[str, str]:
         "count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events GROUP BY 1",
         "time_bin_hour": "SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24"
         " + hour(ts) AS bin_hour, count(*) AS n FROM events GROUP BY 1",
+        "time_bin_week": "SELECT CAST(floor((datediff('day', DATE '1970-01-01', "
+        "CAST(ts AS DATE)) + 3) / 7.0) AS INT) AS bin_week, "
+        "count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_user FROM events GROUP BY 1",
         "temporal_overlaps": f"SELECT event_id FROM events "
         f"WHERE ts < TIMESTAMP '{TOVL_HI}' "
         f"AND ts + to_seconds(user_id) > TIMESTAMP '{TOVL_LO}'",

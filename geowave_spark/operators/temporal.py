@@ -77,6 +77,14 @@ def time_bin_col(ts: Column, unit: str) -> Column:
         return F.year(ts)
     if unit == "MONTH":
         return F.year(ts) * 12 + F.month(ts) - 1
+    if unit == "WEEK":
+        # ISO weeks (Monday start) since epoch: 1970-01-01 is a
+        # Thursday, so the Monday of epoch week is day −3; floor
+        # division keeps pre-1970 instants exact. Completes the
+        # TemporalBinningStrategy.java:36-43 unit set
+        # (HOUR/DAY/WEEK/MONTH/YEAR).
+        day = F.datediff(ts.cast("date"), F.lit(_EPOCH).cast("date"))
+        return F.floor((day + F.lit(3)) / F.lit(7)).cast("int")
     if unit == "DAY":
         return F.datediff(ts.cast("date"), F.lit(_EPOCH).cast("date"))
     if unit == "HOUR":
@@ -91,6 +99,11 @@ def time_bin_sql(expr: str, unit: str) -> str:
         return f"year({expr})"
     if unit == "MONTH":
         return f"year({expr}) * 12 + month({expr}) - 1"
+    if unit == "WEEK":
+        return (
+            "CAST(floor((datediff('day', DATE '1970-01-01', "
+            f"CAST({expr} AS DATE)) + 3) / 7.0) AS INT)"
+        )
     if unit == "DAY":
         return f"datediff('day', DATE '1970-01-01', CAST({expr} AS DATE))"
     if unit == "HOUR":

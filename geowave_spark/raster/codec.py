@@ -119,7 +119,59 @@ def resample_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out.astype(img.dtype)
 
 
-RESAMPLERS = {"nearest": resample_nearest, "bilinear": resample_bilinear}
+def _cubic_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic-convolution kernel (a = −0.5, the JAI
+    InterpolationBicubic coefficient; Keys, IEEE TASSP 1981). Exact on
+    polynomials up to degree 2; support [−2, 2]."""
+    t = np.abs(t)
+    return np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * (t**3 - 5.0 * t**2 + 8.0 * t - 4.0), 0.0),
+    )
+
+
+def resample_bicubic(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic bicubic resample — the general JAI Interpolation
+    option of the reference's RasterDataAdapter (RasterDataAdapter.java
+    :444-550 accepts any Interpolation; bicubic is the third member of
+    the nearest/bilinear/bicubic ladder). Separable 4-tap Keys cubic
+    convolution (a = −0.5) at half-pixel output centers, edge-clamped
+    taps (weights still sum to 1, so flat fields are exact everywhere
+    and linear/quadratic ramps are exact away from the clamped border).
+    Float64 accumulation; integer dtypes round half-up and clip."""
+    h, w = img.shape[:2]
+    sy = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.floor(sy).astype(np.int64)
+    x0 = np.floor(sx).astype(np.int64)
+    fy = sy - y0
+    fx = sx - x0
+    p = img.astype(np.float64)
+    tail = (1,) * (p.ndim - 2)
+    # x pass: (h, w, …) -> (h, out_w, …)
+    acc_x = np.zeros((h, out_w) + p.shape[2:], dtype=np.float64)
+    for k in range(-1, 3):
+        xi = np.clip(x0 + k, 0, w - 1)
+        wk = _cubic_kernel(k - fx).reshape((1, out_w) + tail)
+        acc_x += p[:, xi] * wk
+    # y pass: (h, out_w, …) -> (out_h, out_w, …)
+    out = np.zeros((out_h, out_w) + p.shape[2:], dtype=np.float64)
+    for k in range(-1, 3):
+        yi = np.clip(y0 + k, 0, h - 1)
+        wk = _cubic_kernel(k - fy).reshape((out_h, 1) + tail)
+        out += acc_x[yi] * wk
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
+RESAMPLERS = {
+    "nearest": resample_nearest,
+    "bilinear": resample_bilinear,
+    "bicubic": resample_bicubic,
+}
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

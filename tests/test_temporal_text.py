@@ -137,3 +137,35 @@ def test_case_insensitive_and_exact(spark, sf_dir):
     assert ci > 0 and cs == 0
     first = docs.select("text").first().text
     assert exact_search(docs, "text", first).count() >= 1
+
+
+def test_time_bin_week_iso_monday_boundary(spark):
+    """WEEK bins: Monday-start ISO weeks since epoch. 1970-01-01 was a
+    Thursday (week 0); Sunday 1970-01-04 still week 0; Monday
+    1970-01-05 opens week 1. Pre-epoch floors correctly."""
+    from geowave_spark.operators.temporal import time_bin_col, time_bin_sql
+
+    import duckdb
+
+    rows = [
+        ("1970-01-01 12:00:00",),  # Thu  -> 0
+        ("1970-01-04 23:59:59",),  # Sun  -> 0
+        ("1970-01-05 00:00:00",),  # Mon  -> 1
+        ("1969-12-29 00:00:00",),  # Mon  -> 0 (same ISO week as epoch)
+        ("1969-12-28 12:00:00",),  # Sun  -> -1
+        ("2024-01-10 08:30:00",),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = [
+        r.b for r in df.select(time_bin_col(F.col("ts"), "WEEK").alias("b")).collect()
+    ]
+    assert got[:5] == [0, 0, 1, 0, -1]
+    # oracle-text twin agrees on every row
+    con = duckdb.connect()
+    exp = []
+    for (s,) in rows:
+        expr = time_bin_sql("TIMESTAMP '" + s + "'", "WEEK")
+        exp.append(con.execute("SELECT " + expr).fetchone()[0])
+    assert got == exp

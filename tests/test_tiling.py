@@ -355,3 +355,89 @@ def test_retile_bilinear_distributed_matches_driver_reference(spark, images):
         assert np.array_equal(
             np.frombuffer(row.tile, dtype=np.uint8).reshape(ts, ts), want
         ), (row.tx, row.ty)
+
+
+def test_bicubic_resample_golden():
+    """Keys cubic convolution (a=−0.5): exact on linear AND quadratic
+    ramps away from the clamped 2-pixel border, exact everywhere on
+    flat fields (weights sum to 1), and ≥40 dB vs analytic truth
+    overall on the integer path. Downsample of a smooth field beats
+    nearest-neighbor fidelity."""
+    from geowave_spark.raster.codec import (
+        psnr,
+        resample_bicubic,
+        resample_nearest,
+    )
+
+    h = w = 32
+    xs = np.arange(w, dtype=np.float64)
+    ys = np.arange(h, dtype=np.float64)
+
+    # flat field: exact everywhere (partition of unity incl. clamped taps)
+    flat = np.full((h, w), 7.25, dtype=np.float64)
+    assert np.allclose(resample_bicubic(flat, 13, 29), 7.25, atol=1e-12)
+
+    # linear + quadratic ramps: exact on the interior
+    for make, name in [
+        (lambda Y, X: 3.0 * Y + 5.0 * X, "linear"),
+        (lambda Y, X: 0.05 * Y * Y + 0.02 * X * X + 0.01 * X * Y, "quad"),
+    ]:
+        img = make(ys[:, None], xs[None, :])
+        for oh, ow in [(16, 16), (64, 64), (24, 40)]:
+            got = resample_bicubic(img, oh, ow)
+            sy = (np.arange(oh) + 0.5) * (h / oh) - 0.5
+            sx = (np.arange(ow) + 0.5) * (w / ow) - 0.5
+            want = make(sy[:, None], sx[None, :])
+            # interior: source coords ≥1 and ≤dim−2 (no clamped taps)
+            iy = (sy >= 1.0) & (sy <= h - 2.0)
+            ix = (sx >= 1.0) & (sx <= w - 2.0)
+            assert np.allclose(
+                got[np.ix_(iy, ix)], want[np.ix_(iy, ix)], atol=1e-8
+            ), (name, oh, ow)
+
+    # integer path on a smooth curved field: ≥40 dB vs truth, and
+    # beats nearest on the same task
+    curve = (
+        96.0
+        + 60.0 * np.sin(ys[:, None] / 9.0)
+        + 60.0 * np.cos(xs[None, :] / 7.0)
+    )
+    img8 = np.clip(curve, 0, 255).astype(np.uint8)
+    sy = (np.arange(16) + 0.5) * 2 - 0.5
+    sx = (np.arange(16) + 0.5) * 2 - 0.5
+    truth = np.clip(
+        96.0
+        + 60.0 * np.sin(np.clip(sy, 0, 31)[:, None] / 9.0)
+        + 60.0 * np.cos(np.clip(sx, 0, 31)[None, :] / 7.0),
+        0,
+        255,
+    )
+    got8 = resample_bicubic(img8, 16, 16)
+    assert got8.dtype == np.uint8
+    assert psnr(got8.astype(np.float64), truth) >= 40.0
+    assert psnr(got8.astype(np.float64), truth) > psnr(
+        resample_nearest(img8, 16, 16).astype(np.float64), truth
+    )
+
+    # multiband: per-band equals single-band
+    mb = np.stack([img8, img8[::-1]], axis=-1)
+    got_mb = resample_bicubic(mb, 16, 16)
+    assert got_mb.shape == (16, 16, 2)
+    assert np.array_equal(got_mb[..., 0], resample_bicubic(img8, 16, 16))
+
+
+def test_retile_bicubic_same_keys_as_nearest(spark, images):
+    """The kernel choice changes pixels, never tile keys: bicubic
+    retile produces the same (level, tx, ty) set as nearest."""
+    from geowave_spark.operators.tiling import pick_level, retile, tile_cut_and_merge
+
+    ts = 32
+    level = pick_level(2 * HALF_SPAN, ts, ts)
+    tiles = tile_cut_and_merge(images, HALF_SPAN, tile_size=ts, level=level).select(
+        "level", "tx", "ty", "tile"
+    )
+    near = retile(tiles, level, level - 1, ts, interpolation="nearest")
+    cub = retile(tiles, level, level - 1, ts, interpolation="bicubic")
+    k_n = set(map(tuple, near.select("level", "tx", "ty").collect()))
+    k_c = set(map(tuple, cub.select("level", "tx", "ty").collect()))
+    assert k_n == k_c and len(k_c) > 0
