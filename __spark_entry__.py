@@ -59,6 +59,9 @@ KNN_K = 10
 DIST_RADIUS_U = 2_000_000
 TILE_RES = 7
 BIN_RES = 4
+# oracle text for the incremental-stats occupancy grid (STATS_RES = 6)
+_STATS_GX = grid_coord_sql("x_u", 6)
+_STATS_GY = grid_coord_sql("y_u", 6)
 JACCARD_T = 600
 SIM_QUERY_MOD = 100  # vec_id % 100 == 0 are the query vectors
 SIM_K = 5
@@ -813,6 +816,32 @@ def _q_ice_bbox(spark, sf):
     )
 
 
+def _q_stats_incremental(spark, sf):
+    """Write-path incremental statistics: events committed as a 3-append
+    snapshot sequence; count + bbox come from the manifest's footer
+    stats, per-cell occupancy from folding the per-snapshot deltas —
+    the result is read from METADATA ONLY (no data scan) and must match
+    the oracle's on-demand computation over the raw table (the
+    reference's transactionally-maintained StatisticsStore contract)."""
+    from geowave_spark.plans.store import STATS_RES, ice_events_stats_store
+
+    t = ice_events_stats_store(spark, sf)
+    occ = t.merged_occupancy()
+    cs = t.merged_column_stats(["x_u", "y_u"])
+    assert occ["res"] == STATS_RES
+    x_mn, x_mx = cs["cols"]["x_u"]
+    y_mn, y_mx = cs["cols"]["y_u"]
+    rows = [
+        (gx, gy, n, cs["n_rows"], int(x_mn), int(x_mx), int(y_mn), int(y_mx))
+        for (gx, gy), n in sorted(occ["cells"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "gx bigint, gy bigint, n bigint, n_rows bigint, "
+        "x_min bigint, x_max bigint, y_min bigint, y_max bigint",
+    )
+
+
 PHASH_HAM_T = 7
 
 
@@ -1070,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_spatial": _q_sql_spatial,
         "sql_spatial_mixed": _q_sql_spatial_mixed,
         # --- the 8-CompareOperation exact-refinement surface
-        "pred_overlaps": _q_pred_overlaps,
         "pred_contains": _q_pred_contains,
         "pred_within": _q_pred_within,
         "poly_nonconvex": _q_poly_nonconvex,
@@ -1092,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_stats": _q_field_stats,
         "split_plan": _q_split_plan,
         "stats_summary": _q_stats_summary,
+        "stats_incremental": _q_stats_incremental,
         # --- temporal + text predicates
         "temporal_overlaps": _q_temporal_overlaps,
         "time_bin_week": _q_time_bin_week,
@@ -1134,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pairs": _q_sim_pairs,
         "pred_equals": _q_pred_equals,
         "pred_touches": _q_pred_touches,
+        "pred_overlaps": _q_pred_overlaps,
         "raster_retile": _q_raster_retile,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
         "sim_topk_lsh": _q_sim_topk_lsh,
@@ -1245,6 +1275,13 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(sum(user_id) AS BIGINT) AS sum_user FROM {EVENTS_PTS} GROUP BY 1, 2",
         "bbox_agg": f"{pts} SELECT min(x_u) AS x_min, max(x_u) AS x_max, "
         f"min(y_u) AS y_min, max(y_u) AS y_max FROM {EVENTS_PTS}",
+        # on-demand twin of the metadata-only incremental stats read
+        "stats_incremental": f"{pts} SELECT c.gx, c.gy, c.n, s.n_rows, "
+        "s.x_min, s.x_max, s.y_min, s.y_max FROM "
+        f"(SELECT {_STATS_GX} AS gx, {_STATS_GY} AS gy, count(*) AS n "
+        f"FROM {EVENTS_PTS} GROUP BY 1, 2) c CROSS JOIN "
+        "(SELECT count(*) AS n_rows, min(x_u) AS x_min, max(x_u) AS x_max, "
+        f"min(y_u) AS y_min, max(y_u) AS y_max FROM {EVENTS_PTS}) s",
         "doc_tokens": "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens "
         "FROM documents",
         "doc_quality": "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_q, "

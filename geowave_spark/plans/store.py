@@ -202,6 +202,42 @@ def ice_bbox_query(
     )
 
 
+STATS_RES = 6  # coarse occupancy grid (4096 cells max — metadata-sized)
+
+
+def ice_events_stats_store(spark: SparkSession, sf_dir: str, res: int = STATS_RES, n_snaps: int = 3):
+    """Events committed as a MULTI-SNAPSHOT append sequence with
+    write-path statistics: each append records per-file footer min/max
+    into the manifest and a per-cell occupancy delta into its snapshot
+    entry (icetable.commit_write(occupancy=...)). Readers then answer
+    count/bbox/occupancy questions from metadata alone
+    (merged_column_stats / merged_occupancy) — the reference's
+    transactionally-maintained statistics (core/store/.../statistics/
+    StatisticsStore updated per write) expressed on the snapshot log.
+    The batch split is a deterministic hash of event_id, so the stats
+    exercise real cross-snapshot folding (every batch touches most
+    cells)."""
+    import hashlib as _h
+
+    from geowave_spark.sources.icetable import IceTable
+    from geowave_spark.sources.testgeo import events_points
+
+    digest = _h.md5(f"ice_stats:{sf_dir}:{res}:{n_snaps}".encode()).hexdigest()[:12]
+    t = IceTable(os.path.join(CACHE_ROOT, f"ice_stats_{digest}"))
+    if t.current_snapshot_id() is None:
+        pts = events_points(spark, sf_dir)
+        for i in range(n_snaps):
+            batch = pts.where(F.pmod(F.xxhash64("event_id"), F.lit(n_snaps)) == i)
+            t.commit_write(
+                batch,
+                mode="append",
+                stats_cols=["x_u", "y_u"],
+                occupancy=(res, "x_u", "y_u"),
+                summary={"batch": i},
+            )
+    return t
+
+
 # ---------------------------------------------------- attribute (secondary)
 
 

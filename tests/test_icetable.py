@@ -338,3 +338,76 @@ def test_ice_stage_store_resumes_pre_added_paths_format(spark, tmp_path):
     out2 = store.run_stage(spark, "s1", [1, 2, 3], make2, fingerprint="fp1")
     assert calls == [3]
     assert out2.count() == 15
+
+
+def test_incremental_stats_match_on_demand(spark, tmp_path):
+    """Write-path statistics (round-4): occupancy deltas + footer
+    min/max folded from metadata must equal an on-demand scan after a
+    multi-snapshot append sequence, stay consistent through rollback,
+    and reset on overwrite."""
+    from geowave_spark.index.native import grid_coord_col
+    from geowave_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "stats_t"))
+    res = 4
+
+    def pts(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").cast("string").alias("pid"),
+                ((F.col("id") * 7919) % 360_000_000 - 180_000_000).alias("x_u"),
+                ((F.col("id") * 104729) % 360_000_000 - 180_000_000).alias("y_u"),
+            )
+        )
+
+    sids = []
+    for lo, hi in [(0, 400), (400, 900), (900, 1200)]:
+        sids.append(
+            t.commit_write(
+                pts(lo, hi),
+                mode="append",
+                stats_cols=["x_u", "y_u"],
+                occupancy=(res, "x_u", "y_u"),
+            )
+        )
+
+    def on_demand(df):
+        got = (
+            df.groupBy(
+                grid_coord_col(F.col("x_u"), res).alias("gx"),
+                grid_coord_col(F.col("y_u"), res, 180_000_000).alias("gy"),
+            )
+            .count()
+            .collect()
+        )
+        return {(r.gx, r.gy): r["count"] for r in got}
+
+    all_pts = pts(0, 1200)
+    occ = t.merged_occupancy()
+    assert occ["res"] == res
+    assert occ["cells"] == on_demand(all_pts)
+    cs = t.merged_column_stats(["x_u", "y_u"])
+    row = all_pts.agg(
+        F.count("*"), F.min("x_u"), F.max("x_u"), F.min("y_u"), F.max("y_u")
+    ).first()
+    assert cs["n_rows"] == row[0]
+    assert cs["cols"]["x_u"] == [row[1], row[2]]
+    assert cs["cols"]["y_u"] == [row[3], row[4]]
+
+    # rollback to the 2-append state: stats follow the redirected chain
+    t.rollback(sids[1])
+    occ2 = t.merged_occupancy()
+    assert occ2["cells"] == on_demand(pts(0, 900))
+    assert t.merged_column_stats(["x_u"])["n_rows"] == 900
+
+    # overwrite resets: stats reflect ONLY the overwrite batch
+    t.commit_write(
+        pts(5000, 5100),
+        mode="overwrite",
+        stats_cols=["x_u", "y_u"],
+        occupancy=(res, "x_u", "y_u"),
+    )
+    occ3 = t.merged_occupancy()
+    assert occ3["cells"] == on_demand(pts(5000, 5100))
+    assert t.merged_column_stats(["x_u"])["n_rows"] == 100
