@@ -842,6 +842,76 @@ def _q_stats_incremental(spark, sf):
     )
 
 
+DBSCAN_EPS_U = 10_000
+DBSCAN_MIN_PTS = 4
+
+
+def _q_dbscan_labels(spark, sf):
+    """DBSCAN over the planted-cluster fixture (testgeo.dbscan_planted)
+    — the DBScanIterationsJobRunner semantics (analytics/mapreduce/.../
+    dbscan/): core = ≥ min_pts neighbors incl. self within eps, border
+    adopts the smallest core-neighbor label, else noise (NULL). The
+    fixture's geometry is id-arithmetic, so the oracle re-derives every
+    expected label exactly: blob members are one fully-connected
+    component each (cluster = min member id), the per-blob satellite's
+    core/border status is an exact neighbor count, noise is isolated."""
+    from geowave_spark.operators.dbscan import dbscan
+    from geowave_spark.sources.testgeo import dbscan_planted
+
+    pts = dbscan_planted(spark, sf)
+    return dbscan(pts, DBSCAN_EPS_U, DBSCAN_MIN_PTS, key="pid").select(
+        "pid", "cluster", "is_core"
+    )
+
+
+def _dbscan_oracle_sql() -> str:
+    """Exact expected DBSCAN labels from the fixture's id arithmetic.
+
+    Satellite at (cx+9000, cy): a blob member at offset (dx, dy) is
+    within eps iff (9000−dx)² + dy² ≤ eps² — classes dx ∈ {0,1000,2000}
+    (any dy) plus (−1000, 0). qn = count of such members; satellite is
+    core iff qn ≥ min_pts−1, border (cluster, not core) iff
+    1 ≤ qn < min_pts−1, noise iff qn = 0. Blob members: n−1 same-blob
+    neighbors (+1 if the blob's satellite reaches them, same
+    condition) — core at every sf since n ≥ min_pts. Component label =
+    min CORE pid = min member pid (member ids < 96 ≤ satellite ids)."""
+    mp = DBSCAN_MIN_PTS
+    eps2 = DBSCAN_EPS_U * DBSCAN_EPS_U
+    return f"""
+WITH f AS (
+  SELECT event_id AS pid,
+         event_id % 32 AS blob,
+         CASE WHEN event_id % 17 = 0 THEN 'noise'
+              WHEN event_id // 32 = 3 THEN 'sat'
+              ELSE 'blob' END AS role,
+         (event_id % 5) * 1000 - 2000 AS dx,
+         ((event_id // 5) % 5) * 1000 - 2000 AS dy
+  FROM events),
+b AS (SELECT * FROM f WHERE role = 'blob'),
+bm AS (SELECT blob, min(pid) AS mn, count(*) AS n,
+              count(*) FILTER (WHERE (9000 - dx)*(9000 - dx) + dy*dy <= {eps2}) AS qn
+       FROM b GROUP BY blob),
+sat AS (SELECT blob, count(*) AS n_sat FROM f WHERE role = 'sat' GROUP BY blob)
+SELECT f.pid,
+  CASE
+    WHEN f.role = 'noise' THEN NULL
+    WHEN f.role = 'sat' THEN CASE WHEN bm.qn >= 1 THEN bm.mn END
+    ELSE bm.mn
+  END AS cluster,
+  CASE
+    WHEN f.role = 'noise' THEN FALSE
+    WHEN f.role = 'sat' THEN bm.qn >= {mp} - 1
+    ELSE (bm.n - 1
+          + CASE WHEN coalesce(sat.n_sat, 0) >= 1
+                  AND (9000 - f.dx)*(9000 - f.dx) + f.dy*f.dy <= {eps2}
+                 THEN 1 ELSE 0 END) >= {mp} - 1
+  END AS is_core
+FROM f
+LEFT JOIN bm ON f.blob = bm.blob
+LEFT JOIN sat ON f.blob = sat.blob
+"""
+
+
 PHASH_HAM_T = 7
 
 
@@ -1106,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "knn_bulk": _q_knn_bulk,
         "nn_join": _q_nn_join,
+        "dbscan_labels": _q_dbscan_labels,
         # --- raster / tiling / binning
         "tile_assign": _q_tile_assign,
         "spatial_bin": _q_spatial_bin,
@@ -1128,7 +1199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contains": _q_text_contains,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "dedup_exact": _q_dedup_exact,
-        "minhash": _q_minhash,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1161,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
+        "minhash": _q_minhash,
         "pred_equals": _q_pred_equals,
         "pred_touches": _q_pred_touches,
         "pred_overlaps": _q_pred_overlaps,
@@ -1627,6 +1698,7 @@ def _oracle_sql_round2() -> dict[str, str]:
             f"WITH base AS ({_raster_tiles_oracle()}) "
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
+        "dbscan_labels": _dbscan_oracle_sql(),
         "nn_join": f"{pts}, a AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay "
         f"FROM {EVENTS_PTS} WHERE event_id % {NN_LEFT_MOD} = 0), "
         f"d AS (SELECT a_id, p.event_id AS b_id, "

@@ -457,3 +457,46 @@ def customer_snapped_boxes_sql(sf_dir: str) -> str:
         f"{lo(f'({y} - {hw})')} AS y_lo, {hi(f'({x} + {hw})')} AS x_hi, "
         f"{hi(f'({y} + {hw})')} AS y_hi FROM customer)"
     )
+
+
+def dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-cluster DBSCAN fixture (pid, x_u, y_u), derived
+    row-for-row from events.event_id so the DuckDB oracle re-derives
+    the expected labels from the SAME formula (the pattern of
+    phash_dedup's generator oracle). Three roles by id arithmetic:
+
+    - noise  (id % 17 == 0): a south-west vertical line, consecutive
+      points ≥ 25,500 µdeg apart (> eps) and ≥ 30e6 µdeg from any blob;
+    - satellite (id // 32 == 3): one point per blob at exactly
+      (cx + 9000, cy) — within eps (10,000) of the offset classes
+      dx ∈ {0, 1000, 2000} (any dy) and (dx, dy) = (−1000, 0), outside
+      eps of the rest, so its core/border status is an exact count the
+      oracle computes;
+    - blob member (else): blob = id % 32, center grid 30e6 µdeg apart,
+      offsets (id%5, (id//5)%5) on a ±2000 µdeg 1000-step grid — blob
+      diameter ≤ √(4000²+4000²) ≈ 5657 < eps, so every blob is one
+      fully-connected component and every member is core.
+
+    Deterministic for any sf (noise y wraps mod 100k ids, never
+    colliding below 100k events)."""
+    eid = F.col("event_id")
+    blob = eid % 32
+    cx = F.lit(-120_000_000) + (blob % 8) * F.lit(30_000_000)
+    cy = F.lit(20_000_000) + F.call_function("div", blob, F.lit(8)) * F.lit(30_000_000)
+    dx = (eid % 5) * 1000 - 2000
+    dy = (F.call_function("div", eid, F.lit(5)) % 5) * 1000 - 2000
+    is_noise = eid % 17 == F.lit(0)
+    is_sat = F.call_function("div", eid, F.lit(32)) == F.lit(3)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        eid.alias("pid"),
+        F.when(is_noise, F.lit(-150_000_000))
+        .when(is_sat, cx + 9000)
+        .otherwise(cx + dx)
+        .cast("long")
+        .alias("x_u"),
+        F.when(is_noise, F.lit(-170_000_000) + (eid % 100_000) * 1500)
+        .when(is_sat, cy)
+        .otherwise(cy + dy)
+        .cast("long")
+        .alias("y_u"),
+    )
