@@ -500,3 +500,95 @@ def dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y_u"),
     )
+
+
+def lshapes_from_keys(
+    spark: SparkSession,
+    n: int,
+    partitions: int,
+    r_mod: int = LSH_R_MOD,
+    r_min: int = LSH_R_MIN,
+    scatter_only: bool = False,
+    key_offset: int = 0,
+) -> DataFrame:
+    """L-shape table generated from an id RANGE instead of a parquet
+    key column — the fact-scale variant for scaling evidence (both
+    sides of a geometry×geometry join above the broadcast gate).
+    ``scatter_only`` maps id → 5·id+1 so no key hits the hotspot mode
+    (id % 5 == 0): the job then measures shuffle-refine scaling, not
+    the quadratic blowup of 20% of geometries stacked on 5 centers.
+    ``r_mod``/``r_min`` shrink radii at high row counts to keep join
+    selectivity (and output size) scale-appropriate; ``key_offset``
+    decorrelates the two sides' key spaces (same-key geometries share a
+    center and always intersect — a planted 1:1 artifact, not a
+    measured join)."""
+    base_id = F.col("id") + F.lit(key_offset)
+    key = (base_id * 5 + 1) if scatter_only else base_id
+    df = spark.range(n, numPartitions=partitions).select(
+        key.cast("long").alias("s_suppkey")
+    )
+    x, y = xy_cols(F.col("s_suppkey"))
+    r = (
+        F.pmod(F.col("s_suppkey").cast("long") * F.lit(K2), F.lit(r_mod))
+        + F.lit(r_min)
+    ).alias("r")
+    base = df.select("s_suppkey", x, y, r)
+
+    @F.pandas_udf("binary")
+    def mk(cx: pd.Series, cy: pd.Series, rr: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _wkb_ring(lshape_vertices(int(a), int(b), int(c)))
+                for a, b, c in zip(cx, cy, rr)
+            ]
+        )
+
+    return base.select("s_suppkey", mk("x_u", "y_u", "r").alias("geom"))
+
+
+def tracks_from_keys(
+    spark: SparkSession,
+    n: int,
+    partitions: int,
+    d_mod: int = TRACK_D_MOD,
+    d_min: int = TRACK_D_MIN,
+    scatter_only: bool = False,
+    key_offset: int = 0,
+) -> DataFrame:
+    """Staircase-polyline table from an id range (see lshapes_from_keys)."""
+    base_id = F.col("id") + F.lit(key_offset)
+    key_e = (base_id * 5 + 1) if scatter_only else base_id
+    df = spark.range(n, numPartitions=partitions).select(
+        key_e.cast("long").alias("p_partkey")
+    )
+    x, y = xy_cols(F.col("p_partkey"))
+    key = F.col("p_partkey").cast("long")
+    base = df.select(
+        "p_partkey",
+        x,
+        y,
+        (F.pmod(key * F.lit(K1), F.lit(d_mod)) + F.lit(d_min)).alias("d1"),
+        (F.pmod(key * F.lit(K2), F.lit(d_mod)) + F.lit(d_min)).alias("d2"),
+        (F.pmod(key * F.lit(K3), F.lit(d_mod)) + F.lit(d_min)).alias("d3"),
+    )
+
+    @F.pandas_udf("binary")
+    def mk(
+        px: pd.Series, py: pd.Series, a: pd.Series, b: pd.Series, c: pd.Series
+    ) -> pd.Series:
+        out = []
+        for x0, y0, d1, d2, d3 in zip(px, py, a, b, c):
+            x0, y0, d1, d2, d3 = int(x0), int(y0), int(d1), int(d2), int(d3)
+            out.append(
+                _wkb_line(
+                    [
+                        (x0, y0),
+                        (x0 + d1, y0),
+                        (x0 + d1, y0 + d2),
+                        (x0 + d1 + d3, y0 + d2),
+                    ]
+                )
+            )
+        return pd.Series(out)
+
+    return base.select("p_partkey", mk("x_u", "y_u", "d1", "d2", "d3").alias("geom"))

@@ -154,3 +154,72 @@ def test_streaming_image_thumbnails_match_batch(spark, tmp_path):
     }
     assert len(got) == 90
     assert got == batch
+
+
+def test_kafka_wire_schema_stream_matches_batch(spark, tmp_path):
+    """Round-4 Kafka evidence (BasicKafkaIT.java analog, strongest form
+    available without the connector jar): a STREAMING run of everything
+    the kafka branch does after .load() — parse_kafka_events over a
+    stream with the kafka source's exact wire schema (key/value binary,
+    topic, partition, offset, timestamp, timestampType), then the same
+    indexed append sink — must equal the batch path row-for-row. Only
+    Spark's own connector (absent jar) goes unexercised; the engine-owned
+    code runs under a real StreamExecution."""
+    import json as _json
+
+    from geowave_spark.streaming.ingest import indexed_stream, parse_kafka_events
+
+    wire_dir = str(tmp_path / "wire")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    event_schema = "event_id long, ts timestamp, user_id long, x_u long, y_u long"
+
+    # build kafka-wire records deterministically (value = JSON event)
+    rows = []
+    for i in range(500):
+        ev = {
+            "event_id": i,
+            "ts": f"2024-01-01 00:{i % 60:02d}:{(i * 7) % 60:02d}",
+            "user_id": i % 97,
+            "x_u": (i * 2654435761) % 360_000_000 - 180_000_000,
+            "y_u": (i * 2246822519) % 170_000_000 - 85_000_000,
+        }
+        rows.append(
+            (
+                str(i).encode(),
+                _json.dumps(ev).encode(),
+                "events",
+                i % 4,
+                i,
+            )
+        )
+    wire = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    ).select(
+        "*",
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    wire.write.parquet(wire_dir)
+
+    raw_stream = (
+        spark.readStream.schema(spark.read.parquet(wire_dir).schema)
+        .parquet(wire_dir)
+    )
+    indexed = indexed_stream(parse_kafka_events(raw_stream, event_schema), RES)
+    q = (
+        indexed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = indexed_stream(
+        parse_kafka_events(spark.read.parquet(wire_dir), event_schema), RES
+    )
+    assert got.count() == 500
+    assert set(map(tuple, got.collect())) == set(map(tuple, want.collect()))

@@ -130,6 +130,48 @@ from geowave_spark.index.xz import xz_box_point_join
 run("xz_join", lambda: xz_box_point_join(pts, boxes), reuse_df=True)
 run("poly_join", lambda: octagon_point_join(pts, octs), reuse_df=True)
 run("kde", lambda: kde_level(pts, 10))
+if jobs is not None and "geom_join_big" in jobs:
+    # fact×fact general-geometry join: BOTH sides above BC_MAX_BYTES
+    # (~80 MB tracks WKB, ~73 MB lshapes WKB), broadcasting forced off,
+    # AND _collect_payload_dict patched to raise — the completed run is
+    # the runtime proof the non-broadcast shuffle-refine path never
+    # collects a payload side to the driver (TieredSpatialJoin.java's
+    # own scale regime). scatter_only keys skip the hotspot mode so the
+    # job measures shuffle-refine scaling, not a deliberate quadratic
+    # hotspot; radii/deltas are shrunk 16x to keep pair selectivity
+    # scale-appropriate at 1M x 600k geometries.
+    from geowave_spark.operators import geom_join as GJ
+    from geowave_spark.sources.testgeo import lshapes_from_keys, tracks_from_keys
+
+    def _no_collect(*a, **k):
+        raise AssertionError(
+            "driver payload collect attempted in the non-broadcast "
+            "geometry join (scaling_bench geom_join_big)"
+        )
+
+    _orig_collect = GJ._collect_payload_dict
+    GJ._collect_payload_dict = _no_collect
+    try:
+        trk = tracks_from_keys(
+            spark, 1_000_000 * scale // 128, int(cpus) * 8,
+            d_mod=16_000, d_min=3_000, scatter_only=True,
+        )
+        lsh = lshapes_from_keys(
+            spark, 600_000 * scale // 128, int(cpus) * 8,
+            r_mod=24_000, r_min=4_000, scatter_only=True,
+            key_offset=1_000_000_007,  # decorrelate from the track keys
+        )
+        run(
+            "geom_join_big",
+            lambda: GJ.geom_geom_join(
+                trk, lsh, "intersects",
+                left_key="p_partkey", right_key="s_suppkey",
+                broadcast_right=False,
+            ),
+            reuse_df=True,
+        )
+    finally:
+        GJ._collect_payload_dict = _orig_collect
 if jobs is None or "tile_cut_merge" in jobs:
     imgs = images_table(spark, n_img, w=64, h=64, partitions=int(cpus) * 4)
     imgs = imgs.persist(); imgs.count()  # materialize generation outside the timed cut+merge
@@ -150,6 +192,7 @@ print(json.dumps({
             ("xz_join_pts_per_sec", round(n_pts / times["xz_join"], 1) if "xz_join" in times else None),
             ("kde_pts_per_sec", round(n_pts / times["kde"], 1) if "kde" in times else None),
             ("tile_images_per_sec", round(n_img / times["tile_cut_merge"], 1) if "tile_cut_merge" in times else None),
+            ("geom_join_big_geoms_per_sec", round((1_600_000 * scale // 128) / times["geom_join_big"], 1) if "geom_join_big" in times else None),
         ]
         if v is not None
     },
