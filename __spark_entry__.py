@@ -1111,6 +1111,30 @@ def _q_raster_retile_bilinear(spark, sf):
     ).select("level", "tx", "ty")
 
 
+from geowave_spark.sources.testgeo import K1 as _K1_TG, K2 as _K2_TG
+
+MERC_MM = 20_037_508_342
+CRS_BBOX = (-5_000_000_000, -2_000_000_000, 3_000_000_000, 6_000_000_000)
+
+
+def _q_crs_bbox(spark, sf):
+    """bbox range-scan over a CUSTOM CRS (web-mercator, integer mm) —
+    the SpatialDimensionalityTypeProvider `crs` option: the SFC index
+    spans the CRS's own axis bounds instead of EPSG:4326 micro-degrees
+    (SpatialDimensionalityTypeProvider.java; CustomCRS ITs under
+    test/.../basic/). Fixture coordinates derive from event_id by pure
+    integer arithmetic, so the oracle is an exact BETWEEN filter."""
+    from geowave_spark.index.crs import WEB_MERCATOR_MM, crs_bbox_query
+    from geowave_spark.sources.testgeo import K1, K2
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        (F.pmod(F.col("event_id") * K1, F.lit(2 * MERC_MM)) - F.lit(MERC_MM)).alias("x"),
+        (F.pmod(F.col("event_id") * K2, F.lit(2 * MERC_MM)) - F.lit(MERC_MM)).alias("y"),
+    )
+    return crs_bbox_query(ev, WEB_MERCATOR_MM, *CRS_BBOX).select("event_id")
+
+
 def _q_raster_retile_bicubic(spark, sf):
     """Re-tile with the bicubic (Keys a=−0.5) Interpolation option —
     the third member of RasterDataAdapter.java:444-550's configurable
@@ -1237,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_overlaps": _q_pred_overlaps,
         "raster_retile": _q_raster_retile,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
+        "crs_bbox": _q_crs_bbox,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
@@ -1502,6 +1527,13 @@ def _oracle_sql_geom() -> dict[str, str]:
         "raster_retile_bicubic": (
             f"WITH base AS ({_raster_tiles_oracle()}) "
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
+        ),
+        "crs_bbox": (
+            "SELECT event_id FROM events WHERE "
+            f"((event_id * {_K1_TG}) % {2 * MERC_MM}) - {MERC_MM} "
+            f"BETWEEN {CRS_BBOX[0]} AND {CRS_BBOX[2]} AND "
+            f"((event_id * {_K2_TG}) % {2 * MERC_MM}) - {MERC_MM} "
+            f"BETWEEN {CRS_BBOX[1]} AND {CRS_BBOX[3]}"
         ),
     }
 

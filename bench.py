@@ -137,6 +137,12 @@ def main():
         "raster_pyramid",
         "image_thumbs",
         "ice_image_tiles",
+        # round-4 additions (cheap metadata/native queries; dbscan_labels
+        # is gate-only — iteration-dominated wall time, not an operator
+        # throughput measurement)
+        "time_bin_week",
+        "stats_incremental",
+        "crs_bbox",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
@@ -154,6 +160,7 @@ def main():
         "text_contains",  # stored ngram-index materialization (write path)
         "attr_range",  # attribute-sorted layout materialization (write path)
         "ice_image_tiles",  # image snapshot-table commit (write path)
+        "stats_incremental",  # multi-snapshot stats store commit (write path)
     ):
         qs[warm](spark, sf_dir).count()
     # geometry-join path: polyfill + pair-refine UDF codegen and the

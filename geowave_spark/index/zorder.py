@@ -153,7 +153,20 @@ def bbox_ranges(
     gx_hi = grid_coord(x_hi_u, res)
     gy_lo = grid_coord(y_lo_u, res)
     gy_hi = grid_coord(y_hi_u, res)
+    return ranges_from_grid(gx_lo, gx_hi, gy_lo, gy_hi, res, max_ranges)
 
+
+def ranges_from_grid(
+    gx_lo: int,
+    gx_hi: int,
+    gy_lo: int,
+    gy_hi: int,
+    res: int,
+    max_ranges: int = 64,
+) -> tuple[tuple[int, int], ...]:
+    """Grid-space half of bbox_ranges — shared with the custom-CRS
+    index path (index/crs.py), where only the value→grid transform
+    differs."""
     out: list[tuple[int, int]] = []
     # stack entries: (node_res, gx, gy) — node covers grid square of side
     # 2^(res-node_res) at position (gx<<k, gy<<k)

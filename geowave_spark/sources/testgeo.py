@@ -509,7 +509,7 @@ def lshapes_from_keys(
     r_mod: int = LSH_R_MOD,
     r_min: int = LSH_R_MIN,
     scatter_only: bool = False,
-    key_offset: int = 0,
+    decorrelate: bool = False,
 ) -> DataFrame:
     """L-shape table generated from an id RANGE instead of a parquet
     key column — the fact-scale variant for scaling evidence (both
@@ -518,12 +518,23 @@ def lshapes_from_keys(
     (id % 5 == 0): the job then measures shuffle-refine scaling, not
     the quadratic blowup of 20% of geometries stacked on 5 centers.
     ``r_mod``/``r_min`` shrink radii at high row counts to keep join
-    selectivity (and output size) scale-appropriate; ``key_offset``
-    decorrelates the two sides' key spaces (same-key geometries share a
-    center and always intersect — a planted 1:1 artifact, not a
-    measured join)."""
-    base_id = F.col("id") + F.lit(key_offset)
-    key = (base_id * 5 + 1) if scatter_only else base_id
+    selectivity (and output size) scale-appropriate.
+
+    ``decorrelate`` makes the keys a NONLINEAR (quadratic-residue)
+    function of the row index: the scatter position is affine in the
+    key (x = K·key mod span), so when BOTH join sides use affine keys
+    the pair proximity condition depends only on the key DIFFERENCE —
+    the n_l·n_r pair space collapses to ~n distinct difference trials
+    and the join degenerates to zero or to correlated same-offset
+    bands. A quadratic key map restores pairwise-independent relative
+    offsets. Keys stay ≡ 1 mod 5 (scatter branch) and < 2.8e9
+    (key·K3 must not overflow int64 under ANSI arithmetic)."""
+    if decorrelate:
+        # 5·((id² + 12345) mod 400_000_009) + 1  ∈ [1, 2.1e9], ≡1 mod 5
+        q = F.pmod(F.col("id") * F.col("id") + F.lit(12345), F.lit(400_000_009))
+        key = q * 5 + 1
+    else:
+        key = (F.col("id") * 5 + 1) if scatter_only else F.col("id")
     df = spark.range(n, numPartitions=partitions).select(
         key.cast("long").alias("s_suppkey")
     )
@@ -553,11 +564,9 @@ def tracks_from_keys(
     d_mod: int = TRACK_D_MOD,
     d_min: int = TRACK_D_MIN,
     scatter_only: bool = False,
-    key_offset: int = 0,
 ) -> DataFrame:
     """Staircase-polyline table from an id range (see lshapes_from_keys)."""
-    base_id = F.col("id") + F.lit(key_offset)
-    key_e = (base_id * 5 + 1) if scatter_only else base_id
+    key_e = (F.col("id") * 5 + 1) if scatter_only else F.col("id")
     df = spark.range(n, numPartitions=partitions).select(
         key_e.cast("long").alias("p_partkey")
     )

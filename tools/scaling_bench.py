@@ -159,7 +159,10 @@ if jobs is not None and "geom_join_big" in jobs:
         lsh = lshapes_from_keys(
             spark, 600_000 * scale // 128, int(cpus) * 8,
             r_mod=24_000, r_min=4_000, scatter_only=True,
-            key_offset=1_000_000_007,  # decorrelate from the track keys
+            # quadratic key map: affine keys on BOTH sides collapse the
+            # pair space to key-difference trials (zero or banded
+            # overlaps) — see lshapes_from_keys docstring
+            decorrelate=True,
         )
         run(
             "geom_join_big",
