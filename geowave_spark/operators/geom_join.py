@@ -33,12 +33,16 @@ Plan shape (idiomatic-Spark re-expression of the tier algorithm):
                                           (geom/udfs.pair_pred_batch:
                                           batch WKB parse cache + numpy
                                           point-group kernels)
-  reduceByKey keep-first + DedupeFilter   dropDuplicates on the matched
-  (:343-349)                              key pair AFTER refinement
-                                          (candidate dupes are bounded
-                                          by shared-cell counts, so the
-                                          post-refine dedupe shuffles
-                                          only matches)
+  reduceByKey keep-first + DedupeFilter   dropDuplicates on the candidate
+  (:343-349)                              key pair BEFORE refinement —
+                                          candidates shuffle as key-only
+                                          tuples (payloads join back to
+                                          the deduped pair set from the
+                                          checkpointed keyed frames, so
+                                          WKB never rides the cell
+                                          explode), then a post-refine
+                                          dedupe collapses duplicate-key
+                                          re-expansion
   semi/anti output (:362-378)             how='leftsemi' / 'leftanti'
 
 Correctness of the cross-res rule: the set of parents (at res m) of the
@@ -529,10 +533,22 @@ def geom_geom_join(
             r_bc = _collect_payload_dict(sc, r, right_key, "_rg", strict=forced)
             if r_bc is None:
                 bc_r = False
-    if bc_l or native_pred is not None:
-        l = l.drop("_lg")
-    if bc_r or native_pred is not None:
-        r = r.drop("_rg")
+    # Round 4: payloads NEVER ride the candidate explode. Carrying WKB
+    # through the (res, cell) fan-out duplicated each geometry's bytes
+    # once per emitted cell (~7-15× shuffle amplification) and made
+    # shuffle IO the non-scaling term at 3.2M-geometry scale
+    # (BENCH.md §9.4). Candidate rows shuffle as key/res/cell tuples;
+    # non-broadcast payloads re-attach by an equi-join against the
+    # checkpointed keyed frame AFTER pair dedupe — each side's WKB
+    # shuffles once per distinct candidate pair, not once per cell.
+    l_geoms = (
+        l.select(left_key, "_lg") if (native_pred is None and not bc_l) else None
+    )
+    r_geoms = (
+        r.select(right_key, "_rg") if (native_pred is None and not bc_r) else None
+    )
+    l = l.drop("_lg")
+    r = r.drop("_rg")
     if bc_r:
         # the keyed (cells-only) right frame is dimension-sized too —
         # hint the equi-joins to broadcast it and skip the shuffle
@@ -577,11 +593,6 @@ def geom_geom_join(
     cand2 = l2.join(r2, (F.col("_jres") == F.col("_lres")) & (l2["_jcell"] == r2["_jcell"]))
 
     cols = [left_key, right_key]
-    if native_pred is None:
-        if not bc_l:
-            cols.append("_lg")
-        if not bc_r:
-            cols.append("_rg")
     if skip_dedupe or native_pred is not None:
         cols += ["_lbx0", "_lby0", "_lbx1", "_lby1", "_rbx0", "_rby0", "_rbx1", "_rby1"]
     sel1 = [F.col(c) for c in cols]
@@ -616,43 +627,41 @@ def geom_geom_join(
         matched = cand.where(native_pred).select(left_key, right_key)
         if not skip_dedupe:
             matched = matched.dropDuplicates([left_key, right_key])
-    elif bc_l and bc_r:
-        # key-only rows are 16 B — dedupe the candidate pairs BEFORE
-        # refinement (cheap narrow shuffle) so each pair reaches the
-        # predicate exactly once; shared-cell duplication factors of
-        # 2-3× at hotspot scale would otherwise multiply the UDF work
+    else:
+        # candidate rows are key/res/cell tuples (~24 B) in EVERY
+        # refine mode — dedupe the pairs BEFORE refinement (cheap
+        # narrow shuffle) so each pair reaches the predicate exactly
+        # once, then attach whichever payloads don't ride a task
+        # broadcast by joining the deduped pair set back to the
+        # checkpointed keyed frames (reduceByKey-before-refine is
+        # now affordable precisely because the rows are thin)
         if not skip_dedupe:
             cand = cand.dropDuplicates([left_key, right_key])
-        matched = cand.where(
-            _pair_refine_by_keys_udf(l_bc, r_bc, predicate, distance_u)(
+        if l_geoms is not None:
+            cand = cand.join(l_geoms, left_key)
+        if r_geoms is not None:
+            cand = cand.join(r_geoms, right_key)
+        if bc_l and bc_r:
+            refine = _pair_refine_by_keys_udf(l_bc, r_bc, predicate, distance_u)(
                 F.col(left_key), F.col(right_key)
             )
-        ).select(left_key, right_key)
-    elif bc_l or bc_r:
-        # fact×dim: the big side's WKB rides the candidate rows (fat —
-        # refine first, dedupe the smaller match set), the small side's
-        # payloads ride the task broadcast
-        refine = (
-            _pair_refine_one_side_udf(r_bc, predicate, distance_u, True)(
+        elif bc_r:
+            refine = _pair_refine_one_side_udf(r_bc, predicate, distance_u, True)(
                 F.col("_lg"), F.col(right_key)
             )
-            if bc_r
-            else _pair_refine_one_side_udf(l_bc, predicate, distance_u, False)(
+        elif bc_l:
+            refine = _pair_refine_one_side_udf(l_bc, predicate, distance_u, False)(
                 F.col("_rg"), F.col(left_key)
             )
-        )
+        else:
+            refine = _pair_refine_udf(predicate, distance_u)(
+                F.col("_lg"), F.col("_rg")
+            )
         matched = cand.where(refine).select(left_key, right_key)
-        if not skip_dedupe:
-            matched = matched.dropDuplicates([left_key, right_key])
-    else:
-        # WKB-carrying rows are fat: refine first, dedupe the (smaller)
-        # match set — the reference's reduceByKey placement
-        refined = cand.where(
-            _pair_refine_udf(predicate, distance_u)(F.col("_lg"), F.col("_rg"))
-        )
-        matched = refined.select(left_key, right_key)
-        if not skip_dedupe:
-            matched = matched.dropDuplicates([left_key, right_key])
+        # duplicate key values re-expand through the payload join-back
+        # (one row per key occurrence) — collapse to distinct pairs;
+        # shuffles only matches, and is a no-op row-wise otherwise
+        matched = matched.dropDuplicates([left_key, right_key])
 
     if how == "inner":
         return matched
