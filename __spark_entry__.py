@@ -1113,6 +1113,34 @@ def _q_raster_retile_bilinear(spark, sf):
 
 from geowave_spark.sources.testgeo import K1 as _K1_TG, K2 as _K2_TG
 
+def _q_raster_pyramid_ingest(spark, sf):
+    """Resumable write-path pyramid (ingest_pyramid): every level ONE
+    atomic snapshot commit with per-level lineage; the read-back grid
+    must equal the in-memory build_pyramid oracle (RasterDataAdapter
+    buildPyramid + GeoWaveOutputFormat per-task commit)."""
+    import hashlib as _h
+    import os as _os
+
+    from geowave_spark.operators.tiling import (
+        ingest_pyramid,
+        pick_level,
+        tile_cut_and_merge,
+    )
+    from geowave_spark.plans.store import CACHE_ROOT
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    digest = _h.md5(f"pyr_ingest:{sf}".encode()).hexdigest()[:12]
+    root = _os.path.join(CACHE_ROOT, f"pyr_ingest_{digest}")
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    base = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
+    out = ingest_pyramid(
+        spark, base.select("level", "tx", "ty", "tile"), level, root,
+        to_level=level - 4, tile_size=RASTER_TS,
+    )
+    return out.select("level", "tx", "ty")
+
+
 MERC_MM = 20_037_508_342
 CRS_BBOX = (-5_000_000_000, -2_000_000_000, 3_000_000_000, 6_000_000_000)
 
@@ -1261,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_overlaps": _q_pred_overlaps,
         "raster_retile": _q_raster_retile,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
+        "raster_pyramid_ingest": _q_raster_pyramid_ingest,
         "crs_bbox": _q_crs_bbox,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
@@ -1497,6 +1526,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "image_embed": _image_embed_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
         "raster_pyramid": _raster_pyramid_oracle(),
+        "raster_pyramid_ingest": _raster_pyramid_oracle(),
         "poly_nonconvex": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND NOT (x_u > {U_NX0} AND x_u < {U_NX1} AND y_u > {U_NY0})",

@@ -658,10 +658,14 @@ def geom_geom_join(
                 F.col("_lg"), F.col("_rg")
             )
         matched = cand.where(refine).select(left_key, right_key)
-        # duplicate key values re-expand through the payload join-back
-        # (one row per key occurrence) — collapse to distinct pairs;
-        # shuffles only matches, and is a no-op row-wise otherwise
-        matched = matched.dropDuplicates([left_key, right_key])
+        if l_geoms is not None or r_geoms is not None:
+            # duplicate key values re-expand through the payload
+            # join-back (one row per key occurrence) — collapse to
+            # distinct pairs; shuffles only matches. Pure-broadcast
+            # mode has no join-back (pairs already distinct), and for
+            # WKB-keyed callers (sql_rewrite) skipping this avoids a
+            # second blob shuffle.
+            matched = matched.dropDuplicates([left_key, right_key])
 
     if how == "inner":
         return matched

@@ -640,3 +640,51 @@ def render_mosaic(
         )
         .drop("_g")
     )
+
+
+def ingest_pyramid(
+    spark,
+    tiles: DataFrame,
+    from_level: int,
+    store_root: str,
+    to_level: int = 0,
+    tile_size: int = TILE_SIZE,
+    interpolation: str = "nearest",
+    fingerprint: str = "base-v1",
+):
+    """buildPyramid on the WRITE path with per-level resumable lineage —
+    the production form of build_pyramid: each pyramid level is ONE
+    atomic snapshot commit into an IceStageStore (part_key = level), so
+    a build killed mid-pyramid resumes at the first uncommitted level
+    and derives it from its PARENT LEVEL READ BACK FROM THE STORE — no
+    recomputation of completed levels and no reliance on executor-local
+    checkpoint blocks surviving the crash. This is
+    RasterDataAdapter.buildPyramid (:174-226 — ingest writes every
+    coarser level) composed with GeoWaveOutputFormat's per-task commit
+    (core/mapreduce/.../output/) expressed as snapshot commits.
+
+    Returns the full pyramid DataFrame (level, tx, ty, tile, part_key)
+    for levels [to_level, from_level]."""
+    from geowave_spark.plans.checkpoint import IceStageStore
+
+    store = IceStageStore(store_root)
+    t = store._table("pyramid")
+    levels = list(range(from_level, to_level - 1, -1))
+
+    def make(level: int) -> DataFrame:
+        if level == from_level:
+            return tiles.select("level", "tx", "ty", "tile")
+        # the parent level's snapshot is committed before this key runs
+        # (run_stage walks keys in order; on resume it's already there)
+        parent = (
+            t.read(spark)
+            .where(F.col("part_key") == level + 1)
+            .select("level", "tx", "ty", "tile")
+        )
+        return retile(parent, level + 1, level, tile_size, interpolation).select(
+            "level", "tx", "ty", "tile"
+        )
+
+    return store.run_stage(
+        spark, "pyramid", levels, make, fingerprint, stats_cols=["tx", "ty"]
+    )

@@ -411,3 +411,71 @@ def test_incremental_stats_match_on_demand(spark, tmp_path):
     occ3 = t.merged_occupancy()
     assert occ3["cells"] == on_demand(pts(5000, 5100))
     assert t.merged_column_stats(["x_u"])["n_rows"] == 100
+
+
+def test_ingest_pyramid_resumes_per_level(spark, tmp_path):
+    """Write-path pyramid (round 4): each level is one snapshot commit;
+    a build killed mid-pyramid resumes at the first uncommitted level,
+    derives it from the STORED parent level (no recompute of completed
+    levels, no re-read of the base), and the final pyramid equals the
+    in-memory build_pyramid result level-for-level."""
+    import numpy as np
+
+    from geowave_spark.operators import tiling as T
+    from geowave_spark.operators.tiling import build_pyramid, ingest_pyramid
+    from geowave_spark.sources.images import images_table
+    from geowave_spark.operators.tiling import pick_level, tile_cut_and_merge
+
+    ts = 32
+    half = 600_000
+    imgs = images_table(spark, 60, w=ts, h=ts, partitions=4)
+    level = pick_level(2 * half, ts, ts)
+    base = tile_cut_and_merge(imgs, half, tile_size=ts, level=level).select(
+        "level", "tx", "ty", "tile"
+    )
+    base.persist().count()
+
+    want = {
+        (r.level, r.tx, r.ty): bytes(r.tile)
+        for r in build_pyramid(base, level, level - 3, ts).collect()
+    }
+
+    # simulated kill: retile raises once the 2nd derived level starts
+    calls = []
+    orig_retile = T.retile
+
+    def flaky_retile(tiles, fl, tl, *a, **k):
+        calls.append(tl)
+        if len(calls) == 2:
+            raise RuntimeError("simulated executor loss")
+        return orig_retile(tiles, fl, tl, *a, **k)
+
+    root = str(tmp_path / "pyr")
+    T.retile = flaky_retile
+    try:
+        with pytest.raises(RuntimeError):
+            ingest_pyramid(spark, base, level, root, level - 3, ts)
+    finally:
+        T.retile = orig_retile
+
+    # resume: only the missing levels derive; base + first derived level
+    # are read from the store, not recomputed
+    calls2 = []
+
+    def counting_retile(tiles, fl, tl, *a, **k):
+        calls2.append(tl)
+        return orig_retile(tiles, fl, tl, *a, **k)
+
+    T.retile = counting_retile
+    try:
+        out = ingest_pyramid(spark, base, level, root, level - 3, ts)
+    finally:
+        T.retile = orig_retile
+    assert calls2 == [level - 2, level - 3]
+
+    got = {
+        (r.level, r.tx, r.ty): bytes(r.tile)
+        for r in out.select("level", "tx", "ty", "tile").collect()
+    }
+    assert got == want
+    base.unpersist()
