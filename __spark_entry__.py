@@ -1153,14 +1153,25 @@ def _q_crs_bbox(spark, sf):
     test/.../basic/). Fixture coordinates derive from event_id by pure
     integer arithmetic, so the oracle is an exact BETWEEN filter."""
     from geowave_spark.index.crs import WEB_MERCATOR_MM, crs_bbox_query
-    from geowave_spark.sources.testgeo import K1, K2
+    from geowave_spark.sources.testgeo import mercator_mm_points
 
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        "event_id",
-        (F.pmod(F.col("event_id") * K1, F.lit(2 * MERC_MM)) - F.lit(MERC_MM)).alias("x"),
-        (F.pmod(F.col("event_id") * K2, F.lit(2 * MERC_MM)) - F.lit(MERC_MM)).alias("y"),
-    )
+    ev = mercator_mm_points(spark, sf)
     return crs_bbox_query(ev, WEB_MERCATOR_MM, *CRS_BBOX).select("event_id")
+
+
+def _q_crs_bbox_stored(spark, sf):
+    """The same custom-CRS bbox through the STORED layout (plans/store
+    crs_store): write-time Morton keys over the CRS's own axis bounds,
+    cell-sorted parquet, so the range constraint lands in PushedFilters
+    — the non-4326 analog of the reference's stored insertion-id scan
+    (SpatialDimensionalityTypeProvider.java crs option; CustomCRS ITs)."""
+    from geowave_spark.index.crs import WEB_MERCATOR_MM, crs_bbox_stored_query
+    from geowave_spark.plans.store import CRS_RES, crs_store
+
+    stored = crs_store(spark, sf, CRS_RES)
+    return crs_bbox_stored_query(
+        stored, WEB_MERCATOR_MM, *CRS_BBOX, res=CRS_RES
+    ).select("event_id")
 
 
 def _q_raster_retile_bicubic(spark, sf):
@@ -1291,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_retile_bicubic": _q_raster_retile_bicubic,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
         "crs_bbox": _q_crs_bbox,
+        "crs_bbox_stored": _q_crs_bbox_stored,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
         "cos_dedup": _q_cos_dedup,
@@ -1559,6 +1571,13 @@ def _oracle_sql_geom() -> dict[str, str]:
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
         "crs_bbox": (
+            "SELECT event_id FROM events WHERE "
+            f"((event_id * {_K1_TG}) % {2 * MERC_MM}) - {MERC_MM} "
+            f"BETWEEN {CRS_BBOX[0]} AND {CRS_BBOX[2]} AND "
+            f"((event_id * {_K2_TG}) % {2 * MERC_MM}) - {MERC_MM} "
+            f"BETWEEN {CRS_BBOX[1]} AND {CRS_BBOX[3]}"
+        ),
+        "crs_bbox_stored": (
             "SELECT event_id FROM events WHERE "
             f"((event_id * {_K1_TG}) % {2 * MERC_MM}) - {MERC_MM} "
             f"BETWEEN {CRS_BBOX[0]} AND {CRS_BBOX[2]} AND "

@@ -143,6 +143,7 @@ def main():
         "time_bin_week",
         "stats_incremental",
         "crs_bbox",
+        "crs_bbox_stored",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
@@ -161,6 +162,7 @@ def main():
         "attr_range",  # attribute-sorted layout materialization (write path)
         "ice_image_tiles",  # image snapshot-table commit (write path)
         "stats_incremental",  # multi-snapshot stats store commit (write path)
+        "crs_bbox_stored",  # custom-CRS cell-sorted layout (write path)
     ):
         qs[warm](spark, sf_dir).count()
     # geometry-join path: polyfill + pair-refine UDF codegen and the

@@ -121,6 +121,29 @@ def bbox_ranges_crs(
     )
 
 
+def crs_bbox_stored_query(
+    stored: DataFrame,
+    crs: CRS,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    res: int = 16,
+    max_ranges: int = 8,
+) -> DataFrame:
+    """bbox query against a ``plans.store.crs_store`` table: the cell
+    ranges hit the STORED sorted ``cell`` column (sargable BETWEENs →
+    PushedFilters + row-group min/max pruning) instead of re-deriving
+    the key expression per query — the same write-time/scan-time split
+    as the Hilbert/XZ/ST stored paths."""
+    from geowave_spark.operators.spatial_query import cell_range_predicate
+
+    ranges = bbox_ranges_crs(crs, x_lo, y_lo, x_hi, y_hi, res, max_ranges)
+    return stored.where(cell_range_predicate(F.col("cell"), ranges)).where(
+        F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+    )
+
+
 def crs_bbox_query(
     points: DataFrame,
     crs: CRS,

@@ -410,3 +410,34 @@ def hilbert_bbox_query(
     return stored.where(cell_range_predicate(F.col("hkey"), ranges)).where(
         F.col("x_u").between(x_lo, x_hi) & F.col("y_u").between(y_lo, y_hi)
     )
+
+
+# --------------------------------------------------------- custom CRS
+
+
+CRS_RES = 16
+
+
+def crs_store(spark: SparkSession, sf_dir: str, res: int = CRS_RES) -> DataFrame:
+    """Projected-CRS point store: the Morton cell over the CRS's OWN
+    axis bounds computed at WRITE time, range-partitioned and sorted by
+    cell so a bbox query's cell-range constraint prunes at the parquet
+    row-group level — the stored completion of the custom-CRS seam
+    (index/crs.py). Matches the reference's non-4326 store: the SFC
+    spans the CoordinateReferenceSystem's axis ranges
+    (core/geotime/.../index/SpatialDimensionalityTypeProvider.java;
+    CustomCRS ITs under test/src/test/java/.../basic/)."""
+    from geowave_spark.index.crs import WEB_MERCATOR_MM, cell_col_crs
+    from geowave_spark.sources.testgeo import mercator_mm_points
+
+    def build():
+        pts = mercator_mm_points(spark, sf_dir)
+        return (
+            pts.withColumn(
+                "cell", cell_col_crs(F.col("x"), F.col("y"), res, WEB_MERCATOR_MM)
+            )
+            .repartitionByRange(8, "cell")
+            .sortWithinPartitions("cell")
+        )
+
+    return _materialize(spark, "crsstore", f"{sf_dir}:{res}", build)

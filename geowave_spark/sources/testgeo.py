@@ -115,6 +115,30 @@ def events_points_sql(sf_dir: str) -> str:
     )
 
 
+MERC_MM = 20_037_508_342  # web-mercator axis half-span, integer mm
+
+
+def mercator_mm_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected-CRS point table: events scattered over the full
+    web-mercator plane in integer MILLIMETERS (the CustomCRS fixture —
+    coordinates derive from event_id by pure integer arithmetic so the
+    DuckDB twin below is bit-exact)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        (F.pmod(F.col("event_id") * K1, F.lit(2 * MERC_MM)) - F.lit(MERC_MM)).alias("x"),
+        (F.pmod(F.col("event_id") * K2, F.lit(2 * MERC_MM)) - F.lit(MERC_MM)).alias("y"),
+    )
+
+
+def mercator_mm_points_sql() -> str:
+    """DuckDB FROM-clause subquery equivalent of mercator_mm_points."""
+    return (
+        f"(SELECT event_id, "
+        f"((event_id * {K1}) % {2 * MERC_MM}) - {MERC_MM} AS x, "
+        f"((event_id * {K2}) % {2 * MERC_MM}) - {MERC_MM} AS y FROM events)"
+    )
+
+
 def customer_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-side fixture: one axis-aligned box per customer, centered
     at the derived point, half-width 0.2°–2.2° from the key (regions

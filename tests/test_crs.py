@@ -102,3 +102,33 @@ def test_crs_bbox_query_matches_brute(spark, merc_pts):
     g = {r.pid for r in got.collect()}
     w = {r.pid for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_crs_stored_layout_matches_live_path(spark, sf_dir, monkeypatch, tmp_path):
+    """crs_store (write-time cell keys over the CRS bounds, cell-sorted
+    parquet) answers the bbox identically to the live compute path, and
+    the cell-range constraint reaches PushedFilters on the stored scan."""
+    import contextlib
+    from io import StringIO
+
+    from geowave_spark.index.crs import crs_bbox_stored_query
+    from geowave_spark.plans import store as S
+    from geowave_spark.sources.testgeo import mercator_mm_points
+
+    monkeypatch.setattr(S, "CACHE_ROOT", str(tmp_path / "cache"))
+    bbox = (-5_000_000_000, -2_000_000_000, 3_000_000_000, 6_000_000_000)
+    stored = S.crs_store(spark, sf_dir, S.CRS_RES)
+    got = crs_bbox_stored_query(
+        stored, WEB_MERCATOR_MM, *bbox, res=S.CRS_RES
+    ).select("event_id")
+    live = crs_bbox_query(
+        mercator_mm_points(spark, sf_dir), WEB_MERCATOR_MM, *bbox
+    ).select("event_id")
+    g = {r.event_id for r in got.collect()}
+    assert g == {r.event_id for r in live.collect()} and len(g) > 0
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "cell" in plan
