@@ -219,6 +219,15 @@ def _q_lang_id(spark, sf):
     return lang_id(_docs(spark, sf))
 
 
+def _q_doc_repetition(spark, sf):
+    """Repetition-based quality filter signals (duplicate-token ratio
+    numerator/denominator + most-frequent-bigram count — the published
+    top-n-gram coverage filters of web-scale LLM pipelines)."""
+    from geowave_spark.operators.text import repetition_features
+
+    return repetition_features(_docs(spark, sf))
+
+
 def _q_dedup_exact(spark, sf):
     return exact_dup_groups(_docs(spark, sf))
 
@@ -1291,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_time": _q_bbox_time,
         "text_suffix": _q_text_suffix,
         "doc_quality": _q_doc_quality,
+        "doc_repetition": _q_doc_repetition,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
@@ -1427,6 +1437,17 @@ def oracle_sql() -> dict[str, str]:
         "(length(text) - len(string_split(text,' ')) + 1) * 100 // greatest(len(string_split(text,' ')), 1) AS mean_tok_len_x100 "
         "FROM documents",
         "lang_id": f"SELECT doc_id, {lang_case} AS pred_lang FROM documents",
+        "doc_repetition": (
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+            "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg "
+            "FROM toks, UNNEST(generate_series(1, len(w)-1)) AS t(i)), "
+            "bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg), "
+            "m AS (SELECT doc_id, max(c) AS tb FROM bc GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens, "
+            "CAST(len(list_distinct(t.w)) AS INT) AS n_distinct_tokens, "
+            "CAST(coalesce(m.tb, 0) AS BIGINT) AS top_bigram_n "
+            "FROM toks t LEFT JOIN m ON m.doc_id = t.doc_id"
+        ),
         "dedup_exact": "SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id "
         "FROM documents GROUP BY 1",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp, "

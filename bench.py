@@ -144,6 +144,7 @@ def main():
         "stats_incremental",
         "crs_bbox",
         "crs_bbox_stored",
+        "doc_repetition",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

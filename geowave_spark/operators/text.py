@@ -78,3 +78,49 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.col(text_col)).alias("fp"),
         F.md5(norm).alias("fp_norm"),
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals for web-scale corpus filtering
+    (the duplicate-token and top-n-gram coverage filters of published
+    LLM data pipelines, e.g. Rae et al. 2021 §A1.1): per document,
+
+    - ``n_tokens`` / ``n_distinct_tokens`` — the duplicate-token
+      fraction's exact integer numerator/denominator (per-row native
+      array ops, zero shuffle);
+    - ``top_bigram_n`` — occurrences of the document's most frequent
+      bigram (explode → two map-side-combined groupBys keyed by doc_id;
+      no driver state, scales with the corpus).
+
+    All-integer output so the DuckDB oracle hash-matches exactly. The
+    bigram array is built from a BOUND column reference (``_w``) — an
+    inline split() expression inside the transform lambda would
+    re-evaluate per element (O(n²) chars per row).
+    """
+    base = (
+        df.select("doc_id", F.split(F.col(text_col), " ").alias("_w"))
+        .select(
+            "doc_id",
+            "_w",
+            F.size("_w").alias("n_tokens"),
+            F.size(F.array_distinct("_w")).alias("n_distinct_tokens"),
+        )
+    )
+    bigrams = F.transform(
+        F.slice(F.col("_w"), 1, F.size("_w") - 1),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(F.col("_w"), i + F.lit(2))),
+    )
+    bg = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.explode_outer(bigrams).alias("_bg"),
+    )
+    counts = bg.groupBy("doc_id", "n_tokens", "n_distinct_tokens", "_bg").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.groupBy("doc_id", "n_tokens", "n_distinct_tokens").agg(
+        F.max(
+            F.when(F.col("_bg").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+        ).alias("top_bigram_n")
+    )

@@ -169,3 +169,28 @@ def test_time_bin_week_iso_monday_boundary(spark):
         expr = time_bin_sql("TIMESTAMP '" + s + "'", "WEEK")
         exp.append(con.execute("SELECT " + expr).fetchone()[0])
     assert got == exp
+
+
+def test_repetition_features_handcrafted(spark):
+    """duplicate-token counts are exact and top_bigram_n counts the most
+    frequent bigram, including overlapping repeats; a single-token doc
+    yields top_bigram_n = 0."""
+    from geowave_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "a b a b a b"),      # 6 toks, 2 distinct, 'a b' ×3
+        (2, "x y z w"),          # all distinct, every bigram ×1
+        (3, "r r r r"),          # 'r r' ×3
+        (4, "solo"),             # no bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct_tokens, r.top_bigram_n)
+        for r in repetition_features(df).collect()
+    }
+    assert got == {
+        1: (6, 2, 3),
+        2: (4, 4, 1),
+        3: (4, 1, 3),
+        4: (1, 1, 0),
+    }
