@@ -136,11 +136,9 @@ def crs_bbox_stored_query(
     PushedFilters + row-group min/max pruning) instead of re-deriving
     the key expression per query — the same write-time/scan-time split
     as the Hilbert/XZ/ST stored paths."""
-    from geowave_spark.operators.spatial_query import cell_range_predicate
-
-    ranges = bbox_ranges_crs(crs, x_lo, y_lo, x_hi, y_hi, res, max_ranges)
-    return stored.where(cell_range_predicate(F.col("cell"), ranges)).where(
-        F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+    return crs_bbox_query(
+        stored, crs, x_lo, y_lo, x_hi, y_hi, res=res, max_ranges=max_ranges,
+        cell_col_name="cell",
     )
 
 
@@ -155,21 +153,26 @@ def crs_bbox_query(
     max_ranges: int = 8,
     x_col: str = "x",
     y_col: str = "y",
+    cell_col_name: str | None = None,
 ) -> DataFrame:
-    """Range-scan query over a custom-CRS point table: coarse Morton
-    cell-range constraint (sargable — lands in PushedFilters when the
-    cell column is stored) + exact native bbox refinement. The same
-    constraint→ranges→scan→refine pipeline as the 4326 path
-    (operators/spatial_query), parameterized by the CRS."""
-    from geowave_spark.operators.spatial_query import cell_range_predicate
+    """Range-scan query over a custom-CRS point table — the same stance
+    as the 4326 path (operators/spatial_query.bbox_query): the coarse
+    Morton cell-range constraint is applied ONLY against a STORED cell
+    column (``cell_col_name``), where it is sargable (PushedFilters +
+    row-group min/max pruning on the cell-sorted layout). Without a
+    stored column the query is the exact native refinement alone:
+    filtering on an inline-computed cell is pure overhead — it prunes
+    nothing on an unsorted scan, and Catalyst collapses the projected
+    cell back into the filter, inlining ~64 bit-spread copies per range
+    bound past the 64 KB codegen method limit (interpreted fallback —
+    the index/native._spread_col pitfall, measured here as an ERROR
+    CodeGenerator + ~5× slower scan)."""
+    out = points
+    if cell_col_name is not None:
+        from geowave_spark.operators.spatial_query import cell_range_predicate
 
-    ranges = bbox_ranges_crs(crs, x_lo, y_lo, x_hi, y_hi, res, max_ranges)
-    cell = cell_col_crs(F.col(x_col), F.col(y_col), res, crs)
-    return (
-        points.withColumn("_cell", cell)
-        .where(cell_range_predicate(F.col("_cell"), ranges))
-        .where(
-            F.col(x_col).between(x_lo, x_hi) & F.col(y_col).between(y_lo, y_hi)
-        )
-        .drop("_cell")
+        ranges = bbox_ranges_crs(crs, x_lo, y_lo, x_hi, y_hi, res, max_ranges)
+        out = out.where(cell_range_predicate(F.col(cell_col_name), ranges))
+    return out.where(
+        F.col(x_col).between(x_lo, x_hi) & F.col(y_col).between(y_lo, y_hi)
     )

@@ -44,14 +44,15 @@ def _spread_col(c: Column) -> Column:
 
 def grid_coord_col(x_u: Column, res: int, off: int = LON_OFF_U) -> Column:
     """Micro-degree BIGINT -> grid coord at ``res`` bits; exact integer
-    arithmetic identical to zorder.grid_coord and the DuckDB oracle SQL."""
-    n = 1 << res
-    # exact 64-bit integer division — (x+off)*2^res overflows the double
-    # mantissa for res ≥ 24, so floating floor() would mis-assign cells
-    g = F.call_function(
-        "div", (x_u.cast("long") + F.lit(off)) * F.lit(n), F.lit(WORLD_X_U)
-    )
-    return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1))
+    arithmetic identical to zorder.grid_coord and the DuckDB oracle SQL.
+
+    Delegates to the CRS-parameterized canonical form — EPSG:4326 µ° is
+    the (lo=−off, span=WORLD_X_U) specialization — so the overflow-
+    sensitive integer grid math (float floor() mis-assigns for res ≥ 24)
+    lives in ONE place, index/crs.py, for both index families."""
+    from geowave_spark.index.crs import grid_coord_col_crs
+
+    return grid_coord_col_crs(x_u, res, -off, WORLD_X_U)
 
 
 def cell_col(x_u: Column, y_u: Column, res: int) -> Column:
@@ -85,8 +86,9 @@ def st_cell_col(x_u: Column, y_u: Column, ts: Column, res: int, unit: str = "YEA
 
 
 def grid_coord_sql(expr: str, res: int, off: int = LON_OFF_U) -> str:
-    """The same grid-coord computation as ANSI SQL text (DuckDB oracle)."""
-    n = 1 << res
-    g = f"(({expr} + {off}) * {n}) // {WORLD_X_U}"
-    # DuckDB: // is integer floor-div for integer operands
-    return f"least(greatest({g}, 0), {n - 1})"
+    """The same grid-coord computation as ANSI SQL text (DuckDB oracle)
+    — the 4326 specialization of grid_coord_sql_crs (one canonical
+    formula; see grid_coord_col)."""
+    from geowave_spark.index.crs import grid_coord_sql_crs
+
+    return grid_coord_sql_crs(expr, res, -off, WORLD_X_U)

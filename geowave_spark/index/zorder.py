@@ -77,12 +77,9 @@ def grid_coord(x_u, res: int):
     DuckDB oracle SQL bit-for-bit). Clamps to the domain edge so
     x_u == +180e6 lands in the last cell.
     """
-    n = 1 << res
-    if isinstance(x_u, np.ndarray):
-        g = (x_u.astype(np.int64) + LON_OFF_U) * n // WORLD_X_U
-        return np.clip(g, 0, n - 1)
-    g = (int(x_u) + LON_OFF_U) * n // WORLD_X_U
-    return min(max(g, 0), n - 1)
+    from geowave_spark.index.crs import grid_coord_crs
+
+    return grid_coord_crs(x_u, res, -LON_OFF_U, WORLD_X_U)
 
 
 def cell_of_point(x_u: int, y_u: int, res: int) -> int:

@@ -668,18 +668,19 @@ def ingest_pyramid(
     from geowave_spark.plans.checkpoint import IceStageStore
 
     store = IceStageStore(store_root)
-    t = store._table("pyramid")
     levels = list(range(from_level, to_level - 1, -1))
 
     def make(level: int) -> DataFrame:
         if level == from_level:
             return tiles.select("level", "tx", "ty", "tile")
         # the parent level's snapshot is committed before this key runs
-        # (run_stage walks keys in order; on resume it's already there)
-        parent = (
-            t.read(spark)
-            .where(F.col("part_key") == level + 1)
-            .select("level", "tx", "ty", "tile")
+        # (run_stage walks keys in order; on resume it's already there).
+        # Fingerprint-scoped read: a raw table read on a REUSED store
+        # root would also return the previous generation's parent rows
+        # (run_stage appends; old snapshots stay time-travelable) and
+        # overlay stale pixels into this generation's coarser levels.
+        parent = store.read_parts(spark, "pyramid", fingerprint, [level + 1]).select(
+            "level", "tx", "ty", "tile"
         )
         return retile(parent, level + 1, level, tile_size, interpolation).select(
             "level", "tx", "ty", "tile"

@@ -152,11 +152,15 @@ class IceStageStore:
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )
-        # Read exactly the partitions committed under THIS fingerprint
-        # (a changed input invalidates prior snapshots without deleting
-        # them — they stay time-travelable): each append snapshot entry
-        # records the data files it added, so the matching file set is
-        # reconstructible from the snapshot log alone.
+        return self.read_parts(spark, stage, fingerprint, part_keys)
+
+    def part_paths(self, stage: str, fingerprint: str, part_keys: list) -> list:
+        """Data files of exactly the partitions committed under THIS
+        fingerprint (a changed input invalidates prior snapshots without
+        deleting them — they stay time-travelable): each append snapshot
+        entry records the data files it added, so the matching file set
+        is reconstructible from the snapshot log alone."""
+        t = self._table(stage)
         want = set(part_keys)
         live = {f["path"] for f in t.files()}
 
@@ -175,7 +179,7 @@ class IceStageStore:
             prev = {f["path"] for f in t.files(parent)} if parent else set()
             return sorted(here - prev)
 
-        paths = [
+        return [
             p
             for s in t.snapshots()
             if (s.get("summary") or {}).get("fingerprint") == fingerprint
@@ -183,7 +187,16 @@ class IceStageStore:
             for p in added(s)
             if p in live
         ]
-        return spark.read.parquet(*paths)
+
+    def read_parts(
+        self, spark: SparkSession, stage: str, fingerprint: str, part_keys: list
+    ) -> DataFrame:
+        """Fingerprint-scoped partition read — mid-stage consumers (e.g.
+        a pyramid level deriving from its parent level) MUST use this
+        rather than a raw table read: on a reused store root the raw
+        read returns every live generation's rows, silently mixing
+        stale-fingerprint data into the derivation."""
+        return spark.read.parquet(*self.part_paths(stage, fingerprint, part_keys))
 
     def metrics(self, stage: str):
         out = []

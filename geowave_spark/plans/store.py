@@ -224,9 +224,19 @@ def ice_events_stats_store(spark: SparkSession, sf_dir: str, res: int = STATS_RE
 
     digest = _h.md5(f"ice_stats:{sf_dir}:{res}:{n_snaps}".encode()).hexdigest()[:12]
     t = IceTable(os.path.join(CACHE_ROOT, f"ice_stats_{digest}"))
-    if t.current_snapshot_id() is None:
+    # resume by COMMITTED BATCH ID, not by "any snapshot exists": this
+    # store is a multi-commit build, so a process killed between commits
+    # would otherwise be treated as fully built forever after (the
+    # persistent cache root makes that a permanently truncated store —
+    # each commit is atomic, the SEQUENCE is what the batch ids resume)
+    done = {
+        (s.get("summary") or {}).get("batch")
+        for s in t.snapshots()
+    }
+    todo = [i for i in range(n_snaps) if i not in done]
+    if todo:
         pts = events_points(spark, sf_dir)
-        for i in range(n_snaps):
+        for i in todo:
             batch = pts.where(F.pmod(F.xxhash64("event_id"), F.lit(n_snaps)) == i)
             t.commit_write(
                 batch,

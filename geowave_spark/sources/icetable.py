@@ -211,8 +211,17 @@ class IceTable:
         # data files land OUTSIDE the lock (the slow part, and they are
         # invisible until the metadata publish) under a collision-free
         # name — the snapshot id is only assigned under the lock
+        data_dir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
+        df.write.mode("error").parquet(data_dir)
         occ_entry = None
         if occupancy is not None:
+            # aggregate the WRITTEN files, not the input frame: re-
+            # executing df here would run its lineage a second time and
+            # — for a non-deterministic input (sample/rand/limit-after-
+            # shuffle) — record a delta that disagrees with the data
+            # this snapshot actually committed. Reading the just-written
+            # parquet back is consistent by construction and costs one
+            # column-pruned local scan of the batch.
             res, x_col, y_col = occupancy
             from pyspark.sql import functions as F
 
@@ -220,7 +229,8 @@ class IceTable:
             from geowave_spark import LAT_OFF_U, LON_OFF_U
 
             occ_rows = (
-                df.groupBy(
+                df.sparkSession.read.parquet(data_dir)
+                .groupBy(
                     grid_coord_col(F.col(x_col), res, LON_OFF_U).alias("gx"),
                     grid_coord_col(F.col(y_col), res, LAT_OFF_U).alias("gy"),
                 )
@@ -231,8 +241,6 @@ class IceTable:
                 "res": int(res),
                 "cells": [[int(r["gx"]), int(r["gy"]), int(r["count"])] for r in occ_rows],
             }
-        data_dir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
-        df.write.mode("error").parquet(data_dir)
         new_files = [
             _file_stats(os.path.join(data_dir, fn), stats_cols)
             for fn in sorted(os.listdir(data_dir))
@@ -301,12 +309,18 @@ class IceTable:
         deltas; an 'overwrite' snapshot is a reset point (its delta IS
         the table state, stop there); a rollback entry redirects the
         walk to its target snapshot. Returns {"res": r, "cells":
-        {(gx, gy): n}} — empty when no snapshot recorded occupancy.
+        {(gx, gy): n}, "complete": bool} — empty when no snapshot
+        recorded occupancy. ``complete`` is False when any data-adding
+        snapshot in the walked chain carries no occupancy entry (or one
+        at a different res): its rows are then missing from the fold,
+        so the counts UNDERCOUNT the table — callers must not present a
+        partial fold as the table state without checking the flag.
         Metadata-only: the stat read never touches data files."""
         by_id = {s["id"]: s for s in self.snapshots()}
         sid = self.current_snapshot_id()
         cells: dict = {}
         res = None
+        complete = True
         while sid is not None:
             s = by_id.get(sid)
             if s is None:
@@ -315,18 +329,25 @@ class IceTable:
             if op.startswith("rollback-to-"):
                 sid = int(op[len("rollback-to-") :])
                 continue
+            if (s.get("summary") or {}).get("compaction"):
+                # data-identical rewrite: occupancy-transparent — the
+                # pre-compaction fold IS the table state; neither a reset
+                # point nor a gap
+                sid = s.get("parent")
+                continue
             occ = s.get("occupancy")
-            if occ is not None:
+            if occ is not None and (res is None or occ["res"] == res):
                 if res is None:
                     res = occ["res"]
-                if occ["res"] == res:
-                    for gx, gy, n in occ["cells"]:
-                        k = (int(gx), int(gy))
-                        cells[k] = cells.get(k, 0) + int(n)
+                for gx, gy, n in occ["cells"]:
+                    k = (int(gx), int(gy))
+                    cells[k] = cells.get(k, 0) + int(n)
+            elif int(s.get("added_rows", 0)) > 0:
+                complete = False  # this snapshot's rows are not folded
             if op == "overwrite":
                 break
             sid = s.get("parent")
-        return {"res": res, "cells": cells}
+        return {"res": res, "cells": cells, "complete": complete}
 
     def rollback(self, snapshot_id: int) -> int:
         """Commit a new snapshot whose state is a historical one (time

@@ -501,8 +501,24 @@ def dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
       diameter ≤ √(4000²+4000²) ≈ 5657 < eps, so every blob is one
       fully-connected component and every member is core.
 
-    Deterministic for any sf (noise y wraps mod 100k ids, never
-    colliding below 100k events)."""
+    The noise-isolation guarantee is ENFORCED, not just documented: the
+    y wrap (mod 100k ids) means two noise ids ≥ 100k apart can land
+    within eps of each other and chain into core points, silently
+    breaking the oracle's role='noise' ⇒ not-core assumption. The
+    largest shipped fixture (sf0.1, 100k events) sits exactly at the
+    bound, so a bigger sf fails fast here instead of red-flagging the
+    gate with no explanation."""
+    mx = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("event_id"))
+        .first()[0]
+    )
+    if mx is not None and int(mx) > 100_000:
+        raise ValueError(
+            f"dbscan_planted noise isolation only holds for event_id <= 100000 "
+            f"(got max {mx}): the mod-100k noise-y wrap would place distinct "
+            f"noise ids within eps — extend the wrap before using a larger sf"
+        )
     eid = F.col("event_id")
     blob = eid % 32
     cx = F.lit(-120_000_000) + (blob % 8) * F.lit(30_000_000)

@@ -479,3 +479,132 @@ def test_ingest_pyramid_resumes_per_level(spark, tmp_path):
     }
     assert got == want
     base.unpersist()
+
+
+def test_ingest_pyramid_reused_root_new_fingerprint(spark, tmp_path):
+    """A reused store root with a CHANGED base and a new fingerprint must
+    derive every coarser level from the new generation only — the raw
+    table read would mix the stale generation's parent rows (run_stage
+    appends; old snapshots stay time-travelable) into the derivation."""
+    from geowave_spark.operators.tiling import (
+        ingest_pyramid,
+        pick_level,
+        tile_cut_and_merge,
+    )
+    from geowave_spark.sources.images import images_table
+
+    ts = 32
+    half = 600_000
+    level = pick_level(2 * half, ts, ts)
+    root = str(tmp_path / "pyr")
+
+    def build_base(n):
+        imgs = images_table(spark, n, w=ts, h=ts, partitions=4)
+        return tile_cut_and_merge(imgs, half, tile_size=ts, level=level).select(
+            "level", "tx", "ty", "tile"
+        )
+
+    ingest_pyramid(spark, build_base(60), level, root, level - 2, ts,
+                   fingerprint="gen-v1")
+    # same root, fewer/different base tiles, new fingerprint
+    got = {
+        (r.level, r.tx, r.ty): bytes(r.tile)
+        for r in ingest_pyramid(
+            spark, build_base(25), level, root, level - 2, ts,
+            fingerprint="gen-v2",
+        ).select("level", "tx", "ty", "tile").collect()
+    }
+    want = {
+        (r.level, r.tx, r.ty): bytes(r.tile)
+        for r in ingest_pyramid(
+            spark, build_base(25), level, str(tmp_path / "fresh"), level - 2,
+            ts, fingerprint="gen-v2",
+        ).select("level", "tx", "ty", "tile").collect()
+    }
+    assert got == want
+
+
+def test_occupancy_fold_flags_incomplete_chains(spark, tmp_path):
+    """merged_occupancy must not present a partial fold as the table
+    state: a data-adding commit without an occupancy entry (or at a
+    different res) flips complete=False instead of silently
+    undercounting."""
+    from geowave_spark.sources.icetable import IceTable
+
+    def pts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("pid"),
+            ((F.col("id") * 7919) % 360_000_000 - 180_000_000).alias("x_u"),
+            ((F.col("id") * 104729) % 360_000_000 - 180_000_000).alias("y_u"),
+        )
+
+    t = IceTable(str(tmp_path / "t"))
+    t.commit_write(pts(0, 100), mode="append", occupancy=(4, "x_u", "y_u"))
+    assert t.merged_occupancy()["complete"] is True
+    t.commit_write(pts(100, 200), mode="append")  # occupancy forgotten
+    occ = t.merged_occupancy()
+    assert occ["complete"] is False and sum(occ["cells"].values()) == 100
+    # a different res mid-chain is likewise partial at the folded res
+    t2 = IceTable(str(tmp_path / "t2"))
+    t2.commit_write(pts(0, 100), mode="append", occupancy=(4, "x_u", "y_u"))
+    t2.commit_write(pts(100, 200), mode="append", occupancy=(6, "x_u", "y_u"))
+    assert t2.merged_occupancy()["complete"] is False
+
+
+def test_stats_store_resumes_partial_build(spark, tmp_path, monkeypatch):
+    """ice_events_stats_store is a multi-commit build on a persistent
+    cache root: a process killed between commits must resume the
+    MISSING batches on the next call, not treat any-snapshot-exists as
+    fully built (which would cache a truncated store forever)."""
+    from geowave_spark.plans import store as S
+    from geowave_spark.sources.icetable import IceTable
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setattr(S, "CACHE_ROOT", str(tmp_path / "cache"))
+
+    # simulated kill after the first commit
+    orig = IceTable.commit_write
+    calls = []
+
+    def flaky(self, *a, **k):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("simulated kill between commits")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(IceTable, "commit_write", flaky)
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        S.ice_events_stats_store(spark, sf_dir)
+    monkeypatch.setattr(IceTable, "commit_write", orig)
+
+    t = S.ice_events_stats_store(spark, sf_dir)  # resume
+    occ = t.merged_occupancy()
+    assert occ["complete"] is True
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert t.merged_column_stats(["x_u"])["n_rows"] == n_events
+    assert sum(occ["cells"].values()) == n_events
+
+
+def test_occupancy_survives_compaction(spark, tmp_path):
+    """compact() is a data-identical rewrite: the occupancy fold walks
+    through it to the pre-compaction chain (neither a reset point nor an
+    incompleteness gap)."""
+    from geowave_spark.sources.icetable import IceTable
+
+    def pts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("pid"),
+            ((F.col("id") * 7919) % 360_000_000 - 180_000_000).alias("x_u"),
+            ((F.col("id") * 104729) % 360_000_000 - 180_000_000).alias("y_u"),
+        )
+
+    t = IceTable(str(tmp_path / "t"))
+    t.commit_write(pts(0, 150), mode="append", occupancy=(4, "x_u", "y_u"))
+    t.commit_write(pts(150, 400), mode="append", occupancy=(4, "x_u", "y_u"))
+    before = t.merged_occupancy()
+    t.compact(spark, sort_by=["x_u"])
+    after = t.merged_occupancy()
+    assert after == before and after["complete"] is True
+    assert sum(after["cells"].values()) == 400
