@@ -219,6 +219,15 @@ def _q_lang_id(spark, sf):
     return lang_id(_docs(spark, sf))
 
 
+def _q_common_passages(spark, sf):
+    """Corpus-level repeated-passage detection: 8-gram passages shared
+    by >= 3 distinct documents (cross-document exact-substring dedup
+    signal; one explode + one map-side-combined groupBy — no pair join)."""
+    from geowave_spark.operators.dedup import common_passages
+
+    return common_passages(_docs(spark, sf), n=8, min_docs=3)
+
+
 def _q_doc_repetition(spark, sf):
     """Repetition-based quality filter signals (duplicate-token ratio
     numerator/denominator + most-frequent-bigram count — the published
@@ -1317,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_suffix": _q_text_suffix,
         "doc_quality": _q_doc_quality,
         "doc_repetition": _q_doc_repetition,
+        "common_passages": _q_common_passages,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "sim_pairs": _q_sim_pairs,
@@ -1453,6 +1463,15 @@ def oracle_sql() -> dict[str, str]:
         "(length(text) - len(string_split(text,' ')) + 1) * 100 // greatest(len(string_split(text,' ')), 1) AS mean_tok_len_x100 "
         "FROM documents",
         "lang_id": f"SELECT doc_id, {lang_case} AS pred_lang FROM documents",
+        "common_passages": (
+            "WITH e AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "generate_series(1, greatest(len(string_split(text,' ')) - 7, 1)), "
+            "i -> concat_ws(' ', "
+            + ", ".join(f"string_split(text,' ')[i+{j}]" for j in range(8))
+            + ")))) AS passage FROM documents) "
+            "SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc "
+            "FROM e GROUP BY passage HAVING count(*) >= 3"
+        ),
         "doc_repetition": (
             "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
             "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg "

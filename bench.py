@@ -145,6 +145,7 @@ def main():
         "crs_bbox",
         "crs_bbox_stored",
         "doc_repetition",
+        "common_passages",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -293,3 +293,30 @@ def phash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def common_passages(
+    df: DataFrame, text_col: str = "text", n: int = 8, min_docs: int = 3
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the corpus-level
+    exact-substring dedup signal of published training-data pipelines
+    (passage dedup a la Lee et al. 2022, expressed at word-n-gram
+    granularity): every n-gram passage appearing in ≥ ``min_docs``
+    DISTINCT documents, with its document count and first doc_id.
+
+    Scale shape: one explode + ONE map-side-combined groupBy keyed by
+    the passage string — no pair join anywhere, linear in corpus size;
+    hot passages aggregate to a count instead of fanning out rows, so
+    skew is bounded by construction. Per-doc ``array_distinct`` makes
+    count(*) ≡ count of distinct documents."""
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(F.col(text_col), n))
+        ).alias("passage"),
+    )
+    return (
+        sh.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )

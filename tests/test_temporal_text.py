@@ -194,3 +194,25 @@ def test_repetition_features_handcrafted(spark):
         3: (4, 1, 3),
         4: (1, 1, 0),
     }
+
+
+def test_common_passages_handcrafted(spark):
+    """An 8-gram passage shared by 3 docs surfaces with n_docs=3 and the
+    smallest doc_id; passages in fewer docs are filtered; per-doc
+    repeats of the same passage count once (array_distinct)."""
+    from geowave_spark.operators.dedup import common_passages
+
+    p = "a b c d e f g h"
+    rows = [
+        (1, f"x {p} y"),
+        (2, f"{p} z z z z z z z"),
+        (3, f"w w {p}"),
+        (4, f"{p} {p}"),          # same passage twice in ONE doc
+        (5, "unrelated words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.passage: (r.n_docs, r.first_doc)
+           for r in common_passages(df, n=8, min_docs=4).collect()}
+    assert got[p] == (4, 1)
+    # min_docs high enough to exclude everything else incidental
+    assert all(k == p or v[0] >= 4 for k, v in got.items())
