@@ -1169,7 +1169,7 @@ def _q_raster_pyramid_ingest(spark, sf):
     return out.select("level", "tx", "ty")
 
 
-MERC_MM = 20_037_508_342
+from geowave_spark.sources.testgeo import MERC_MM  # one constant, three uses
 CRS_BBOX = (-5_000_000_000, -2_000_000_000, 3_000_000_000, 6_000_000_000)
 
 
@@ -1197,7 +1197,8 @@ def _q_crs_bbox_stored(spark, sf):
     — the non-4326 analog of the reference's stored insertion-id scan
     (SpatialDimensionalityTypeProvider.java crs option; CustomCRS ITs)."""
     from geowave_spark.index.crs import WEB_MERCATOR_MM, crs_bbox_stored_query
-    from geowave_spark.plans.store import CRS_RES, crs_store
+    from geowave_spark.index.crs import CRS_RES
+    from geowave_spark.plans.store import crs_store
 
     stored = crs_store(spark, sf, CRS_RES)
     return crs_bbox_stored_query(

@@ -66,6 +66,13 @@ WEB_MERCATOR_MM = CRS(
     -20_037_508_342, 20_037_508_342, -20_037_508_342, 20_037_508_342
 )
 
+# the ONE resolution shared by plans.store.crs_store (write-time keys)
+# and crs_bbox_stored_query (scan-time ranges): a store built at one
+# res queried at another silently drops matching rows (the coarse
+# predicate filters at the wrong key scale before the exact refine) —
+# same single-constant discipline as plans.store.HILBERT_RES
+CRS_RES = 16
+
 
 def grid_coord_col_crs(v: Column, res: int, lo: int, span: int) -> Column:
     """Value column → grid coordinate at ``res`` bits over [lo, lo+span]
@@ -128,7 +135,7 @@ def crs_bbox_stored_query(
     y_lo: int,
     x_hi: int,
     y_hi: int,
-    res: int = 16,
+    res: int = CRS_RES,
     max_ranges: int = 8,
 ) -> DataFrame:
     """bbox query against a ``plans.store.crs_store`` table: the cell

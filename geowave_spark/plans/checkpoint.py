@@ -196,7 +196,16 @@ class IceStageStore:
         rather than a raw table read: on a reused store root the raw
         read returns every live generation's rows, silently mixing
         stale-fingerprint data into the derivation."""
-        return spark.read.parquet(*self.part_paths(stage, fingerprint, part_keys))
+        paths = self.part_paths(stage, fingerprint, part_keys)
+        if not paths:
+            # zero-path spark.read.parquet raises an opaque schema-
+            # inference error that points nowhere near the real cause
+            raise ValueError(
+                f"stage {stage!r}: no data files committed under "
+                f"fingerprint {fingerprint!r} for part_keys {list(part_keys)!r} "
+                f"(producer not run, wrong fingerprint, or files expired)"
+            )
+        return spark.read.parquet(*paths)
 
     def metrics(self, stage: str):
         out = []

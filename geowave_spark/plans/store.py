@@ -425,10 +425,7 @@ def hilbert_bbox_query(
 # --------------------------------------------------------- custom CRS
 
 
-CRS_RES = 16
-
-
-def crs_store(spark: SparkSession, sf_dir: str, res: int = CRS_RES) -> DataFrame:
+def crs_store(spark: SparkSession, sf_dir: str, res: int | None = None) -> DataFrame:
     """Projected-CRS point store: the Morton cell over the CRS's OWN
     axis bounds computed at WRITE time, range-partitioned and sorted by
     cell so a bbox query's cell-range constraint prunes at the parquet
@@ -437,8 +434,11 @@ def crs_store(spark: SparkSession, sf_dir: str, res: int = CRS_RES) -> DataFrame
     spans the CoordinateReferenceSystem's axis ranges
     (core/geotime/.../index/SpatialDimensionalityTypeProvider.java;
     CustomCRS ITs under test/src/test/java/.../basic/)."""
-    from geowave_spark.index.crs import WEB_MERCATOR_MM, cell_col_crs
+    from geowave_spark.index.crs import CRS_RES, WEB_MERCATOR_MM, cell_col_crs
     from geowave_spark.sources.testgeo import mercator_mm_points
+
+    if res is None:
+        res = CRS_RES  # single shared constant with crs_bbox_stored_query
 
     def build():
         pts = mercator_mm_points(spark, sf_dir)

@@ -324,6 +324,10 @@ class IceTable:
         while sid is not None:
             s = by_id.get(sid)
             if s is None:
+                # lineage truncated — the parent (or a rollback target)
+                # was dropped by expire_snapshots, so its deltas are
+                # unrecoverable from metadata: the fold is PARTIAL
+                complete = False
                 break
             op = str(s.get("operation", ""))
             if op.startswith("rollback-to-"):

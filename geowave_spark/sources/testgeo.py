@@ -115,7 +115,12 @@ def events_points_sql(sf_dir: str) -> str:
     )
 
 
-MERC_MM = 20_037_508_342  # web-mercator axis half-span, integer mm
+# web-mercator axis half-span in integer mm — derived from the CRS
+# definition so the fixture domain, the index bounds, and the DuckDB
+# oracle constant (__spark_entry__ imports this) can never diverge
+from geowave_spark.index.crs import WEB_MERCATOR_MM as _WM
+
+MERC_MM = _WM.x_hi
 
 
 def mercator_mm_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -508,11 +513,19 @@ def dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest shipped fixture (sf0.1, 100k events) sits exactly at the
     bound, so a bigger sf fails fast here instead of red-flagging the
     gate with no explanation."""
-    mx = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .agg(F.max("event_id"))
-        .first()[0]
-    )
+    # guard from parquet FOOTER column statistics — zero Spark jobs, so
+    # the fixture stays a lazy plan-builder and bench/oracle timings of
+    # dbscan_labels never pay a guard scan (same technique as
+    # sources/icetable._file_stats)
+    import pyarrow.parquet as pq
+
+    mx = None
+    meta = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}["event_id"]
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            mx = st.max if mx is None else max(mx, st.max)
     if mx is not None and int(mx) > 100_000:
         raise ValueError(
             f"dbscan_planted noise isolation only holds for event_id <= 100000 "

@@ -117,9 +117,11 @@ def test_crs_stored_layout_matches_live_path(spark, sf_dir, monkeypatch, tmp_pat
 
     monkeypatch.setattr(S, "CACHE_ROOT", str(tmp_path / "cache"))
     bbox = (-5_000_000_000, -2_000_000_000, 3_000_000_000, 6_000_000_000)
-    stored = S.crs_store(spark, sf_dir, S.CRS_RES)
+    from geowave_spark.index.crs import CRS_RES
+
+    stored = S.crs_store(spark, sf_dir, CRS_RES)
     got = crs_bbox_stored_query(
-        stored, WEB_MERCATOR_MM, *bbox, res=S.CRS_RES
+        stored, WEB_MERCATOR_MM, *bbox, res=CRS_RES
     ).select("event_id")
     live = crs_bbox_query(
         mercator_mm_points(spark, sf_dir), WEB_MERCATOR_MM, *bbox
