@@ -886,6 +886,80 @@ def _q_dbscan_labels(spark, sf):
     )
 
 
+def _q_kmeans_hulls(spark, sf):
+    """KMeans centroids + per-cluster convex hulls over the planted-blob
+    fixture (testgeo.kmeans_planted) — KMeansRunner.java:201-210 +
+    KMeansHullGenerator semantics with a deterministic farthest-point
+    init so the converged fixed point is provable (clustering.kmeans_lloyd
+    docstring). The oracle re-derives each blob's exact integer-mean
+    centroid and its four hull corners from the id arithmetic; clusters
+    are canonicalized by centroid rank. Output: one row per (cluster,
+    hull vertex) — 4 rows per cluster, 64 total."""
+    from pyspark.sql.window import Window
+
+    from geowave_spark.operators.clustering import cluster_hulls, kmeans_lloyd
+    from geowave_spark.sources.testgeo import KMEANS_K, kmeans_planted
+
+    assigned, _ = kmeans_lloyd(kmeans_planted(spark, sf), KMEANS_K)
+    cents = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_points"),
+        (F.sum("x_u") / F.count("*")).alias("cx"),
+        (F.sum("y_u") / F.count("*")).alias("cy"),
+    )
+    # k rows — the single-partition window is driver-bounded by design
+    ranked = cents.withColumn(
+        "cid", F.row_number().over(Window.orderBy("cx", "cy")).cast("long")
+    )
+    return (
+        ranked.join(cluster_hulls(assigned).select("cluster", "hull"), "cluster")
+        .select("cid", "n_points", "cx", "cy", F.explode("hull").alias("v"))
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_points",
+            "cx",
+            "cy",
+            F.col("v")[0].cast("long").alias("vx"),
+            F.col("v")[1].cast("long").alias("vy"),
+        )
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Expected KMeans fixed point from kmeans_planted's id arithmetic:
+    per-blob exact integer-mean centroids (sums < 2^53, so the double
+    division is correctly rounded and identical in both engines) and
+    the four ±2000 hull corners (every blob holds all 25 offset
+    classes, so the convex hull of the filled square grid is its
+    corner set)."""
+    return """
+WITH pts AS (
+  SELECT event_id % 16 AS blob,
+         (-120000000 + ((event_id % 16) % 8) * 30000000
+            + ((event_id % 5) * 1000 - 2000)) AS x_u,
+         (20000000 + ((event_id % 16) // 8) * 30000000
+            + (((event_id // 5) % 5) * 1000 - 2000)) AS y_u
+  FROM events),
+agg AS (
+  SELECT blob, count(*) AS n_points,
+         CAST(sum(x_u) AS DOUBLE) / count(*) AS cx,
+         CAST(sum(y_u) AS DOUBLE) / count(*) AS cy,
+         -120000000 + (blob % 8) * 30000000 AS bx,
+         20000000 + (blob // 8) * 30000000 AS by
+  FROM pts GROUP BY blob),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cx, cy) AS cluster,
+         n_points, cx, cy, bx, by
+  FROM agg)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(n_points AS BIGINT) AS n_points,
+       cx, cy,
+       CAST(bx + c.dx AS BIGINT) AS vx,
+       CAST(by + c.dy AS BIGINT) AS vy
+FROM ranked,
+     (VALUES (-2000, -2000), (2000, -2000), (2000, 2000), (-2000, 2000)) AS c(dx, dy)
+"""
+
+
 def _dbscan_oracle_sql() -> str:
     """Exact expected DBSCAN labels from the fixture's id arithmetic.
 
@@ -1240,7 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `stats_incremental`, `time_bin_week`; then the late round-4 additions
     `crs_bbox`, `crs_bbox_stored` (custom-CRS live + stored layouts),
     `raster_retile_bicubic`, `raster_pyramid_ingest` (resumable
-    write-path pyramid), `doc_repetition`, `common_passages`. Rotation
+    write-path pyramid), `doc_repetition`, `common_passages`, and
+    `kmeans_hulls` (the first KMeans+hull gate row — deterministic
+    farthest-point Lloyd over a planted-blob fixture). Rotation
     OUT to the tail, all hash-green in rounds 1+2+3 and each leaving an
     in-window sibling on the same code path: `pred_equals`,
     `pred_touches`, `pred_overlaps`, `raster_retile`, `bbox_time`,
@@ -1249,7 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `frame_sample` (multimodal.py — audio_stats/image_thumbs stay),
     `dedup_exact` (dedup.py — minhash_lsh/simhash/ngram_jaccard stay),
     `text_prefix` (text_search.py — stored-NGRAM text_contains stays),
-    `doc_tokens` (text.py — doc_repetition/common_passages stay).
+    `doc_tokens` (text.py — doc_repetition/common_passages stay),
+    `knn` (knn.py — knn_bulk exercises the same ring-ladder core).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1280,11 +1357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_contains": _q_pred_contains,
         "pred_within": _q_pred_within,
         "poly_nonconvex": _q_poly_nonconvex,
-        # --- kNN family
-        "knn": _q_knn,
+        # --- kNN family + clustering
         "knn_bulk": _q_knn_bulk,
         "nn_join": _q_nn_join,
         "dbscan_labels": _q_dbscan_labels,
+        "kmeans_hulls": _q_kmeans_hulls,
         # --- raster / tiling / binning
         "tile_assign": _q_tile_assign,
         "spatial_bin": _q_spatial_bin,
@@ -1323,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_dateline": _q_bbox_dateline,
         "spatial_join_semi": _q_spatial_join_semi,
         "spatial_join_anti": _q_spatial_join_anti,
+        "knn": _q_knn,
         "poly_join": _q_poly_join,
         "xz_extent": _q_xz_extent,
         "xz_join": _q_xz_join,
@@ -1845,6 +1923,7 @@ def _oracle_sql_round2() -> dict[str, str]:
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
         "dbscan_labels": _dbscan_oracle_sql(),
+        "kmeans_hulls": _kmeans_oracle_sql(),
         "nn_join": f"{pts}, a AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay "
         f"FROM {EVENTS_PTS} WHERE event_id % {NN_LEFT_MOD} = 0), "
         f"d AS (SELECT a_id, p.event_id AS b_id, "

@@ -40,6 +40,69 @@ def kmeans_clusters(
     return out, centers
 
 
+def kmeans_lloyd(
+    points: DataFrame, k: int, max_iter: int = 10
+) -> tuple[DataFrame, list[tuple[float, float]]]:
+    """Distributed Lloyd's KMeans with deterministic farthest-point
+    (Gonzalez k-center greedy) initialization — the oracle-checkable
+    sibling of :func:`kmeans_clusters` (reference: KMeansRunner.java
+    :201-210 wraps MLlib with sampled init; sampling is why that path
+    is not exact-oracle-checkable, so this variant replaces it with a
+    deterministic greedy init and keeps the iteration distributed).
+
+    Scale shape: every step is a DataFrame aggregation — init is k
+    argmax-of-min-distance scans (top-1 via TakeOrderedAndProject, no
+    sort materialization), each Lloyd round is one groupBy producing
+    exactly k rows; nothing but k-row center lists ever reaches the
+    driver. Assignment stays whole-stage-codegen (array of squared
+    distances + array_position of the min; no Python).
+
+    Requires columns (pid, x_u, y_u); returns (points + ``cluster``
+    index column, centers) where centers[i] is cluster i's final
+    (cx, cy). Ties in either argmax or argmin break deterministically
+    (pid order / first index)."""
+    pts = points.select("pid", "x_u", "y_u").persist()
+    try:
+        row = pts.orderBy("pid").select("x_u", "y_u").first()
+        seeds: list[tuple[float, float]] = [(float(row[0]), float(row[1]))]
+        x, y = F.col("x_u").cast("double"), F.col("y_u").cast("double")
+
+        def d2(cx: float, cy: float):
+            return (x - F.lit(cx)) ** 2 + (y - F.lit(cy)) ** 2
+
+        for _ in range(k - 1):
+            min_d = F.least(*[d2(cx, cy) for cx, cy in seeds]) if len(seeds) > 1 else d2(*seeds[0])
+            row = pts.orderBy(F.desc(min_d), "pid").select("x_u", "y_u").first()
+            seeds.append((float(row[0]), float(row[1])))
+
+        def assign(cs):
+            dists = F.array(*[d2(cx, cy) for cx, cy in cs])
+            return pts.withColumn(
+                "cluster",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            )
+
+        centers = seeds
+        assigned = assign(centers)
+        for _ in range(max_iter):
+            rows = (
+                assigned.groupBy("cluster")
+                .agg(F.sum("x_u").alias("sx"), F.sum("y_u").alias("sy"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = list(centers)
+            for r in rows:
+                # exact: integer sums below 2^53, correctly-rounded division
+                new[r["cluster"]] = (r["sx"] / r["n"], r["sy"] / r["n"])
+            if new == centers:
+                break
+            centers = new
+            assigned = assign(centers)
+        return assigned, centers
+    finally:
+        pts.unpersist()
+
+
 def convex_hull(xs: np.ndarray, ys: np.ndarray) -> list[tuple[float, float]]:
     """Monotone-chain convex hull (CCW, no repeated last point) — the
     GeometryHullTool primitive, vectorized-sort + linear scan."""

@@ -488,6 +488,40 @@ def customer_snapped_boxes_sql(sf_dir: str) -> str:
     )
 
 
+KMEANS_K = 16  # planted blob count == k, an 8×2 grid of centers
+
+
+def kmeans_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-blob KMeans fixture (pid, x_u, y_u) derived row-for-row
+    from events.event_id, same oracle stance as ``dbscan_planted``: the
+    DuckDB oracle re-derives the expected converged centroids and hulls
+    from the SAME id arithmetic. Blob = id % 16 on an 8×2 grid of
+    centers 30e6 µdeg apart; offsets (id%5, (id//5)%5) on a ±2000 µdeg
+    1000-step grid, so blob diameter ≤ ~5657 µdeg — three orders of
+    magnitude under the inter-blob spacing. That separation makes the
+    planted partition the PROVABLE fixed point of Lloyd's iteration
+    under farthest-point init (operators.clustering.kmeans_lloyd):
+    greedy init lands exactly one seed per blob (any unseeded blob's
+    points are ≥ ~30e6 − 8000 µdeg from every seed, while seeded blobs'
+    points are ≤ ~8000 µdeg), after which every point's nearest center
+    is its own blob's and the centroid update is the exact per-blob
+    integer mean. All 25 offset classes appear in every blob for any
+    id range covering 0..399 (lcm(16, 25) = 400 ≤ the smallest shipped
+    fixture's 1000 events), so each blob's convex hull is exactly the
+    four ±2000 corners."""
+    eid = F.col("event_id")
+    blob = eid % KMEANS_K
+    cx = F.lit(-120_000_000) + (blob % 8) * F.lit(30_000_000)
+    cy = F.lit(20_000_000) + F.call_function("div", blob, F.lit(8)) * F.lit(30_000_000)
+    dx = (eid % 5) * 1000 - 2000
+    dy = (F.call_function("div", eid, F.lit(5)) % 5) * 1000 - 2000
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        eid.alias("pid"),
+        (cx + dx).cast("long").alias("x_u"),
+        (cy + dy).cast("long").alias("y_u"),
+    )
+
+
 def dbscan_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planted-cluster DBSCAN fixture (pid, x_u, y_u), derived
     row-for-row from events.event_id so the DuckDB oracle re-derives

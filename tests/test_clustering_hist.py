@@ -56,3 +56,51 @@ def test_tile_histograms_sum_to_pixels(spark):
     for r in rows[:20]:
         assert len(r.hist) == 16
         assert sum(r.hist) == 32 * 32
+
+
+def test_kmeans_lloyd_recovers_planted_blobs(spark, sf_dir):
+    """Farthest-point-init Lloyd must converge to the planted partition
+    exactly: cluster sizes, integer-mean centroids, and the four ±2000
+    hull corners per blob (the _q_kmeans_hulls fixed-point claim)."""
+    from geowave_spark.operators.clustering import kmeans_lloyd
+    from geowave_spark.sources.testgeo import KMEANS_K, kmeans_planted
+
+    pts = kmeans_planted(spark, sf_dir)
+    assigned, centers = kmeans_lloyd(pts, KMEANS_K)
+    assert len(centers) == KMEANS_K
+
+    rows = assigned.withColumn("blob", F.col("pid") % KMEANS_K).collect()
+    # one engine cluster per planted blob, bijectively
+    blob_of_cluster: dict[int, int] = {}
+    for r in rows:
+        prev = blob_of_cluster.setdefault(r.cluster, r.blob)
+        assert prev == r.blob, "a cluster spans two planted blobs"
+    assert len(blob_of_cluster) == KMEANS_K
+
+    # centroid = exact per-blob mean of the derived integer coordinates
+    import collections
+
+    sums: dict[int, list] = collections.defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        s = sums[r.cluster]
+        s[0] += r.x_u
+        s[1] += r.y_u
+        s[2] += 1
+    for cid, (sx, sy, n) in sums.items():
+        cx, cy = centers[cid]
+        assert cx == sx / n and cy == sy / n
+
+    # hulls: all 25 offset classes present => exactly the 4 corners
+    from geowave_spark.operators.clustering import cluster_hulls
+
+    for r in cluster_hulls(assigned).collect():
+        b = blob_of_cluster[r.cluster]
+        bx = -120_000_000 + (b % 8) * 30_000_000
+        by = 20_000_000 + (b // 8) * 30_000_000
+        got = {(int(x), int(y)) for x, y in r.hull}
+        assert got == {
+            (bx - 2000, by - 2000),
+            (bx + 2000, by - 2000),
+            (bx + 2000, by + 2000),
+            (bx - 2000, by + 2000),
+        }
