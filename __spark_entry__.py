@@ -886,6 +886,33 @@ def _q_dbscan_labels(spark, sf):
     )
 
 
+def _q_gwql_scalars(spark, sf):
+    """The GWQL scalar + text-predicate surface as ONE plain spark.sql
+    query over the registered session functions: ABS / CONCAT /
+    arithmetic / casts (GWQLParseHelper.java:74-129 — native Spark SQL,
+    no registration needed) and the registered strStartsWith /
+    strContains SQL UDFs (TextPredicates.java:19-90; RETURN-expression
+    functions, so Catalyst inlines them into whole-stage codegen). The
+    oracle runs the equivalent DuckDB expressions — a value match
+    proves operator semantics end-to-end, not just registration."""
+    from geowave_spark.functions.registry import register_all
+
+    register_all(spark)
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("gwql_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               CONCAT(lang, ':', source) AS tag,
+               ABS(n_chars - 500) AS dev,
+               CAST(n_chars AS DOUBLE) / 7 AS per7,
+               (n_chars * 3 + doc_id) % 97 AS mix,
+               CAST(doc_id AS STRING) AS id_str
+        FROM gwql_docs
+        WHERE strStartsWith(text, 'the') OR strContains(lang, 'e')
+        """
+    )
+
+
 def _q_kmeans_hulls(spark, sf):
     """KMeans centroids + per-cluster convex hulls over the planted-blob
     fixture (testgeo.kmeans_planted) — KMeansRunner.java:201-210 +
@@ -1314,16 +1341,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `stats_incremental`, `time_bin_week`; then the late round-4 additions
     `crs_bbox`, `crs_bbox_stored` (custom-CRS live + stored layouts),
     `raster_retile_bicubic`, `raster_pyramid_ingest` (resumable
-    write-path pyramid), `doc_repetition`, `common_passages`, and
+    write-path pyramid), `doc_repetition`, `common_passages`,
     `kmeans_hulls` (the first KMeans+hull gate row — deterministic
-    farthest-point Lloyd over a planted-blob fixture). Rotation
+    farthest-point Lloyd over a planted-blob fixture), and
+    `gwql_scalars` (the registered GWQL scalar + text-predicate SQL
+    surface — previously pytest-only component #35). Rotation
     OUT to the tail, all hash-green in rounds 1+2+3 and each leaving an
     in-window sibling on the same code path: `pred_equals`,
     `pred_touches`, `pred_overlaps`, `raster_retile`, `bbox_time`,
     `minhash`, `bbox_agg` (binning.py — spatial_bin stays),
     `temporal_overlaps` (temporal.py — time_bin_week stays),
     `frame_sample` (multimodal.py — audio_stats/image_thumbs stay),
-    `dedup_exact` (dedup.py — minhash_lsh/simhash/ngram_jaccard stay),
+    `dedup_exact`, `simhash` (dedup.py — minhash_lsh/ngram_jaccard/
+    phash_dedup stay),
     `text_prefix` (text_search.py — stored-NGRAM text_contains stays),
     `doc_tokens` (text.py — doc_repetition/common_passages stay),
     `knn` (knn.py — knn_bulk exercises the same ring-ladder core).
@@ -1378,12 +1408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_plan": _q_split_plan,
         "stats_summary": _q_stats_summary,
         "stats_incremental": _q_stats_incremental,
-        # --- temporal + text predicates
+        # --- temporal + text predicates + GWQL scalar surface
         "time_bin_week": _q_time_bin_week,
         "text_contains": _q_text_contains,
+        "gwql_scalars": _q_gwql_scalars,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "minhash_lsh": _q_minhash_lsh,
-        "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
@@ -1419,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "simhash": _q_simhash,
         "sim_pairs": _q_sim_pairs,
         "minhash": _q_minhash,
         "pred_equals": _q_pred_equals,
@@ -1924,6 +1955,16 @@ def _oracle_sql_round2() -> dict[str, str]:
         ),
         "dbscan_labels": _dbscan_oracle_sql(),
         "kmeans_hulls": _kmeans_oracle_sql(),
+        "gwql_scalars": """
+SELECT doc_id,
+       CONCAT(lang, ':', source) AS tag,
+       ABS(n_chars - 500) AS dev,
+       CAST(n_chars AS DOUBLE) / 7 AS per7,
+       (n_chars * 3 + doc_id) % 97 AS mix,
+       CAST(doc_id AS VARCHAR) AS id_str
+FROM documents
+WHERE starts_with(text, 'the') OR contains(lang, 'e')
+""",
         "nn_join": f"{pts}, a AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay "
         f"FROM {EVENTS_PTS} WHERE event_id % {NN_LEFT_MOD} = 0), "
         f"d AS (SELECT a_id, p.event_id AS b_id, "
