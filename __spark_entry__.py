@@ -136,6 +136,26 @@ def _q_bbox_time(spark, sf):
     ).select("event_id")
 
 
+CQL_TEXT = (
+    f"BBOX(geom, {BBOX[0]}, {BBOX[1]}, {BBOX[2]}, {BBOX[3]}) "
+    f"AND ts DURING {T_LO.replace(' ', 'T')}Z/{T_HI.replace(' ', 'T')} "
+    "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'"
+)
+
+
+def _q_cql_filter(spark, sf):
+    """(E)CQL text filter compiled to the index path — the CQLQuery /
+    OptimalCQLQuery surface (core/geotime/.../query/api/
+    OptimalCQLQuery.java:86-210), previously pytest-only component
+    #12: BBOX → coarse constraint + exact refine, DURING → temporal
+    window, the BETWEEN/LIKE conjuncts → residual Catalyst post-filter
+    (plans/cql.py; the BETWEEN's inner AND exercises the masked
+    BETWEEN-aware conjunct splitter end-to-end)."""
+    from geowave_spark.plans.cql import cql_filter
+
+    return cql_filter(events_points(spark, sf), CQL_TEXT).select("event_id")
+
+
 LOOSE_RES = 6
 
 
@@ -447,6 +467,72 @@ def _q_raster_retile(spark, sf):
     tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
     return retile(tiles.select("level", "tx", "ty", "tile"), level, level - 1, RASTER_TS).select(
         "level", "tx", "ty"
+    )
+
+
+HIST_BINS = 16  # equal-width uint8 buckets for the histogram statistic
+
+
+def _q_raster_histogram(spark, sf):
+    """Per-tile pixel histogram over the merged mosaic — the
+    RasterHistogramStatistic analog (extensions/adapters/raster/.../
+    stats/RasterHistogramStatistic.java), previously pytest-only
+    component #41. decode → cut → no-data merge → np.bincount all in
+    Arrow batches; the hist array is exploded to (tx, ty, bin, cnt)
+    rows so the oracle hashes actual MOSAIC PIXEL VALUES — the first
+    gate row that checks merged pixel content, not just tile keys
+    (merge order is deterministic: image_id-ordered first-non-no-data
+    wins, tiling.py phase-2 fold)."""
+    from geowave_spark.operators.tiling import tile_cut_and_merge, tile_histograms
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS)
+    hist = tile_histograms(tiles, tile_size=RASTER_TS, bins=HIST_BINS)
+    return (
+        hist.select("tx", "ty", F.posexplode("hist").alias("bin", "cnt"))
+        .where(F.col("cnt") > 0)
+        .select("tx", "ty", F.col("bin").cast("int").alias("bin"), "cnt")
+    )
+
+
+def _raster_histogram_oracle() -> str:
+    """Driver-side replay of the exact mosaic (same cut/merge kernels,
+    image_id order) → VALUES — the image_thumbs/phash oracle pattern:
+    the generator is deterministic, so the single-threaded composition
+    is the ground truth the distributed two-phase merge must equal."""
+    import numpy as np
+
+    from geowave_spark import LON_OFF_U, LAT_OFF_U, WORLD_X_U
+    from geowave_spark.operators.tiling import cut_tile, merge_no_data, pick_level
+    from geowave_spark.sources.images import render_pixels
+    from geowave_spark.sources.testgeo import xy_numpy
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    n = 1 << level
+    g = lambda v, off: min(max(((v + off) * n) // WORLD_X_U, 0), n - 1)
+    xs, ys = xy_numpy(np.arange(RASTER_N))
+    acc: dict[tuple[int, int], np.ndarray] = {}
+    for i in range(RASTER_N):
+        img = render_pixels(i, RASTER_TS, RASTER_TS)
+        box = (int(xs[i]) - RASTER_HALF, int(ys[i]) - RASTER_HALF,
+               int(xs[i]) + RASTER_HALF, int(ys[i]) + RASTER_HALF)
+        for tx in range(g(box[0], LON_OFF_U), g(box[2], LON_OFF_U) + 1):
+            for ty in range(g(box[1], LAT_OFF_U), g(box[3], LAT_OFF_U) + 1):
+                piece = cut_tile(img, box, level, tx, ty, RASTER_TS)
+                prev = acc.get((tx, ty))
+                acc[(tx, ty)] = piece if prev is None else merge_no_data(prev, piece)
+    width = 256 // HIST_BINS
+    rows = []
+    for (tx, ty), tile in acc.items():
+        h = np.bincount(tile.reshape(-1) // width, minlength=HIST_BINS)[:HIST_BINS]
+        rows.extend(
+            f"({tx}, {ty}, {b}, {int(c)})" for b, c in enumerate(h) if c
+        )
+    return (
+        "SELECT CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty, "
+        "CAST(bin AS INT) AS bin, CAST(cnt AS BIGINT) AS cnt "
+        f"FROM (VALUES {', '.join(rows)}) AS t(tx, ty, bin, cnt)"
     )
 
 
@@ -1345,7 +1431,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `kmeans_hulls` (the first KMeans+hull gate row — deterministic
     farthest-point Lloyd over a planted-blob fixture), and
     `gwql_scalars` (the registered GWQL scalar + text-predicate SQL
-    surface — previously pytest-only component #35). Rotation
+    surface — previously pytest-only component #35). Wave 3 closes the
+    last two oracle-expressible pytest-only components: `cql_filter`
+    (ECQL text → constraint/residual split, component #12) and
+    `raster_histogram` (RasterHistogramStatistic over merged mosaic
+    pixels, component #41 — the first gate row hashing merged PIXEL
+    VALUES, not just tile keys); OUT for wave 3 = `pred_within`
+    (pred_contains + poly_nonconvex stay on the same refine path) and
+    `distance_join` (geom_dwithin_join stays on the same component
+    row #19). Rotation
     OUT to the tail, all hash-green in rounds 1+2+3 and each leaving an
     in-window sibling on the same code path: `pred_equals`,
     `pred_touches`, `pred_overlaps`, `raster_retile`, `bbox_time`,
@@ -1367,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- range-scan queries across every live index path
         "bbox": _q_bbox,
         "polygon": _q_polygon,
+        "cql_filter": _q_cql_filter,
         "st_bbox_time": _q_st_bbox_time,
         "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
@@ -1376,7 +1471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_bbox_stored": _q_crs_bbox_stored,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
-        "distance_join": _q_distance_join,
         "geom_poly_join": _q_geom_poly_join,
         "geom_line_join": _q_geom_line_join,
         "geom_crosses_join": _q_geom_crosses_join,
@@ -1385,7 +1479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_spatial_mixed": _q_sql_spatial_mixed,
         # --- the 8-CompareOperation exact-refinement surface
         "pred_contains": _q_pred_contains,
-        "pred_within": _q_pred_within,
         "poly_nonconvex": _q_poly_nonconvex,
         # --- kNN family + clustering
         "knn_bulk": _q_knn_bulk,
@@ -1397,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bin": _q_spatial_bin,
         "kde": _q_kde,
         "raster_tiles": _q_raster_tiles,
+        "raster_histogram": _q_raster_histogram,
         "raster_retile_bilinear": _q_raster_retile_bilinear,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
         "raster_pyramid": _q_raster_pyramid,
@@ -1426,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "bbox_loose": _q_bbox_loose,
+        "pred_within": _q_pred_within,
+        "distance_join": _q_distance_join,
         "polygon_disjoint": _q_polygon_disjoint,
         "bbox_dateline": _q_bbox_dateline,
         "spatial_join_semi": _q_spatial_join_semi,
@@ -1707,6 +1803,10 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "ice_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
+        "cql_filter": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}' "
+        "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'",
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
         "image_embed": _image_embed_oracle(),
@@ -1948,6 +2048,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_x100 "
         "FROM events GROUP BY 1",
         "raster_tiles": _raster_tiles_oracle(),
+        "raster_histogram": _raster_histogram_oracle(),
         "raster_multiband": _raster_tiles_oracle(RASTER_MB_N),
         "raster_retile": (
             f"WITH base AS ({_raster_tiles_oracle()}) "

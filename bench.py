@@ -146,6 +146,10 @@ def main():
         "crs_bbox_stored",
         "doc_repetition",
         "common_passages",
+        # wave-3 gate additions: ECQL text filter through the index
+        # path; histogram statistic over the merged mosaic pixels
+        "cql_filter",
+        "raster_histogram",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

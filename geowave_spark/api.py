@@ -95,6 +95,17 @@ class DataStore:
             df = df.where(F.expr(where))
         return df
 
+    def cql(self, name: str, filter_text: str) -> DataFrame:
+        """(E)CQL filter text over a registered type — the CQLQuery /
+        OptimalCQLQuery surface (core/geotime/.../query/api/
+        OptimalCQLQuery.java:86-210): the spatial/temporal conjuncts
+        are extracted to drive the coarse index constraint + exact
+        refine, every remaining conjunct runs as a residual Catalyst
+        post-filter (plans/cql.py)."""
+        from geowave_spark.plans.cql import cql_filter
+
+        return cql_filter(self._types[name], filter_text)
+
     def sql(self, query: str, rewrite: bool = True) -> DataFrame:
         """GWQL path (§3.2): Spark SQL over the registered views with
         the Geom*/text predicate functions available. When the WHERE is

@@ -1,0 +1,188 @@
+"""(E)CQL filter text → index-optimized query — the CQLQuery surface.
+
+The reference accepts OGC (E)CQL filter text and compiles it into an
+index-optimized query: ``CQLQuery`` / ``OptimalCQLQuery`` extract the
+geometry and time constraints from the parsed filter to drive the
+coarse index scan and leave every remaining predicate as an exact
+post-filter (core/geotime/src/main/java/org/locationtech/geowave/core/
+geotime/store/query/api/OptimalCQLQuery.java:86-210,
+.../store/query/CQLQuery.java). This module performs the same
+constraint/residual split over a deliberately small ECQL subset,
+Spark-first: the spatial and temporal conjuncts become the engine's
+coarse-constraint query path (bbox/polygon pushdown + exact vectorized
+refine, operators/spatial_query.py) and every remaining conjunct —
+ECQL comparison syntax is a subset of Spark SQL — becomes a residual
+``F.expr`` filter that Catalyst pushes into the scan.
+
+Supported grammar (a top-level AND of):
+
+  ``BBOX(col, x0, y0, x1, y1)``                 µdeg integer coords
+  ``INTERSECTS(col, <WKT polygon>)``            exact refine, boundary in
+  ``WITHIN(col, <WKT polygon>)``                JTS-strict, boundary out
+  ``col DURING <iso-instant>/<iso-instant>``    half-open [lo, hi)
+  ``<any SQL-expressible predicate>``           residual post-filter
+
+A top-level ``OR`` disqualifies constraint extraction and the whole
+filter runs as one residual predicate over the full scan — the same
+degradation ``OptimalCQLQuery`` applies when it cannot derive
+constraints from the filter. Unsupported *spatial* operators
+(DISJOINT/BEYOND/...) raise rather than silently scanning.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.geom.udfs import geom_from_wkt
+from geowave_spark.geom.wkb import wkb_loads
+from geowave_spark.operators.spatial_query import bbox_query, polygon_query
+from geowave_spark.plans.sql_rewrite import _mask, _split_conjuncts
+
+# spatial ops the engine refines exactly (point-applicable subset)
+_SPATIAL_OPS = {"INTERSECTS": "intersects", "WITHIN": "within"}
+# recognized-but-unroutable spatial ops: fail loudly, never full-scan
+_SPATIAL_RESERVED = {
+    "DISJOINT",
+    "CONTAINS",
+    "CROSSES",
+    "TOUCHES",
+    "OVERLAPS",
+    "EQUALS",
+    "BEYOND",
+    "DWITHIN",
+    "RELATE",
+}
+
+_DURING_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s+DURING\s+(\S+?)\s*/\s*(\S+)\s*$", re.I
+)
+
+
+@dataclass
+class CQLPlan:
+    """Extracted constraints + residual conjunct texts."""
+
+    bbox: tuple[int, int, int, int] | None = None
+    geometry: object | None = None  # geom.wkb.Geometry
+    geom_predicate: str = "intersects"
+    time: tuple[str, str] | None = None  # (lo, hi) SQL timestamp literals
+    time_col: str = "ts"
+    residual: list[str] = field(default_factory=list)
+
+
+def _call_args(text: str):
+    """Parse ``NAME ( arg, arg, ... )`` spanning the WHOLE conjunct;
+    args split at depth-1 commas only (WKT bodies keep their parens).
+    Returns (NAME, [args]) or None."""
+    m = re.match(r"\s*([A-Za-z_]\w*)\s*\(", text)
+    if m is None:
+        return None
+    args, cur, depth = [], [], 0
+    for j in range(m.end() - 1, len(text)):
+        c = text[j]
+        if c == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                if text[j + 1 :].strip():
+                    return None  # trailing text → not a lone call
+                return m.group(1).upper(), args
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(c)
+    return None  # unbalanced
+
+
+def _iso_to_sql(t: str) -> str:
+    """``2024-01-05T00:00:00Z`` → ``2024-01-05 00:00:00`` (both Spark
+    and DuckDB TIMESTAMP-literal syntax)."""
+    t = t.strip().rstrip("Zz").replace("T", " ")
+    if not re.match(r"^\d{4}-\d{2}-\d{2}( \d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$", t):
+        raise ValueError(f"unsupported CQL instant: {t!r}")
+    return t
+
+
+def parse_cql(text: str) -> CQLPlan:
+    """Split the filter at top-level ANDs and classify each conjunct.
+
+    One bbox, one areal geometry and one DURING window are extracted
+    (repeats stay residual-less illegal → ValueError, mirroring the
+    reference's single-geometry constraint extraction); everything
+    else lands in ``residual``."""
+    plan = CQLPlan()
+    conjuncts = _split_conjuncts(text)
+    if conjuncts is None:  # top-level OR → whole filter residual
+        return CQLPlan(residual=[text.strip()])
+    for c in conjuncts:
+        call = _call_args(c)
+        if call is not None:
+            name, args = call
+            if name == "BBOX":
+                if len(args) != 5:
+                    raise ValueError(f"BBOX takes (col, x0, y0, x1, y1): {c!r}")
+                if plan.bbox is not None:
+                    raise ValueError("multiple BBOX constraints")
+                plan.bbox = tuple(int(a) for a in args[1:])
+                continue
+            if name in _SPATIAL_OPS:
+                if len(args) != 2:
+                    raise ValueError(f"{name} takes (col, wkt): {c!r}")
+                if plan.geometry is not None:
+                    raise ValueError("multiple geometry constraints")
+                plan.geometry = wkb_loads(geom_from_wkt(args[1]))
+                plan.geom_predicate = _SPATIAL_OPS[name]
+                continue
+            if name in _SPATIAL_RESERVED:
+                raise ValueError(f"unsupported CQL spatial operator: {name}")
+        m = _DURING_RE.match(_mask(c)) and _DURING_RE.match(c)
+        if m is not None:
+            if plan.time is not None:
+                raise ValueError("multiple DURING constraints")
+            plan.time_col = m.group(1)
+            plan.time = (_iso_to_sql(m.group(2)), _iso_to_sql(m.group(3)))
+            continue
+        plan.residual.append(c)
+    return plan
+
+
+def cql_filter(
+    points: DataFrame,
+    text: str,
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+) -> DataFrame:
+    """Apply an ECQL filter to a point table through the index path.
+
+    Constraint order mirrors OptimalCQLQuery: coarse spatial constraint
+    first (sargable → parquet row-group pruning on stored layouts),
+    exact geometry refine, temporal window, then residual predicates as
+    one Catalyst expression."""
+    plan = parse_cql(text)
+    df = points
+    if plan.bbox is not None:
+        x0, y0, x1, y1 = plan.bbox
+        df = bbox_query(df, x0, y0, x1, y1, x_col=x_col, y_col=y_col)
+    if plan.geometry is not None:
+        df = polygon_query(
+            df, plan.geometry, x_col=x_col, y_col=y_col,
+            predicate=plan.geom_predicate,
+        )
+    if plan.time is not None:
+        lo, hi = plan.time
+        tc = F.col(plan.time_col)
+        df = df.where(
+            (tc >= F.lit(lo).cast("timestamp")) & (tc < F.lit(hi).cast("timestamp"))
+        )
+    for r in plan.residual:
+        df = df.where(F.expr(r))
+    return df

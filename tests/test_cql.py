@@ -1,0 +1,123 @@
+"""CQL text-filter surface (plans/cql.py) — parser + end-to-end.
+
+Reference semantics: CQLQuery / OptimalCQLQuery extract geometry and
+time constraints from the parsed ECQL filter and post-filter the rest
+(core/geotime/.../query/api/OptimalCQLQuery.java:86-210)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.plans.cql import CQLPlan, cql_filter, parse_cql
+from geowave_spark.sources.testgeo import events_points
+
+BOX = (-60_000_000, -40_000_000, 70_000_000, 55_000_000)
+PENTA = (
+    "POLYGON((-40000000 -30000000, 50000000 -35000000, 65000000 20000000, "
+    "0 48000000, -55000000 25000000, -40000000 -30000000))"
+)
+
+
+# ------------------------------------------------------------- parser
+
+
+def test_parse_bbox_and_residuals():
+    p = parse_cql(
+        f"BBOX(geom, {BOX[0]}, {BOX[1]}, {BOX[2]}, {BOX[3]}) "
+        "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'"
+    )
+    assert p.bbox == BOX
+    # the AND inside BETWEEN must NOT split the conjunct
+    assert p.residual == ["value BETWEEN 10 AND 90", "event_type LIKE 'c%'"]
+
+
+def test_parse_literal_and_is_not_a_boundary():
+    p = parse_cql("event_type LIKE '%AND%' AND value > 5")
+    assert p.residual == ["event_type LIKE '%AND%'", "value > 5"]
+
+
+def test_parse_intersects_and_during():
+    p = parse_cql(
+        f"INTERSECTS(geom, {PENTA}) "
+        "AND ts DURING 2024-01-05T00:00:00Z/2024-01-20T00:00:00"
+    )
+    assert p.geometry is not None and p.geometry.gtype == "Polygon"
+    assert p.geom_predicate == "intersects"
+    assert p.time == ("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    assert p.time_col == "ts"
+    assert p.residual == []
+
+
+def test_parse_within_strict():
+    p = parse_cql(f"WITHIN(geom, {PENTA})")
+    assert p.geom_predicate == "within"
+
+
+def test_top_level_or_degrades_to_residual():
+    p = parse_cql("value > 5 OR value < 1")
+    assert p == CQLPlan(residual=["value > 5 OR value < 1"])
+
+
+def test_unsupported_spatial_op_raises():
+    with pytest.raises(ValueError, match="unsupported CQL spatial"):
+        parse_cql(f"DISJOINT(geom, {PENTA})")
+
+
+def test_duplicate_constraints_raise():
+    two = f"BBOX(geom, 0, 0, 1, 1) AND BBOX(geom, 2, 2, 3, 3)"
+    with pytest.raises(ValueError, match="multiple BBOX"):
+        parse_cql(two)
+
+
+def test_bad_instant_raises():
+    with pytest.raises(ValueError, match="instant"):
+        parse_cql("ts DURING 2024-99/2025-01-01T00:00:00")
+
+
+# --------------------------------------------------------- end-to-end
+
+
+def test_cql_filter_matches_manual_plan(spark, sf_dir):
+    pts = events_points(spark, sf_dir)
+    text = (
+        f"BBOX(geom, {BOX[0]}, {BOX[1]}, {BOX[2]}, {BOX[3]}) "
+        "AND ts DURING 2024-01-05T00:00:00/2024-01-20T00:00:00 "
+        "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'"
+    )
+    got = sorted(r.event_id for r in cql_filter(pts, text).collect())
+    want = sorted(
+        r.event_id
+        for r in pts.where(
+            F.col("x_u").between(BOX[0], BOX[2])
+            & F.col("y_u").between(BOX[1], BOX[3])
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+            & F.col("value").between(10, 90)
+            & F.col("event_type").like("c%")
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_cql_filter_polygon_refine(spark, sf_dir):
+    from geowave_spark.operators.spatial_query import polygon_query
+    from geowave_spark.geom.udfs import geom_from_wkt
+    from geowave_spark.geom.wkb import wkb_loads
+
+    pts = events_points(spark, sf_dir)
+    got = sorted(
+        r.event_id for r in cql_filter(pts, f"INTERSECTS(geom, {PENTA})").collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in polygon_query(pts, wkb_loads(geom_from_wkt(PENTA))).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_datastore_cql_facade(spark, sf_dir):
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    ds.add_type("ev_cql", events_points(spark, sf_dir), indexed=False)
+    n = ds.cql("ev_cql", f"BBOX(geom, {BOX[0]}, {BOX[1]}, {BOX[2]}, {BOX[3]})").count()
+    assert n > 0
