@@ -39,6 +39,7 @@ from geowave_spark.sources.testgeo import (
     supplier_octagons_sql,
     xy_sql,
 )
+from geowave_spark import WORLD_X_U
 from geowave_spark.index.native import grid_coord_sql
 from geowave_spark.index.zorder import grid_coord as _gcoord
 
@@ -503,7 +504,7 @@ def _raster_histogram_oracle() -> str:
     is the ground truth the distributed two-phase merge must equal."""
     import numpy as np
 
-    from geowave_spark import LON_OFF_U, LAT_OFF_U, WORLD_X_U
+    from geowave_spark import LON_OFF_U, LAT_OFF_U
     from geowave_spark.operators.tiling import cut_tile, merge_no_data, pick_level
     from geowave_spark.sources.images import render_pixels
     from geowave_spark.sources.testgeo import xy_numpy
@@ -1161,6 +1162,36 @@ def _q_raster_pyramid(spark, sf):
     )
 
 
+def _q_raster_overview(spark, sf):
+    """Overview / bounding-box statistics over the pyramid — the
+    RasterOverviewStatistic / RasterBoundingBoxStatistic analogs
+    (extensions/adapters/raster/.../stats/RasterOverviewStatistic.java,
+    RasterBoundingBoxStatistic.java): per-level tile count, tile-grid
+    bbox, and ground resolution (µdeg/pixel), all native aggregation
+    over the pyramid metadata (map-side combine, no Python)."""
+    from geowave_spark.operators.tiling import (
+        build_pyramid,
+        pick_level,
+        tile_cut_and_merge,
+    )
+    from geowave_spark.sources.images import images_table
+
+    level = pick_level(2 * RASTER_HALF, RASTER_TS, RASTER_TS)
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    tiles = tile_cut_and_merge(imgs, RASTER_HALF, tile_size=RASTER_TS, level=level)
+    pyr = build_pyramid(tiles, level, level - PYR_LEVELS, RASTER_TS)
+    return pyr.groupBy("level").agg(
+        F.count("*").alias("n_tiles"),
+        F.min("tx").alias("tx_min"),
+        F.max("tx").alias("tx_max"),
+        F.min("ty").alias("ty_min"),
+        F.max("ty").alias("ty_max"),
+        F.first(
+            F.expr(f"{WORLD_X_U}L div (shiftleft(1L, level) * {RASTER_TS})")
+        ).alias("res_u_per_px"),
+    )
+
+
 def _q_ice_image_tiles(spark, sf):
     """The north rule's pipeline shape stated directly: the
     image+caption corpus STORED in the snapshot-table format (sorted by
@@ -1436,10 +1467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (ECQL text → constraint/residual split, component #12) and
     `raster_histogram` (RasterHistogramStatistic over merged mosaic
     pixels, component #41 — the first gate row hashing merged PIXEL
-    VALUES, not just tile keys); OUT for wave 3 = `pred_within`
-    (pred_contains + poly_nonconvex stay on the same refine path) and
+    VALUES, not just tile keys) plus `raster_overview` (the
+    RasterOverviewStatistic/RasterBoundingBoxStatistic half of #41 —
+    per-level tile count/bbox/resolution, native aggs over the
+    pyramid); OUT for wave 3 = `pred_within`
+    (pred_contains + poly_nonconvex stay on the same refine path),
     `distance_join` (geom_dwithin_join stays on the same component
-    row #19). Rotation
+    row #19), and `stats_summary` (green r1+r2+r3; the native-agg
+    family keeps field_stats, split_plan, stats_incremental
+    in-window). Rotation
     OUT to the tail, all hash-green in rounds 1+2+3 and each leaving an
     in-window sibling on the same code path: `pred_equals`,
     `pred_touches`, `pred_overlaps`, `raster_retile`, `bbox_time`,
@@ -1496,11 +1532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pyramid": _q_raster_pyramid,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
         "raster_multiband": _q_raster_multiband,
+        "raster_overview": _q_raster_overview,
         "ice_image_tiles": _q_ice_image_tiles,
         # --- aggregations / statistics
         "field_stats": _q_field_stats,
         "split_plan": _q_split_plan,
-        "stats_summary": _q_stats_summary,
         "stats_incremental": _q_stats_incremental,
         # --- temporal + text predicates + GWQL scalar surface
         "time_bin_week": _q_time_bin_week,
@@ -1522,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_loose": _q_bbox_loose,
         "pred_within": _q_pred_within,
         "distance_join": _q_distance_join,
+        "stats_summary": _q_stats_summary,
         "polygon_disjoint": _q_polygon_disjoint,
         "bbox_dateline": _q_bbox_dateline,
         "spatial_join_semi": _q_spatial_join_semi,
@@ -2049,6 +2086,14 @@ def _oracle_sql_round2() -> dict[str, str]:
         "FROM events GROUP BY 1",
         "raster_tiles": _raster_tiles_oracle(),
         "raster_histogram": _raster_histogram_oracle(),
+        "raster_overview": (
+            f"WITH pyr AS ({_raster_pyramid_oracle()}) "
+            "SELECT level, CAST(count(*) AS BIGINT) AS n_tiles, "
+            "min(tx) AS tx_min, max(tx) AS tx_max, "
+            "min(ty) AS ty_min, max(ty) AS ty_max, "
+            f"CAST({WORLD_X_U} AS BIGINT) // ((CAST(1 AS BIGINT) << level) * {RASTER_TS}) "
+            "AS res_u_per_px FROM pyr GROUP BY level"
+        ),
         "raster_multiband": _raster_tiles_oracle(RASTER_MB_N),
         "raster_retile": (
             f"WITH base AS ({_raster_tiles_oracle()}) "
