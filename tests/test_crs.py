@@ -134,3 +134,46 @@ def test_crs_stored_layout_matches_live_path(spark, sf_dir, monkeypatch, tmp_pat
         got.explain("formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "cell" in plan
+
+
+def test_crs_generality_asymmetric_domain(spark):
+    """The CRS seam is parametric, not a pair of blessed constants: an
+    asymmetric local engineering grid (unequal axis spans, non-centered
+    origin — e.g. a mine-site survey frame in integer mm) routes
+    through the identical cell/range/query path with no special
+    casing (SpatialDimensionalityTypeProvider accepts ANY CRS's axis
+    ranges, not just 4326/3857)."""
+    from geowave_spark.index.crs import CRS
+
+    eng = CRS("local-eng-mm", 0, 10_000_000, -500, 99_500)
+    pts = spark.range(4000).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.col("id") * K1, F.lit(10_000_001)).alias("x"),
+        (F.pmod(F.col("id") * K2, F.lit(100_001)) - F.lit(500)).alias("y"),
+    )
+    bbox = (1_000_000, 10_000, 8_000_000, 70_000)
+    got = {r.pid for r in crs_bbox_query(pts, eng, *bbox).select("pid").collect()}
+    want = {
+        r.pid
+        for r in pts.where(
+            F.col("x").between(bbox[0], bbox[2])
+            & F.col("y").between(bbox[1], bbox[3])
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # superset invariant holds on the asymmetric domain too
+    ranges = bbox_ranges_crs(eng, *bbox, 12, max_ranges=8)
+    cell = cell_col_crs(F.col("x"), F.col("y"), 12, eng)
+    cond = None
+    for lo, hi in ranges:
+        c = cell.between(int(lo), int(hi))
+        cond = c if cond is None else (cond | c)
+    missed = (
+        pts.where(
+            F.col("x").between(bbox[0], bbox[2])
+            & F.col("y").between(bbox[1], bbox[3])
+        )
+        .where(~cond)
+        .count()
+    )
+    assert missed == 0
