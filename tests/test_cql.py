@@ -121,3 +121,50 @@ def test_datastore_cql_facade(spark, sf_dir):
     ds.add_type("ev_cql", events_points(spark, sf_dir), indexed=False)
     n = ds.cql("ev_cql", f"BBOX(geom, {BOX[0]}, {BOX[1]}, {BOX[2]}, {BOX[3]})").count()
     assert n > 0
+
+
+# ------------------------------------------------- splitter properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# residual templates that each contain a splitter trap: BETWEEN's
+# inner AND, AND inside string literals, CASE..AND..END, parens, IN
+# lists with quoted commas/keywords
+_TEMPLATES = [
+    lambda i: f"v{i} BETWEEN {i} AND {i + 10}",
+    lambda i: f"s{i} LIKE '%AND%{i}'",
+    lambda i: f"v{i} > {i}",
+    lambda i: f"(v{i} + 1) * 2 <= {i}",
+    lambda i: f"CASE WHEN v{i} > 1 AND v{i} < 5 THEN 1 ELSE 0 END = {i % 2}",
+    lambda i: f"s{i} IN ('a', 'b and c', 'd)e')",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, len(_TEMPLATES) - 1), min_size=1, max_size=6))
+def test_parse_cql_residual_split_property(idxs):
+    """Every conjunct must come back exactly as written — no split at
+    a BETWEEN's AND, inside a literal, a CASE body, or parens."""
+    parts = [_TEMPLATES[k](n) for n, k in enumerate(idxs)]
+    p = parse_cql(" AND ".join(parts))
+    assert p.bbox is None and p.geometry is None and p.time is None
+    assert p.residual == parts
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, len(_TEMPLATES) - 1), min_size=1, max_size=4),
+    st.integers(0, 4),
+)
+def test_parse_cql_constraint_position_property(idxs, pos):
+    """A BBOX/DURING constraint is extracted from ANY position among
+    trap-laden residual conjuncts, leaving the residuals intact."""
+    parts = [_TEMPLATES[k](n) for n, k in enumerate(idxs)]
+    pos = min(pos, len(parts))
+    spatial = ["BBOX(geom, -5, -6, 7, 8)", "ts DURING 2024-01-01T00:00:00/2024-02-01T00:00:00"]
+    mixed = parts[:pos] + spatial + parts[pos:]
+    p = parse_cql(" AND ".join(mixed))
+    assert p.bbox == (-5, -6, 7, 8)
+    assert p.time == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert p.residual == parts
