@@ -137,8 +137,10 @@ def _q_bbox_time(spark, sf):
     ).select("event_id")
 
 
+CQL_DW = (0, 5_000_000, 70_000_000)  # DWITHIN center (µdeg) + radius
 CQL_TEXT = (
     f"BBOX(geom, {BBOX[0]}, {BBOX[1]}, {BBOX[2]}, {BBOX[3]}) "
+    f"AND DWITHIN(geom, POINT({CQL_DW[0]} {CQL_DW[1]}), {CQL_DW[2]}) "
     f"AND ts DURING {T_LO.replace(' ', 'T')}Z/{T_HI.replace(' ', 'T')} "
     "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'"
 )
@@ -149,7 +151,8 @@ def _q_cql_filter(spark, sf):
     OptimalCQLQuery surface (core/geotime/.../query/api/
     OptimalCQLQuery.java:86-210), previously pytest-only component
     #12: BBOX → coarse constraint + exact refine, DURING → temporal
-    window, the BETWEEN/LIKE conjuncts → residual Catalyst post-filter
+    window, DWITHIN → bbox coarse + exact integer circle refine, the
+    BETWEEN/LIKE conjuncts → residual Catalyst post-filter
     (plans/cql.py; the BETWEEN's inner AND exercises the masked
     BETWEEN-aware conjunct splitter end-to-end)."""
     from geowave_spark.plans.cql import cql_filter
@@ -1842,6 +1845,8 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "cql_filter": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND (x_u - {CQL_DW[0]}) * (x_u - {CQL_DW[0]}) + "
+        f"(y_u - {CQL_DW[1]}) * (y_u - {CQL_DW[1]}) <= {CQL_DW[2] ** 2} "
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}' "
         "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'",
         "phash_dedup": _phash_dedup_oracle(),

@@ -19,6 +19,8 @@ Supported grammar (a top-level AND of):
   ``BBOX(col, x0, y0, x1, y1)``                 µdeg integer coords
   ``INTERSECTS(col, <WKT polygon>)``            exact refine, boundary in
   ``WITHIN(col, <WKT polygon>)``                JTS-strict, boundary out
+  ``DWITHIN(col, POINT(x y), dist[, units])``   bbox coarse + circle refine
+  ``BEYOND(col, POINT(x y), dist[, units])``    complement (no coarse)
   ``col DURING <iso-instant>/<iso-instant>``    half-open [lo, hi)
   ``<any SQL-expressible predicate>``           residual post-filter
 
@@ -26,7 +28,8 @@ A top-level ``OR`` disqualifies constraint extraction and the whole
 filter runs as one residual predicate over the full scan — the same
 degradation ``OptimalCQLQuery`` applies when it cannot derive
 constraints from the filter. Unsupported *spatial* operators
-(DISJOINT/BEYOND/...) raise rather than silently scanning.
+(DISJOINT/CROSSES/... — pairwise geometry ops that need a join, not a
+filter) raise rather than silently scanning.
 """
 
 from __future__ import annotations
@@ -44,6 +47,8 @@ from geowave_spark.plans.sql_rewrite import _mask, _split_conjuncts
 
 # spatial ops the engine refines exactly (point-applicable subset)
 _SPATIAL_OPS = {"INTERSECTS": "intersects", "WITHIN": "within"}
+# distance ops (POINT reference geometry, planar µdeg distance)
+_DISTANCE_OPS = {"DWITHIN": True, "BEYOND": False}
 # recognized-but-unroutable spatial ops: fail loudly, never full-scan
 _SPATIAL_RESERVED = {
     "DISJOINT",
@@ -52,10 +57,12 @@ _SPATIAL_RESERVED = {
     "TOUCHES",
     "OVERLAPS",
     "EQUALS",
-    "BEYOND",
-    "DWITHIN",
     "RELATE",
 }
+
+_POINT_RE = re.compile(
+    r"^\s*POINT\s*\(\s*(-?\d+)\s+(-?\d+)\s*\)\s*$", re.I
+)
 
 _DURING_RE = re.compile(
     r"^\s*([A-Za-z_]\w*)\s+DURING\s+(\S+?)\s*/\s*(\S+)\s*$", re.I
@@ -71,6 +78,8 @@ class CQLPlan:
     geom_predicate: str = "intersects"
     time: tuple[str, str] | None = None  # (lo, hi) SQL timestamp literals
     time_col: str = "ts"
+    # (px, py, dist, within?) — DWITHIN/BEYOND against a POINT, planar units
+    dwithin: tuple[int, int, int, bool] | None = None
     residual: list[str] = field(default_factory=list)
 
 
@@ -142,6 +151,27 @@ def parse_cql(text: str) -> CQLPlan:
                 plan.geometry = wkb_loads(geom_from_wkt(args[1]))
                 plan.geom_predicate = _SPATIAL_OPS[name]
                 continue
+            if name in _DISTANCE_OPS:
+                # ECQL: DWITHIN(col, geom, distance, units); the units
+                # token is optional here — coordinates and distance are
+                # both planar storage units (µdeg), like the engine's
+                # distance joins
+                if len(args) not in (3, 4):
+                    raise ValueError(f"{name} takes (col, POINT, dist): {c!r}")
+                pm = _POINT_RE.match(args[1])
+                if pm is None:
+                    raise ValueError(
+                        f"{name} supports POINT references only: {args[1]!r}"
+                    )
+                if plan.dwithin is not None:
+                    raise ValueError("multiple distance constraints")
+                plan.dwithin = (
+                    int(pm.group(1)),
+                    int(pm.group(2)),
+                    int(args[2]),
+                    _DISTANCE_OPS[name],
+                )
+                continue
             if name in _SPATIAL_RESERVED:
                 raise ValueError(f"unsupported CQL spatial operator: {name}")
         m = _DURING_RE.match(_mask(c)) and _DURING_RE.match(c)
@@ -177,6 +207,23 @@ def cql_filter(
             df, plan.geometry, x_col=x_col, y_col=y_col,
             predicate=plan.geom_predicate,
         )
+    if plan.dwithin is not None:
+        px, py, dist, within = plan.dwithin
+        # integer multiply, NOT **: Column.__pow__ is double-valued and
+        # squared µdeg deltas (≤3.3e16) exceed double's 2^53 exact range
+        dx = F.col(x_col).cast("long") - F.lit(px)
+        dy = F.col(y_col).cast("long") - F.lit(py)
+        d2 = dx * dx + dy * dy
+        if within:
+            # sargable bbox coarse constraint first (DistanceQuery
+            # stance, operators/distance_join.py), exact circle refine
+            df = df.where(
+                F.col(x_col).between(px - dist, px + dist)
+                & F.col(y_col).between(py - dist, py + dist)
+                & (d2 <= F.lit(int(dist) ** 2))
+            )
+        else:  # BEYOND — complement, no coarse constraint possible
+            df = df.where(d2 > F.lit(int(dist) ** 2))
     if plan.time is not None:
         lo, hi = plan.time
         tc = F.col(plan.time_col)

@@ -168,3 +168,33 @@ def test_parse_cql_constraint_position_property(idxs, pos):
     assert p.bbox == (-5, -6, 7, 8)
     assert p.time == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
     assert p.residual == parts
+
+
+# ------------------------------------------------- distance operators
+
+
+def test_parse_dwithin_and_beyond():
+    p = parse_cql("DWITHIN(geom, POINT(100 -200), 5000)")
+    assert p.dwithin == (100, -200, 5000, True)
+    p = parse_cql("BEYOND(geom, POINT(-3 4), 10, meters)")
+    assert p.dwithin == (-3, 4, 10, False)
+    with pytest.raises(ValueError, match="POINT references"):
+        parse_cql(f"DWITHIN(geom, {PENTA}, 5000)")
+
+
+def test_cql_dwithin_beyond_partition(spark, sf_dir):
+    """DWITHIN ∪ BEYOND at the same center/radius partitions the
+    table exactly (boundary belongs to DWITHIN)."""
+    pts = events_points(spark, sf_dir)
+    n = pts.count()
+    cx, cy, d = 0, 5_000_000, 70_000_000
+    n_in = cql_filter(pts, f"DWITHIN(geom, POINT({cx} {cy}), {d})").count()
+    n_out = cql_filter(pts, f"BEYOND(geom, POINT({cx} {cy}), {d})").count()
+    assert n_in + n_out == n and n_in > 0 and n_out > 0
+    # exact integer circle: matches the brute filter
+    brute = pts.where(
+        (F.col("x_u") - cx) * (F.col("x_u") - cx)
+        + (F.col("y_u") - cy) * (F.col("y_u") - cy)
+        <= d * d
+    ).count()
+    assert n_in == brute
