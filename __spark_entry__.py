@@ -160,6 +160,22 @@ def _q_cql_filter(spark, sf):
     return cql_filter(events_points(spark, sf), CQL_TEXT).select("event_id")
 
 
+SUBS_RES = 7  # fixed-resolution subsampling grid (2^7 per dimension)
+
+
+def _q_subsample_px(spark, sf):
+    """Fixed-resolution subsampling of a viewport query — the
+    MAX_RESOLUTION_SUBSAMPLING_PER_DIMENSION scan hint + the WMS
+    geowave:Subsample render transform (DataStoreUtils.java:106,
+    SubsampleProcess.java): one representative feature per occupied
+    grid cell inside the bbox, min-key deterministic."""
+    from geowave_spark.operators.spatial_query import subsample_at_resolution
+
+    x0, y0, x1, y1 = BBOX
+    df = bbox_query(events_points(spark, sf), x0, y0, x1, y1)
+    return subsample_at_resolution(df, SUBS_RES)
+
+
 LOOSE_RES = 6
 
 
@@ -1473,10 +1489,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     VALUES, not just tile keys) plus `raster_overview` (the
     RasterOverviewStatistic/RasterBoundingBoxStatistic half of #41 —
     per-level tile count/bbox/resolution, native aggs over the
-    pyramid); OUT for wave 3 = `pred_within`
+    pyramid) and `subsample_px` (fixed-resolution subsampling — the
+    MAX_RESOLUTION_SUBSAMPLING scan hint + WMS SubsampleProcess, one
+    min-key representative per occupied viewport grid cell); OUT for
+    wave 3 = `pred_within`
     (pred_contains + poly_nonconvex stay on the same refine path),
     `distance_join` (geom_dwithin_join stays on the same component
-    row #19), and `stats_summary` (green r1+r2+r3; the native-agg
+    row #19), `tile_assign` (green r1+r2+r3; raster_tiles /
+    ice_image_tiles run the same grid-assignment math inside
+    cut-and-merge), and `stats_summary` (green r1+r2+r3; the native-agg
     family keeps field_stats, split_plan, stats_incremental
     in-window). Rotation
     OUT to the tail, all hash-green in rounds 1+2+3 and each leaving an
@@ -1525,7 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_labels": _q_dbscan_labels,
         "kmeans_hulls": _q_kmeans_hulls,
         # --- raster / tiling / binning
-        "tile_assign": _q_tile_assign,
+        "subsample_px": _q_subsample_px,
         "spatial_bin": _q_spatial_bin,
         "kde": _q_kde,
         "raster_tiles": _q_raster_tiles,
@@ -1559,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "bbox_loose": _q_bbox_loose,
+        "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
         "distance_join": _q_distance_join,
         "stats_summary": _q_stats_summary,
@@ -1658,6 +1680,11 @@ def oracle_sql() -> dict[str, str]:
         f"{int(_gcoord(BBOX[0], LOOSE_RES))} AND {int(_gcoord(BBOX[2], LOOSE_RES))} "
         f"AND {grid_coord_sql('y_u', LOOSE_RES)} BETWEEN "
         f"{int(_gcoord(BBOX[1], LOOSE_RES))} AND {int(_gcoord(BBOX[3], LOOSE_RES))}",
+        "subsample_px": f"{pts} SELECT {grid_coord_sql('x_u', SUBS_RES)} AS gx, "
+        f"{grid_coord_sql('y_u', SUBS_RES)} AS gy, min(event_id) AS event_id "
+        f"FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        "GROUP BY 1, 2",
         "polygon": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE {_penta_halfplane_sql('x_u', 'y_u')}",
         "polygon_disjoint": f"{pts} SELECT event_id FROM {EVENTS_PTS} "

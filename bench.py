@@ -147,9 +147,11 @@ def main():
         "doc_repetition",
         "common_passages",
         # wave-3 gate additions: ECQL text filter through the index
-        # path; histogram statistic over the merged mosaic pixels
+        # path; histogram statistic over the merged mosaic pixels;
+        # fixed-resolution viewport subsampling (one agg, native)
         "cql_filter",
         "raster_histogram",
+        "subsample_px",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

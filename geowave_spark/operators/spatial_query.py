@@ -222,3 +222,37 @@ def with_cell(df: DataFrame, res: int, x_col: str = "x_u", y_col: str = "y_u") -
     """Materialize the index cell column (insertion-id computation) —
     pure JVM bit arithmetic, no Python."""
     return df.withColumn("cell", cell_col(F.col(x_col), F.col(y_col), res))
+
+
+def subsample_at_resolution(
+    points: DataFrame,
+    res: int,
+    key_col: str = "event_id",
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+) -> DataFrame:
+    """Fixed-resolution subsampling — one representative feature per
+    occupied grid cell at ``res`` bits per dimension.
+
+    The reference exposes this as the
+    MAX_RESOLUTION_SUBSAMPLING_PER_DIMENSION scan hint
+    (core/store/.../util/DataStoreUtils.java:106,
+    .../query/filter/FixedResolutionSubsampleQueryFilter.java), wired
+    from WMS pixel size by the geowave:Subsample render transform
+    (extensions/adapters/vector/.../plugin/SubsampleProcess.java):
+    during a key-ordered scan, rows whose SFC key truncates to the
+    previous row's fixed-resolution prefix are skipped, keeping the
+    FIRST feature per cell. The Spark-first restatement: group by the
+    per-dimension grid coords and keep min(key) — on the engine's
+    key-sorted stored layouts min(key) IS the first row the reference
+    scan would keep, and the groupBy is one map-side-combined shuffle
+    of (gx, gy, key) triples (no payload movement; join the result
+    back by key to hydrate attributes). Deterministic for any input
+    partitioning, unlike scan order.
+    """
+    from geowave_spark.index.native import grid_coord_col
+
+    return points.groupBy(
+        grid_coord_col(F.col(x_col), res).alias("gx"),
+        grid_coord_col(F.col(y_col), res).alias("gy"),
+    ).agg(F.min(key_col).alias(key_col))

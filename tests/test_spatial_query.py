@@ -131,3 +131,28 @@ def test_dateline_crossing_bbox(spark, sf_dir):
     )
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_subsample_at_resolution(spark, sf_dir):
+    """One min-key representative per occupied cell; cells unique;
+    every input point's cell is represented (the scan-skip semantics
+    of MAX_RESOLUTION_SUBSAMPLING_PER_DIMENSION, key-ordered)."""
+    from geowave_spark.index.native import grid_coord_col
+    from geowave_spark.operators.spatial_query import subsample_at_resolution
+    from geowave_spark.sources.testgeo import events_points
+
+    pts = events_points(spark, sf_dir)
+    res = 5
+    sub = subsample_at_resolution(pts, res).collect()
+    cells = [(r.gx, r.gy) for r in sub]
+    assert len(cells) == len(set(cells))
+    grid = pts.select(
+        grid_coord_col(F.col("x_u"), res).alias("gx"),
+        grid_coord_col(F.col("y_u"), res).alias("gy"),
+        "event_id",
+    ).collect()
+    by_cell = {}
+    for r in grid:
+        k = (r.gx, r.gy)
+        by_cell[k] = min(by_cell.get(k, r.event_id), r.event_id)
+    assert {(r.gx, r.gy): r.event_id for r in sub} == by_cell
