@@ -1268,6 +1268,70 @@ def _q_image_embed(spark, sf):
     )
 
 
+XMODAL_MOD = 25  # every 25th image's caption is a retrieval query (12 at N=300)
+XMODAL_K = 5
+
+
+def _q_xmodal_topk(spark, sf):
+    """Cross-modal retrieval: caption text → top-k images by cosine.
+    The text tower is a deterministic hashed-3-gram encoder
+    (caption_embed) and the image tower the block-mean kernel
+    (image_embed) — stand-ins for a CLIP-style dual encoder; the
+    engine's contribution is the plumbing, which is real: two
+    mapInPandas embedding passes (one Arrow boundary each), broadcast
+    query side, per-query top-k window — the same exactness-baseline
+    plan as sim_topk (similarity.py:topk_brute). Mirrors the
+    reference's vector-data → analytic-query flow
+    (analytics/api/.../AnalyticItemWrapper + kNN runners) re-expressed
+    over embedding columns."""
+    from geowave_spark.operators.multimodal import caption_embed, image_embed
+    from geowave_spark.operators.similarity import topk_brute
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    corpus = image_embed(imgs, kernel="blockmean", grid=EMB_GRID)
+    caps = imgs.where(
+        F.substring("image_id", 4, 12).cast("long") % XMODAL_MOD == 0
+    ).select(
+        F.concat(F.lit("cap:"), F.col("image_id")).alias("image_id"), "caption"
+    )
+    queries = caption_embed(caps, dim=EMB_GRID * EMB_GRID)
+    return topk_brute(corpus, queries, XMODAL_K, id_col="image_id", vec_col="embedding")
+
+
+def _xmodal_topk_oracle() -> str:
+    """Both towers re-derived driver-side from the generator (the
+    image_embed/phash oracle pattern), top-k re-ranked in DuckDB via
+    list_dot_product over literal DOUBLE lists."""
+    from geowave_spark.operators.multimodal import (
+        caption_embed_vector,
+        image_embed_vector,
+    )
+    from geowave_spark.sources.images import caption_for, render_pixels
+
+    def lit_vec(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    corpus = ", ".join(
+        f"('img{i:012d}', {lit_vec(image_embed_vector(render_pixels(i, RASTER_TS, RASTER_TS), 'blockmean', EMB_GRID))})"
+        for i in range(RASTER_N)
+    )
+    queries = ", ".join(
+        f"('cap:img{i:012d}', {lit_vec(caption_embed_vector(caption_for(i), EMB_GRID * EMB_GRID))})"
+        for i in range(0, RASTER_N, XMODAL_MOD)
+    )
+    return (
+        f"WITH c(neighbor_id, cv) AS (VALUES {corpus}), "
+        f"q(query_id, qv) AS (VALUES {queries}) "
+        "SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT q.query_id, c.neighbor_id, "
+        "CAST(row_number() OVER (PARTITION BY q.query_id "
+        "ORDER BY list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC, "
+        "c.neighbor_id) AS INT) AS rank FROM c, q) "
+        f"WHERE rank <= {XMODAL_K}"
+    )
+
+
 KNN_BULK_MOD = 97
 
 
@@ -1511,6 +1575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `text_prefix` (text_search.py — stored-NGRAM text_contains stays),
     `doc_tokens` (text.py — doc_repetition/common_passages stay),
     `knn` (knn.py — knn_bulk exercises the same ring-ladder core).
+    Wave 4: IN = `xmodal_topk` (cross-modal caption→image retrieval —
+    the CLIP-style dual-tower plumbing's first gate row; both towers
+    re-derived driver-side in the oracle); OUT = `sim_topk` (green
+    r1+r2+r3; xmodal_topk runs the same topk_brute exactness plan, so
+    the brute-force top-k operator keeps an in-window row).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1572,7 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
         "common_passages": _q_common_passages,
-        "sim_topk": _q_sim_topk,
+        "xmodal_topk": _q_xmodal_topk,
         "audio_stats": _q_audio_stats,
         "image_thumbs": _q_image_thumbs,
         "image_embed": _q_image_embed,
@@ -1609,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "simhash": _q_simhash,
         "sim_pairs": _q_sim_pairs,
+        "sim_topk": _q_sim_topk,
         "minhash": _q_minhash,
         "pred_equals": _q_pred_equals,
         "pred_touches": _q_pred_touches,
@@ -1879,6 +1949,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
         "image_embed": _image_embed_oracle(),
+        "xmodal_topk": _xmodal_topk_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
         "raster_pyramid": _raster_pyramid_oracle(),
         "raster_pyramid_ingest": _raster_pyramid_oracle(),

@@ -152,6 +152,10 @@ def main():
         "cql_filter",
         "raster_histogram",
         "subsample_px",
+        # wave-4: cross-modal caption→image retrieval (dual-tower
+        # embed passes + broadcast top-k — the sim_topk plan over
+        # mapInPandas-derived vectors)
+        "xmodal_topk",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -252,3 +252,51 @@ def image_embed_vector(img: np.ndarray, kernel: str = "highpass", grid: int = 4)
         raise ValueError(f"unknown embedding kernel {kernel!r}")
     n = float(np.sqrt((v * v).sum()))
     return (v / n if n > 0 else v).tolist()
+
+
+def caption_embed_vector(text: str, dim: int = 16, seed: int = 7) -> list:
+    """Driver-reusable text-encoder kernel (oracle twin of
+    caption_embed): hashed character-3-gram bag with a signed feature
+    projection (crc32 bucket + sign bit), L2-normalized float64. A
+    deterministic stand-in for the text tower of a CLIP-style dual
+    encoder — a real deployment swaps this function for a trained
+    encoder; everything around it (Arrow batching, array<double>
+    schema, the top-k join) is unchanged."""
+    import zlib
+
+    v = np.zeros(dim, dtype=np.float64)
+    t = f"\x02{text}\x03"  # boundary sentinels so prefixes/suffixes hash distinctly
+    for j in range(len(t) - 2):
+        h = zlib.crc32(t[j : j + 3].encode("utf-8"), seed)
+        v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+    n = float(np.sqrt((v * v).sum()))
+    return (v / n if n > 0 else v).tolist()
+
+
+def caption_embed(
+    docs: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Text embedding over a caption/document column → (id, embedding
+    array<double>), the text half of cross-modal retrieval. Same plan
+    shape as image_embed: mapInPandas, one Arrow boundary per batch,
+    no per-row Python outside the batch loop — scales like every other
+    media kernel here."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype(str),
+                    "embedding": [
+                        caption_embed_vector(t, dim, seed) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        embed, "id string, embedding array<double>"
+    ).withColumnRenamed("id", id_col)
