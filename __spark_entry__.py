@@ -628,6 +628,23 @@ def _q_minhash_lsh(spark, sf):
     )
 
 
+def _q_dedup_groups(spark, sf):
+    """Near-duplicate GROUPING end-to-end: LSH pairs (same params as
+    minhash_lsh) → connected components (min-label propagation) → one
+    canonical doc per cluster, singletons included. The oracle closes
+    the same pair list transitively with a recursive CTE, so a green
+    row proves signatures, banding, verification AND the component
+    labeling in one hash."""
+    from geowave_spark.operators.dedup import near_dup_groups
+
+    return near_dup_groups(
+        _docs(spark, sf),
+        num_hashes=4,
+        bands=2,
+        jaccard_threshold=LSH_JACCARD_T / 1000,
+    )
+
+
 def _q_sim_topk_lsh(spark, sf):
     """Approximate ANN (LSH bucket + Hamming-1 multiprobe) — candidate
     set is data-dependent, so this is a rows-only driver check; recall
@@ -1580,6 +1597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-derived driver-side in the oracle); OUT = `sim_topk` (green
     r1+r2+r3; xmodal_topk runs the same topk_brute exactness plan, so
     the brute-force top-k operator keeps an in-window row).
+    Also wave 4: IN = `dedup_groups` (LSH pairs → connected components
+    → canonical id per near-dup cluster; its oracle recomputes the
+    SAME pair list and closes it with a recursive CTE, so it subsumes
+    the pair query); OUT = `minhash_lsh` (green r1+r2+r3; the pair
+    list is re-verified inside dedup_groups' oracle every round).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1636,7 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contains": _q_text_contains,
         "gwql_scalars": _q_gwql_scalars,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
-        "minhash_lsh": _q_minhash_lsh,
+        "dedup_groups": _q_dedup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
@@ -1680,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pairs": _q_sim_pairs,
         "sim_topk": _q_sim_topk,
         "minhash": _q_minhash,
+        "minhash_lsh": _q_minhash_lsh,
         "pred_equals": _q_pred_equals,
         "pred_touches": _q_pred_touches,
         "pred_overlaps": _q_pred_overlaps,
@@ -2253,4 +2276,23 @@ WHERE starts_with(text, 'the') OR contains(lang, 'e')
         f"SELECT doc_a, doc_b, {lsh_jac} AS jaccard_x1000 "
         "FROM cand JOIN ds sa ON sa.doc_id = doc_a JOIN ds sb ON sb.doc_id = doc_b "
         f"WHERE {lsh_jac} >= {LSH_JACCARD_T}",
+        # near-dup GROUPS: the verified LSH pair list (same CTEs as
+        # minhash_lsh) closed transitively via a recursive CTE, each
+        # doc labeled with the min doc_id reachable — the DuckDB twin
+        # of connected_components' min-label propagation
+        "dedup_groups": f"WITH RECURSIVE s0 AS (SELECT doc_id, {shingles} AS sh FROM documents), "
+        f"sig AS (SELECT doc_id, {mh_cols} FROM s0), "
+        "cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "
+        "ON a.doc_id < b.doc_id AND ((a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1) "
+        "OR (a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3))), "
+        "ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s0), "
+        "e AS (SELECT doc_a, doc_b "
+        "FROM cand JOIN ds sa ON sa.doc_id = doc_a JOIN ds sb ON sb.doc_id = doc_b "
+        f"WHERE {lsh_jac} >= {LSH_JACCARD_T}), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM e "
+        "UNION SELECT doc_b, doc_a FROM e), "
+        "reach(node, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT reach.node, edges.dst FROM reach "
+        "JOIN edges ON reach.r = edges.src) "
+        "SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node",
     }

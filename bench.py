@@ -154,8 +154,10 @@ def main():
         "subsample_px",
         # wave-4: cross-modal caption→image retrieval (dual-tower
         # embed passes + broadcast top-k — the sim_topk plan over
-        # mapInPandas-derived vectors)
+        # mapInPandas-derived vectors); near-dup grouping (LSH pairs
+        # → min-label-propagation connected components)
         "xmodal_topk",
+        "dedup_groups",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -320,3 +320,88 @@ def common_passages(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .where(F.col("n_docs") >= F.lit(min_docs))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    nodes: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: each round every node takes the minimum
+    label among itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter — for near-duplicate
+    clusters (the LSH candidate graph) that is tiny, since band
+    collisions make clusters near-cliques; the pathological
+    long-chain case at 100 TB is where the alternating large-star/
+    small-star transform (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) drops rounds to O(log n) — this
+    implementation keeps the simple propagation because every round
+    is one shuffle join on the node id, and lineage is truncated per
+    round (localCheckpoint) so the plan never grows with iterations.
+
+    ``nodes`` (optional) adds isolated vertices (e.g. every doc_id, so
+    unpaired documents come out as singleton components).
+
+    Returns (node, label): label = min node id in the component.
+    Deterministic regardless of round count once converged. Parity:
+    the reference groups dedup/cluster output the same way in its
+    DBScan/NN pipelines (analytics/mapreduce/.../dbscan/
+    DBScanMapReduce.java cluster-id assignment by minimum item id).
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = sym.dropDuplicates(["src", "dst"]).localCheckpoint()
+
+    labels = edges.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        labels = labels.unionByName(nodes.select(F.col(nodes.columns[0]).alias("node"))).distinct()
+    labels = labels.select("node", F.col("node").alias("label")).localCheckpoint()
+
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-duplicate GROUPING: LSH candidate pairs →
+    exact-Jaccard verification (minhash_lsh_pairs) → connected
+    components → one canonical id (min doc_id) per duplicate cluster,
+    singletons included. This is the step that turns pairwise dedup
+    signals into the keep/drop verdict a training-data pipeline
+    actually applies. Returns (doc_id, canonical_id)."""
+    pairs = minhash_lsh_pairs(
+        df, text_col, num_hashes, bands, shingle_n, jaccard_threshold
+    )
+    comp = connected_components(
+        pairs, "doc_a", "doc_b", nodes=df.select("doc_id")
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )

@@ -1,0 +1,47 @@
+"""connected_components / near_dup_groups: min-label propagation over
+the LSH near-dup pair graph → canonical doc per duplicate cluster."""
+
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.dedup import connected_components, near_dup_groups
+
+
+def _labels(spark, pairs, nodes=None, max_iters=20):
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long") if nodes else None
+    out = connected_components(pdf, nodes=ndf, max_iters=max_iters)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round) + pair 10-11
+    got = _labels(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_isolated_nodes_are_singletons(spark):
+    got = _labels(spark, [(5, 6)], nodes=[5, 6, 7, 8])
+    assert got == {5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_label_is_component_min_regardless_of_edge_direction(spark):
+    # edges given "backwards" (big, small) — symmetrization must fix it
+    got = _labels(spark, [(9, 3), (3, 7), (20, 9)])
+    assert set(got.values()) == {3}
+
+
+def test_near_dup_groups_matches_pairs_closure(spark):
+    from geowave_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(num_hashes=4, bands=2, jaccard_threshold=0.5)
+    groups = {
+        r["doc_id"]: r["canonical_id"]
+        for r in near_dup_groups(docs, **kw).collect()
+    }
+    assert len(groups) == docs.count()  # every doc labeled
+    # every verified pair must land in the same component
+    for r in minhash_lsh_pairs(docs, **kw).collect():
+        assert groups[r["doc_a"]] == groups[r["doc_b"]]
+    # canonical ids are component minima: canonical maps to itself
+    assert all(groups[c] == c for c in set(groups.values()))
