@@ -1036,6 +1036,67 @@ def _q_gwql_scalars(spark, sf):
     )
 
 
+GWQL_DW = (0, 5_000_000, 70_000_000)     # DWITHIN center + radius (µdeg)
+GWQL_OR_BOX = (-5_000_000, -5_000_000, 5_000_000, 5_000_000)
+GWQL_OR_DW = (100_000_000, 0, 30_000_000)
+
+
+def _gwql_store(spark, sf):
+    """DataStore with the events point type registered for the GWQL
+    statement queries. ``value_x100`` is the exact integer twin of the
+    double ``value`` field so the statement's SUM aggregate is
+    order-independent (the field_stats stance)."""
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    ds.add_type(
+        "events_gwql",
+        events_points(spark, sf).withColumn(
+            "value_x100", F.round(F.col("value") * 100).cast("long")
+        ),
+    )
+    return ds
+
+
+def _q_gwql_select(spark, sf):
+    """GWQL SELECT statement end-to-end (GWQLParser.parseStatement →
+    SelectStatement, core/store/.../query/gwql/parse/GWQL.g4 +
+    statement/SelectStatement.java): column selectors with AS, BBOX +
+    DWITHIN predicate functions compiled to the coarse-constraint index
+    path, a temporal operator predicate (TemporalOperators.java AFTER),
+    BETWEEN and a text predicate function as residual Catalyst filters
+    (plans/gwql.py)."""
+    x0, y0, x1, y1 = BBOX
+    px, py, d = GWQL_DW
+    return _gwql_store(spark, sf).gwql(
+        f"SELECT event_id, value_x100 AS v FROM events_gwql "
+        f"WHERE BBOX(geom, {x0}, {y0}, {x1}, {y1}) "
+        f"AND DWITHIN(geom, POINT({px} {py}), {d}) "
+        f"AND ts AFTER '2024-01-05' "
+        f"AND value BETWEEN 10 AND 90 "
+        f"AND strContains(event_type, 'i')"
+    )
+
+
+def _q_gwql_agg(spark, sf):
+    """GWQL aggregate selectors (AggregationSelector →
+    CountFunction/SumFunction/MinFunction/MaxFunction,
+    core/store/.../gwql/function/aggregation/*.java) over an OR filter
+    — the OR disqualifies constraint extraction, so the whole filter
+    runs as ONE residual Catalyst predicate (the OptimalCQLQuery
+    degradation), including the residually-rendered BBOX and DWITHIN
+    forms (plans/gwql.py _predfn_sql)."""
+    bx0, by0, bx1, by1 = GWQL_OR_BOX
+    px, py, d = GWQL_OR_DW
+    return _gwql_store(spark, sf).gwql(
+        f"SELECT COUNT(*) AS n, COUNT(value_x100) AS nv, "
+        f"SUM(value_x100) AS sum_v, MIN(value_x100) AS min_v, "
+        f"MAX(value_x100) AS max_v FROM events_gwql "
+        f"WHERE BBOX(geom, {bx0}, {by0}, {bx1}, {by1}) "
+        f"OR DWITHIN(geom, POINT({px} {py}), {d})"
+    )
+
+
 def _q_kmeans_hulls(spark, sf):
     """KMeans centroids + per-cluster convex hulls over the planted-blob
     fixture (testgeo.kmeans_planted) — KMeansRunner.java:201-210 +
@@ -1602,6 +1663,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SAME pair list and closes it with a recursive CTE, so it subsumes
     the pair query); OUT = `minhash_lsh` (green r1+r2+r3; the pair
     list is re-verified inside dedup_groups' oracle every round).
+    Wave 5: IN = `gwql_select` + `gwql_agg` (the GWQL statement
+    grammar end-to-end — GWQLParser/SelectStatement analog,
+    plans/gwql.py: predicate-function constraint extraction, temporal
+    operator predicates, aggregate selectors, OR-degraded residual
+    rendering); OUT = `polygon` (green r1+r2+r3; `poly_nonconvex` +
+    `pred_contains` keep the same vectorized polygon-refine path
+    in-window) and `audio_stats` (green r1+r2+r3; `image_thumbs` /
+    `image_embed` keep the mapInPandas decode path in-window).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1611,8 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- range-scan queries across every live index path
         "bbox": _q_bbox,
-        "polygon": _q_polygon,
         "cql_filter": _q_cql_filter,
+        "gwql_select": _q_gwql_select,
         "st_bbox_time": _q_st_bbox_time,
         "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
@@ -1657,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bin_week": _q_time_bin_week,
         "text_contains": _q_text_contains,
         "gwql_scalars": _q_gwql_scalars,
+        "gwql_agg": _q_gwql_agg,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "dedup_groups": _q_dedup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1664,12 +1734,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "common_passages": _q_common_passages,
         "xmodal_topk": _q_xmodal_topk,
-        "audio_stats": _q_audio_stats,
         "image_thumbs": _q_image_thumbs,
         "image_embed": _q_image_embed,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
+        "polygon": _q_polygon,
+        "audio_stats": _q_audio_stats,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -1969,6 +2040,23 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"(y_u - {CQL_DW[1]}) * (y_u - {CQL_DW[1]}) <= {CQL_DW[2] ** 2} "
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}' "
         "AND value BETWEEN 10 AND 90 AND event_type LIKE 'c%'",
+        "gwql_select": f"{pts} SELECT event_id, "
+        f"CAST(round(value * 100) AS BIGINT) AS v FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND (x_u - {GWQL_DW[0]}) * (x_u - {GWQL_DW[0]}) + "
+        f"(y_u - {GWQL_DW[1]}) * (y_u - {GWQL_DW[1]}) <= {GWQL_DW[2] ** 2} "
+        "AND ts > TIMESTAMP '2024-01-05' "
+        "AND value BETWEEN 10 AND 90 AND contains(event_type, 'i')",
+        "gwql_agg": f"{pts} SELECT COUNT(*) AS n, COUNT(value) AS nv, "
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v, "
+        "MIN(CAST(round(value * 100) AS BIGINT)) AS min_v, "
+        "MAX(CAST(round(value * 100) AS BIGINT)) AS max_v "
+        f"FROM {EVENTS_PTS} WHERE "
+        f"(x_u BETWEEN {GWQL_OR_BOX[0]} AND {GWQL_OR_BOX[2]} "
+        f"AND y_u BETWEEN {GWQL_OR_BOX[1]} AND {GWQL_OR_BOX[3]}) "
+        f"OR (x_u - {GWQL_OR_DW[0]}) * (x_u - {GWQL_OR_DW[0]}) + "
+        f"(y_u - {GWQL_OR_DW[1]}) * (y_u - {GWQL_OR_DW[1]}) "
+        f"<= {GWQL_OR_DW[2] ** 2}",
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
         "image_embed": _image_embed_oracle(),

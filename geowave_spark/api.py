@@ -106,6 +106,21 @@ class DataStore:
 
         return cql_filter(self._types[name], filter_text)
 
+    def gwql(self, statement: str):
+        """GWQL statement surface (GWQLParser.parseStatement,
+        core/store/.../query/gwql/parse/GWQL.g4 + statement/*.java):
+        ``SELECT <columns|aggregates|*> FROM type [WHERE <filter>]
+        [LIMIT n]`` and ``DELETE FROM type [WHERE <filter>]``. The
+        WHERE grammar is the reference's expression language — BBOX /
+        INTERSECTS / DWITHIN / strStartsWith predicate functions,
+        temporal operators (``ts AFTER '2020-01-01'``), ``::`` casts,
+        BETWEEN / IS NULL, INCLUDE/EXCLUDE — compiled to the engine's
+        constraint/residual split (plans/gwql.py). SELECT returns a
+        DataFrame; DELETE mutates the type and returns the count."""
+        from geowave_spark.plans.gwql import gwql as _gwql
+
+        return _gwql(self, statement)
+
     def sql(self, query: str, rewrite: bool = True) -> DataFrame:
         """GWQL path (§3.2): Spark SQL over the registered views with
         the Geom*/text predicate functions available. When the WHERE is
@@ -281,6 +296,13 @@ class DataStore:
         silently remove every row sharing a key value with any match,
         and the returned count would disagree with the rows removed."""
         matched = self.query(name, bbox=bbox, polygon=polygon, time=time, where=where)
+        return self._delete_matched(name, matched, key)
+
+    def _delete_matched(
+        self, name: str, matched: DataFrame, key: str | None = None
+    ) -> int:
+        """Anti-join the matched rows out of the registered type (shared
+        by delete() and the GWQL DELETE statement, plans/gwql.py)."""
         df = self._types[name]
         key = key or df.columns[0]
         keys = matched.select(key).persist()

@@ -197,7 +197,21 @@ def cql_filter(
     first (sargable → parquet row-group pruning on stored layouts),
     exact geometry refine, temporal window, then residual predicates as
     one Catalyst expression."""
-    plan = parse_cql(text)
+    return apply_plan(points, parse_cql(text), x_col=x_col, y_col=y_col)
+
+
+def apply_plan(
+    points: DataFrame,
+    plan: CQLPlan,
+    x_col: str = "x_u",
+    y_col: str = "y_u",
+) -> DataFrame:
+    """Apply an extracted constraint/residual plan to a point table.
+
+    Shared by the ECQL path above and the GWQL statement layer
+    (plans/gwql.py) — both languages compile their WHERE clause to the
+    same ``CQLPlan`` so the index-optimized application can never
+    diverge between the two surfaces."""
     df = points
     if plan.bbox is not None:
         x0, y0, x1, y1 = plan.bbox

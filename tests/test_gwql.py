@@ -1,0 +1,289 @@
+"""GWQL statement surface (plans/gwql.py) — parser semantics ported
+from the reference's GWQLParserTest / GWQLSelectTest
+(core/geotime/src/test/java/.../store/query/gwql/GWQLParserTest.java,
+core/store grammar GWQL.g4) and end-to-end equivalence against
+hand-built DataFrame plans on the sf0.001 fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.api import DataStore
+from geowave_spark.plans.gwql import (
+    GWQLParseException,
+    compile_filter,
+    parse_statement,
+)
+from geowave_spark.sources.testgeo import events_points
+
+
+# ------------------------------------------------------------- parsing
+
+
+def test_select_star_and_limit():
+    s = parse_statement("SELECT * FROM type LIMIT 7;")
+    assert s.kind == "select" and s.table == "type"
+    assert s.selectors == [] and s.limit == 7 and s.where is None
+
+
+def test_column_selectors_with_alias():
+    s = parse_statement("SELECT a, b AS bee FROM t")
+    assert [x.name for x in s.selectors] == ["a", "bee"]
+    assert [x.column for x in s.selectors] == ["a", "b"]
+
+
+def test_aggregate_selectors():
+    s = parse_statement("SELECT COUNT(*), SUM(pop) AS total, BBOX(geom) FROM t")
+    assert [x.agg_fn for x in s.selectors] == ["COUNT", "SUM", "BBOX"]
+    assert [x.name for x in s.selectors] == ["count(*)", "total", "bbox(geom)"]
+
+
+def test_mixed_selectors_raise():
+    with pytest.raises(GWQLParseException):
+        parse_statement("SELECT a, COUNT(*) FROM t")
+
+
+def test_unknown_aggregate_raises():
+    with pytest.raises(GWQLParseException):
+        parse_statement("SELECT AVG(a) FROM t")
+
+
+def test_delete_statement():
+    s = parse_statement("DELETE FROM t WHERE a = 1")
+    assert s.kind == "delete" and s.where is not None
+
+
+def test_parse_error_reports_position():
+    with pytest.raises(GWQLParseException):
+        parse_statement("SELECT FROM t")
+    with pytest.raises(GWQLParseException):
+        parse_statement("SELECT * FROM t WHERE a = ")
+    with pytest.raises(GWQLParseException):
+        parse_statement("SELECT * FROM t trailing garbage")
+
+
+def test_escaped_identifiers():
+    s = parse_statement('SELECT "weird col" AS w FROM t WHERE `other``x` = 1')
+    assert s.selectors[0].column == "weird col"
+    plan = compile_filter(s.where)
+    assert plan.residual == ["(`other`x` = 1)"] or "`" in plan.residual[0]
+
+
+# -------------------------------------------- filter → constraint split
+
+
+def test_bbox_becomes_constraint():
+    s = parse_statement(
+        "SELECT * FROM t WHERE BBOX(geom, -10, -20, 30, 40) AND a < 5"
+    )
+    plan = compile_filter(s.where)
+    assert plan.bbox == (-10, -20, 30, 40)
+    assert plan.residual == ["(a < 5)"]
+
+
+def test_intersects_cast_and_bare_wkt_equivalent():
+    for g in ("'POLYGON((0 0, 10 0, 5 8, 0 0))'::geometry",
+              "POLYGON((0 0, 10 0, 5 8, 0 0))"):
+        plan = compile_filter(
+            parse_statement(f"SELECT * FROM t WHERE INTERSECTS(geom, {g})").where
+        )
+        assert plan.geometry is not None
+        assert plan.geom_predicate == "intersects"
+
+
+def test_during_interval_constraint():
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE ts DURING '2024-01-01T00:00:00/2024-02-01T00:00:00'"
+        ).where
+    )
+    assert plan.time == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert plan.time_col == "ts"
+
+
+def test_temporal_operator_sql_forms():
+    cases = {
+        "ts AFTER '2024-01-05'": "ts > TIMESTAMP '2024-01-05'",
+        "ts AFTER '2024-01-01/2024-01-05'": "ts >= TIMESTAMP '2024-01-05'",
+        "ts BEFORE '2024-01-05'": "ts < TIMESTAMP '2024-01-05'",
+        "ts BEFORE '2024-01-01/2024-01-05'": "ts < TIMESTAMP '2024-01-01'",
+        "ts DURING_OR_AFTER '2024-01-01/2024-01-05'": "ts >= TIMESTAMP '2024-01-01'",
+        "ts BEFORE_OR_DURING '2024-01-01/2024-01-05'": "ts < TIMESTAMP '2024-01-05'",
+    }
+    for text, want in cases.items():
+        plan = compile_filter(
+            parse_statement(f"SELECT * FROM t WHERE {text} OR EXCLUDE").where
+        )
+        assert want in plan.residual[0], (text, plan.residual)
+
+
+def test_dwithin_constraint_and_beyond():
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE DWITHIN(geom, POINT(5 -7), 100)"
+        ).where
+    )
+    assert plan.dwithin == (5, -7, 100, True)
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE BEYOND(geom, POINT(5 -7), 100)"
+        ).where
+    )
+    assert plan.dwithin == (5, -7, 100, False)
+
+
+def test_or_degrades_bbox_to_residual_sql():
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE BBOX(geom, 0, 0, 9, 9) OR a = 1"
+        ).where
+    )
+    assert plan.bbox is None
+    assert "x_u BETWEEN 0 AND 9" in plan.residual[0]
+
+
+def test_polygon_under_or_raises():
+    with pytest.raises(GWQLParseException):
+        compile_filter(
+            parse_statement(
+                "SELECT * FROM t WHERE WITHIN(geom, POLYGON((0 0, 1 0, 1 1, 0 0))) OR a = 1"
+            ).where
+        )
+
+
+def test_include_exclude_and_not():
+    plan = compile_filter(parse_statement("SELECT * FROM t WHERE INCLUDE").where)
+    assert plan.residual == ["TRUE"]
+    plan = compile_filter(
+        parse_statement("SELECT * FROM t WHERE NOT [a = 1]").where
+    )
+    assert plan.residual == ["(NOT (a = 1))"]
+
+
+def test_expression_arithmetic_and_casts():
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE ABS(a - 3) * 2 > 4 AND b::number <= 1.5 "
+            "AND CONCAT(c, 'x') = 'yx' AND d IS NULL AND e BETWEEN -2 AND 2"
+        ).where
+    )
+    assert plan.residual == [
+        "((abs((a - 3)) * 2) > 4)",
+        "(CAST(b AS DOUBLE) <= 1.5)",
+        "(concat(c, 'x') = 'yx')",
+        "(d IS NULL)",
+        "(e BETWEEN -2 AND 2)",
+    ]
+
+
+def test_geometry_cast_outside_spatial_predicate_raises():
+    with pytest.raises(GWQLParseException):
+        compile_filter(
+            parse_statement("SELECT * FROM t WHERE 'POINT(0 0)'::geometry = 1").where
+        )
+
+
+# ------------------------------------------------------------ execution
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    ds = DataStore(spark)
+    ds.add_type("events", events_points(spark, sf_dir))
+    return ds
+
+
+BBOX = (-100_000_000, -40_000_000, 100_000_000, 40_000_000)
+
+
+def test_select_matches_manual_plan(store, spark, sf_dir):
+    x0, y0, x1, y1 = BBOX
+    got = store.gwql(
+        f"SELECT event_id FROM events "
+        f"WHERE BBOX(geom, {x0}, {y0}, {x1}, {y1}) "
+        f"AND value BETWEEN 10 AND 90 AND ts AFTER '2024-01-05'"
+    )
+    pts = events_points(spark, sf_dir)
+    want = pts.where(
+        F.col("x_u").between(x0, x1)
+        & F.col("y_u").between(y0, y1)
+        & F.col("value").between(10, 90)
+        & (F.col("ts") > F.expr("TIMESTAMP '2024-01-05'"))
+    ).select("event_id")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_select_or_filter_exact(store, spark, sf_dir):
+    got = store.gwql(
+        "SELECT event_id FROM events "
+        "WHERE BBOX(geom, -5000000, -5000000, 5000000, 5000000) "
+        "OR DWITHIN(geom, POINT(100000000 0), 3000000)"
+    )
+    pts = events_points(spark, sf_dir)
+    dx = F.col("x_u").cast("long") - 100_000_000
+    dy = F.col("y_u").cast("long")
+    want = pts.where(
+        (F.col("x_u").between(-5_000_000, 5_000_000)
+         & F.col("y_u").between(-5_000_000, 5_000_000))
+        | (dx * dx + dy * dy <= 3_000_000 ** 2)
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_aggregate_select(store, spark, sf_dir):
+    row = store.gwql(
+        "SELECT COUNT(*) AS n, SUM(value) AS sv, MIN(ts) AS t0, "
+        "MAX(value) AS mv, BBOX(geom) AS env FROM events "
+        "WHERE BBOX(geom, -100000000, -40000000, 100000000, 40000000)"
+    ).first()
+    x0, y0, x1, y1 = BBOX
+    want = (
+        events_points(spark, sf_dir)
+        .where(F.col("x_u").between(x0, x1) & F.col("y_u").between(y0, y1))
+        .agg(
+            F.count("*").alias("n"), F.sum("value").alias("sv"),
+            F.min("ts").alias("t0"), F.max("value").alias("mv"),
+            F.min("x_u").alias("minx"), F.min("y_u").alias("miny"),
+            F.max("x_u").alias("maxx"), F.max("y_u").alias("maxy"),
+        ).first()
+    )
+    assert row["n"] == want["n"] > 0
+    assert row["sv"] == want["sv"] and row["t0"] == want["t0"]
+    assert row["mv"] == want["mv"]
+    assert row["env"]["minx"] == want["minx"] and row["env"]["maxy"] == want["maxy"]
+
+
+def test_select_limit(store):
+    assert store.gwql("SELECT event_id FROM events LIMIT 13").count() == 13
+
+
+def test_unknown_type_raises(store):
+    with pytest.raises(GWQLParseException):
+        store.gwql("SELECT * FROM nope")
+
+
+def test_delete_roundtrip(spark, sf_dir):
+    ds = DataStore(spark)
+    ds.add_type("ev_del", events_points(spark, sf_dir))
+    before = ds.type("ev_del").count()
+    matched = ds.gwql(
+        "SELECT event_id FROM ev_del WHERE value < 10 "
+        "AND ts BEFORE '2024-01-03'"
+    ).count()
+    removed = ds.gwql(
+        "DELETE FROM ev_del WHERE value < 10 AND ts BEFORE '2024-01-03'"
+    )
+    assert removed == matched > 0
+    after = ds.type("ev_del").count()
+    assert after == before - removed
+    # view refreshed: SQL over the type name sees the post-delete table
+    assert spark.sql("SELECT COUNT(*) c FROM ev_del").first()["c"] == after
+
+
+def test_select_polygon_refine_matches_cql(store, spark, sf_dir):
+    wkt = ("POLYGON((-120000000 -30000000, 120000000 -30000000, "
+           "0 45000000, -120000000 -30000000))")
+    got = store.gwql(f"SELECT event_id FROM events WHERE INTERSECTS(geom, {wkt})")
+    want = store.cql("events", f"INTERSECTS(geom, {wkt})").select("event_id")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want.select("event_id")).count() == 0
