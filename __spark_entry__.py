@@ -1097,6 +1097,31 @@ def _q_gwql_agg(spark, sf):
     )
 
 
+def _q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    argmax-centroid assignment, exact pairwise cosine within each
+    cluster only (O(N²/k)), connected components → min-id canonical
+    representative per semantic group (operators/similarity.semdedup).
+    Runs on the planted fixture (testgeo.semdedup_planted) with pinned
+    basis centroids, whose duplicate structure is a provable function
+    of the id arithmetic — the oracle re-derives (cluster, rep_id)
+    without any float similarity, so a hash match proves the whole
+    float pipeline (assignment, normalized cosine, grouping)
+    end-to-end."""
+    import numpy as np
+
+    from geowave_spark.operators.similarity import semdedup
+    from geowave_spark.sources.testgeo import (
+        SEMDEDUP_DIM,
+        SEMDEDUP_K,
+        SEMDEDUP_N,
+        semdedup_planted,
+    )
+
+    cents = np.eye(SEMDEDUP_K, SEMDEDUP_DIM)
+    return semdedup(semdedup_planted(spark, SEMDEDUP_N), centroids=cents)
+
+
 def _q_kmeans_hulls(spark, sf):
     """KMeans centroids + per-cluster convex hulls over the planted-blob
     fixture (testgeo.kmeans_planted) — KMeansRunner.java:201-210 +
@@ -1671,6 +1696,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `pred_contains` keep the same vectorized polygon-refine path
     in-window) and `audio_stats` (green r1+r2+r3; `image_thumbs` /
     `image_embed` keep the mapInPandas decode path in-window).
+    Also wave 5: IN = `semdedup` (cluster-scoped semantic dedup over a
+    planted-embedding fixture — argmax assignment + within-cluster
+    cosine + connected components, analytic oracle); OUT =
+    `geom_poly_join` (green r1+r2+r3; geom_line_join /
+    geom_crosses_join / geom_dwithin_join keep the general-geometry
+    join operator in-window on three distinct kernels).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1691,7 +1722,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_bbox_stored": _q_crs_bbox_stored,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
-        "geom_poly_join": _q_geom_poly_join,
         "geom_line_join": _q_geom_line_join,
         "geom_crosses_join": _q_geom_crosses_join,
         "geom_dwithin_join": _q_geom_dwithin_join,
@@ -1729,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwql_agg": _q_gwql_agg,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "dedup_groups": _q_dedup_groups,
+        "semdedup": _q_semdedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
@@ -1741,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the binary render — all pytest-covered (see docstring).
         "polygon": _q_polygon,
         "audio_stats": _q_audio_stats,
+        "geom_poly_join": _q_geom_poly_join,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -2057,6 +2089,8 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"OR (x_u - {GWQL_OR_DW[0]}) * (x_u - {GWQL_OR_DW[0]}) + "
         f"(y_u - {GWQL_OR_DW[1]}) * (y_u - {GWQL_OR_DW[1]}) "
         f"<= {GWQL_OR_DW[2] ** 2}",
+        "semdedup": "SELECT i AS vec_id, CAST(i % 8 AS BIGINT) AS cluster, "
+        "(i % 8) + 8 * ((i // 8) % 6) AS rep_id FROM range(960) t(i)",
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
         "image_embed": _image_embed_oracle(),

@@ -222,19 +222,10 @@ def topk_ivf(
     )
     cents = _lloyd_centroids(sample, nlist)
 
-    def best_list(vec: Column) -> Column:
-        # argmax by (score, -list_id) via lexicographic struct max
-        return F.greatest(
-            *[
-                F.struct(s.alias("s"), F.lit(-i).alias("negi"))
-                for i, s in enumerate(_centroid_scores(vec, cents))
-            ]
-        )["negi"] * -1
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        best_list(F.col(vec_col)).alias("ivf_list"),
+        nearest_centroid(F.col(vec_col), cents).alias("ivf_list"),
     )
 
     qscores = F.array(
@@ -260,4 +251,103 @@ def topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
+    """Index of the max-dot centroid (min index wins ties) — the IVF
+    write-time list assignment, shared by topk_ivf and semdedup."""
+    return F.greatest(
+        *[
+            F.struct(s.alias("s"), F.lit(-i).alias("negi"))
+            for i, s in enumerate(_centroid_scores(vec, centroids))
+        ]
+    )["negi"] * -1
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold_x1000: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    nlist: int = 16,
+    train_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus by k-means clustering followed
+    by exact pairwise cosine WITHIN each cluster — never across the
+    whole corpus. Duplicate groups (connected components of the
+    within-cluster cos ≥ τ graph) collapse to one canonical
+    representative, the min id — the keep/drop verdict a training-data
+    pipeline applies to semantically redundant web documents/images.
+
+    Spark shape: cluster assignment is the IVF write-time projection
+    (argmax over nlist native dot folds — no shuffle, no Python); the
+    pairwise stage is an equi-self-join on the cluster id, so the
+    quadratic work is bounded per cluster at O(N²/k) total (the
+    paper's exact complexity argument — k grows with corpus size to
+    hold cluster cardinality constant, so per-cluster pairs stay
+    bounded at 100 TB) and co-located by the join's hash partitioning;
+    grouping is min-label propagation (dedup.connected_components, one
+    shuffle join per round, cluster-local edges keep diameters tiny).
+
+    ``centroids``: pass a precomputed (nlist × dim) array to pin the
+    cluster space (production: centroids trained once, reused per
+    shard); default trains deterministic driver-side Lloyd on the
+    first ``train_rows`` id-ordered vectors (topk_ivf stance).
+
+    Returns (vec_id, cluster, rep_id): rep_id = vec_id ⇔ the row is
+    the kept representative of its semantic group (singletons keep
+    themselves).
+    """
+    from geowave_spark.operators.dedup import connected_components
+
+    if centroids is None:
+        sample = np.array(
+            [
+                r[0]
+                for r in corpus.select(vec_col)
+                .orderBy(id_col)
+                .limit(train_rows)
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        centroids = _lloyd_centroids(sample, nlist)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+    )
+    norm = F.sqrt(dot_col(F.col("v"), F.col("v")))
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        norm.alias("na"), "cluster",
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        norm.alias("nb"), "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            dot_col(F.col("va"), F.col("vb"))
+            >= F.lit(threshold_x1000 / 1000.0) * F.col("na") * F.col("nb")
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=assigned.select("vid")
+    )
+    return (
+        assigned.select("vid", "cluster")
+        .join(comp.withColumnRenamed("node", "vid"), "vid")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("label").alias("rep_id"),
+        )
     )

@@ -688,3 +688,43 @@ def tracks_from_keys(
         return pd.Series(out)
 
     return base.select("p_partkey", mk("x_u", "y_u", "d1", "d2", "d3").alias("geom"))
+
+
+# ------------------------------------------------------- semdedup fixture
+
+SEMDEDUP_N = 960      # fixed-size fixture (sf-flat, like the image corpus)
+SEMDEDUP_K = 8        # semantic clusters (axes 0..7)
+SEMDEDUP_BANDS = 6    # duplicate bands per cluster (axes 8..13)
+SEMDEDUP_DIM = SEMDEDUP_K + SEMDEDUP_BANDS
+
+
+def semdedup_planted(spark: SparkSession, n: int = SEMDEDUP_N) -> DataFrame:
+    """Planted embedding corpus for semantic dedup, same oracle stance
+    as ``kmeans_planted``: the duplicate structure is a PROVABLE
+    function of the id arithmetic, so the DuckDB oracle needs no
+    float similarity at all.
+
+    id → cluster c = id % 8, band b = (id // 8) % 6, scale
+    s = 1 + id % 3. The vector is 1000·s on axis c plus 1000·s on axis
+    8+b, zero elsewhere (dim 14). Members of the same (c, b) group
+    differ only by scale → cosine exactly 1 (far above any sane τ);
+    any two vectors from different groups share at most ONE of their
+    two axes → cosine ≤ 1000²/(1000²+1000²) = 0.5 (far below). With
+    basis centroids e_0..e_7 the argmax-dot cluster assignment is
+    exactly c (the only nonzero coordinate among the first 8). The
+    expected semdedup output is therefore
+    rep_id = c + 8·b — the smallest id in the (c, b) group — by pure
+    integer arithmetic."""
+    eid = F.col("id")
+    c = (eid % SEMDEDUP_K).cast("int")
+    b = (F.call_function("div", eid, F.lit(SEMDEDUP_K)) % SEMDEDUP_BANDS).cast("int")
+    s = (eid % 3 + 1).cast("double") * 1000.0
+    comps = [
+        F.when((F.lit(j) == c) | (F.lit(j) == b + SEMDEDUP_K), s)
+        .otherwise(F.lit(0.0))
+        .cast("float")
+        for j in range(SEMDEDUP_DIM)
+    ]
+    return spark.range(n).select(
+        eid.alias("vec_id"), F.array(*comps).alias("embedding")
+    )

@@ -1,0 +1,74 @@
+"""SemDeDup — cluster-scoped semantic dedup (operators/similarity.py).
+
+Exactness on the planted fixture (testgeo.semdedup_planted, analytic
+duplicate structure) and structural invariants + Lloyd-trained path on
+the real embeddings table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.similarity import semdedup
+from geowave_spark.sources.testgeo import (
+    SEMDEDUP_DIM,
+    SEMDEDUP_K,
+    semdedup_planted,
+)
+
+
+def _basis_centroids():
+    return np.eye(SEMDEDUP_K, SEMDEDUP_DIM)
+
+
+def test_planted_groups_exact(spark):
+    out = (
+        semdedup(semdedup_planted(spark, 960), centroids=_basis_centroids())
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    i = out["vec_id"].to_numpy()
+    assert len(out) == 960
+    assert (out["cluster"].to_numpy() == i % 8).all()
+    assert (out["rep_id"].to_numpy() == (i % 8) + 8 * ((i // 8) % 6)).all()
+
+
+def test_threshold_above_one_yields_singletons(spark):
+    out = semdedup(
+        semdedup_planted(spark, 96),
+        centroids=_basis_centroids(),
+        threshold_x1000=1001,
+    ).toPandas()
+    assert (out["rep_id"] == out["vec_id"]).all()
+
+
+def test_reps_are_fixed_points_on_real_embeddings(spark, sf_dir):
+    """Default Lloyd-trained centroids over the real corpus: every
+    vector labeled once, representatives are their own reps, and
+    rep_id ≤ vec_id (min-label components)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup(emb, threshold_x1000=990, nlist=8).cache()
+    n = emb.count()
+    assert out.count() == n
+    assert out.where(F.col("rep_id") > F.col("vec_id")).count() == 0
+    reps = out.select(F.col("rep_id").alias("vec_id")).distinct()
+    self_rows = out.join(reps, "vec_id").where(
+        F.col("rep_id") != F.col("vec_id")
+    )
+    assert self_rows.count() == 0
+    out.unpersist()
+
+
+def test_planted_near_dups_collapse(spark):
+    """Scaled copies of the same direction land in one group even
+    through the Lloyd-trained path (centroids=None)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, [float(x) for x in v]))
+        rows.append((i * 2 + 1, [float(x) for x in v * 1.7]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = semdedup(df, threshold_x1000=999, nlist=4, train_rows=80).toPandas()
+    got = dict(zip(out["vec_id"], out["rep_id"]))
+    assert all(got[2 * i + 1] == got[2 * i] == 2 * i for i in range(40))
