@@ -268,6 +268,19 @@ def _q_common_passages(spark, sf):
     return common_passages(_docs(spark, sf), n=8, min_docs=3)
 
 
+def _q_source_quota(spark, sf):
+    """Per-source quota sampling (operators/sampling.source_quota):
+    the C4/RefinedWeb-style domain cap — rank rows within each source
+    by salted portable hash (dedup._h64), keep the first 15; a
+    deterministic uniform draw per domain, so re-running any shard
+    reproduces the identical subset. One hash-partitioned window, rank
+    pushed into the sort via WindowGroupLimit."""
+    from geowave_spark.operators.sampling import source_quota
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return source_quota(docs, 15).select("doc_id", "source", "rk")
+
+
 def _q_doc_repetition(spark, sf):
     """Repetition-based quality filter signals (duplicate-token ratio
     numerator/denominator + most-frequent-bigram count — the published
@@ -1701,7 +1714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     cosine + connected components, analytic oracle); OUT =
     `geom_poly_join` (green r1+r2+r3; geom_line_join /
     geom_crosses_join / geom_dwithin_join keep the general-geometry
-    join operator in-window on three distinct kernels).
+    join operator in-window on three distinct kernels)); and IN =
+    `source_quota` (per-domain quota sampling — deterministic
+    hash-ranked draw, operators/sampling.py) for OUT = `raster_tiles`
+    (green r1+r2+r3; ice_image_tiles, raster_multiband and
+    raster_histogram keep the cut-and-merge mosaic pipeline
+    in-window).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1739,7 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subsample_px": _q_subsample_px,
         "spatial_bin": _q_spatial_bin,
         "kde": _q_kde,
-        "raster_tiles": _q_raster_tiles,
         "raster_histogram": _q_raster_histogram,
         "raster_retile_bilinear": _q_raster_retile_bilinear,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
@@ -1760,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "dedup_groups": _q_dedup_groups,
         "semdedup": _q_semdedup,
+        "source_quota": _q_source_quota,
         "ngram_jaccard": _q_ngram_jaccard,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
@@ -1773,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon": _q_polygon,
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
+        "raster_tiles": _q_raster_tiles,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -1993,6 +2012,8 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_geom() -> dict[str, str]:
+    from geowave_spark.operators.sampling import source_quota_sql
+
     """Oracles for the general-geometry join / predicate surface. The
     fixture families are chosen so every exact predicate is pure
     integer SQL: L-shapes = union of two closed rectangles, tracks =
@@ -2089,6 +2110,9 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"OR (x_u - {GWQL_OR_DW[0]}) * (x_u - {GWQL_OR_DW[0]}) + "
         f"(y_u - {GWQL_OR_DW[1]}) * (y_u - {GWQL_OR_DW[1]}) "
         f"<= {GWQL_OR_DW[2] ** 2}",
+        "source_quota": source_quota_sql(
+            "documents", 15, select_cols="doc_id, source"
+        ),
         "semdedup": "SELECT i AS vec_id, CAST(i % 8 AS BIGINT) AS cluster, "
         "(i % 8) + 8 * ((i // 8) % 6) AS rep_id FROM range(960) t(i)",
         "phash_dedup": _phash_dedup_oracle(),
