@@ -566,7 +566,37 @@ def _predfn_sql(name: str, args: list, x_col: str, y_col: str) -> str:
         d2 = (f"((CAST({x_col} AS BIGINT) - {px}) * (CAST({x_col} AS BIGINT) - {px}) "
               f"+ (CAST({y_col} AS BIGINT) - {py}) * (CAST({y_col} AS BIGINT) - {py}))")
         return f"({d2} <= {d * d})" if name == "DWITHIN" else f"({d2} > {d * d})"
-    if name in _SPATIAL_RESERVED or name in ("INTERSECTS", "WITHIN", "BBOXLOOSE"):
+    if name in ("TOVERLAPS", "TCONTAINS"):
+        # TemporalPredicates.java TOVERLAPS/TCONTAINS — Interval
+        # algebra specialized to instant fields (module docstring):
+        #   TOVERLAPS: field.end > lit.start AND field.start < lit.end
+        #   TCONTAINS: field.start <= lit.start AND field.end >= lit.end
+        if len(args) != 2:
+            raise GWQLParseException(f"{name} takes (column, period)")
+        col = _expr_sql(args[0])
+        lo, hi = _temporal_literal(args[1])
+        t_lo = f"TIMESTAMP '{lo}'"
+        t_hi = f"TIMESTAMP '{hi}'" if hi is not None else             f"{t_lo} + INTERVAL 1 MILLISECOND"
+        if name == "TOVERLAPS":
+            return f"({col} >= {t_lo} AND {col} < {t_hi})"
+        return (f"({col} <= {t_lo} AND "
+                f"{col} + INTERVAL 1 MILLISECOND >= {t_hi})")
+    if name == "BBOXLOOSE":
+        # SpatialPredicates BBOXLOOSE: coarse-cell-only constraint —
+        # the bbox widened to enclosing cell bounds at ``res`` (arg 6,
+        # default DEFAULT_RES), no exact refinement
+        from geowave_spark.operators.spatial_query import loose_bounds
+
+        if len(args) not in (5, 6):
+            raise GWQLParseException("BBOXLOOSE takes (col, x0, y0, x1, y1[, res])")
+        _as_col(args[0], "BBOXLOOSE")
+        x0, y0, x1, y1 = (int(_as_num(a, "BBOXLOOSE")) for a in args[1:5])
+        res = int(_as_num(args[5], "BBOXLOOSE")) if len(args) == 6 else 16
+        bx0, bx1 = loose_bounds(x0, x1, res)
+        by0, by1 = loose_bounds(y0, y1, res)
+        return (f"({x_col} BETWEEN {bx0} AND {bx1} "
+                f"AND {y_col} BETWEEN {by0} AND {by1})")
+    if name in _SPATIAL_RESERVED or name in ("INTERSECTS", "WITHIN"):
         # polygon refinement needs the vectorized refine path, which is
         # only reachable as a top-level AND constraint — never silently
         # full-scan through an OR/NOT branch (plans/cql.py stance)
@@ -627,6 +657,16 @@ def compile_filter(f: tuple | None, x_col: str = "x_u", y_col: str = "y_u") -> C
             if name == "BBOX" and plan.bbox is None and len(args) == 5:
                 _as_col(args[0], "BBOX")
                 plan.bbox = tuple(int(_as_num(a, "BBOX")) for a in args[1:])
+                continue
+            if name == "BBOXLOOSE" and plan.bbox is None and len(args) in (5, 6):
+                from geowave_spark.operators.spatial_query import loose_bounds
+
+                _as_col(args[0], "BBOXLOOSE")
+                x0, y0, x1, y1 = (int(_as_num(a, "BBOXLOOSE")) for a in args[1:5])
+                res = int(_as_num(args[5], "BBOXLOOSE")) if len(args) == 6 else 16
+                bx0, bx1 = loose_bounds(x0, x1, res)
+                by0, by1 = loose_bounds(y0, y1, res)
+                plan.bbox = (bx0, by0, bx1, by1)
                 continue
             if name in ("INTERSECTS", "WITHIN") and plan.geometry is None:
                 if len(args) != 2:

@@ -287,3 +287,60 @@ def test_select_polygon_refine_matches_cql(store, spark, sf_dir):
     want = store.cql("events", f"INTERSECTS(geom, {wkt})").select("event_id")
     assert got.count() == want.count() > 0
     assert got.exceptAll(want.select("event_id")).count() == 0
+
+
+def test_toverlaps_tcontains_render():
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE TOVERLAPS(ts, '2024-01-01/2024-02-01') "
+            "OR TCONTAINS(ts, '2024-01-05')"
+        ).where
+    )
+    r = plan.residual[0]
+    assert "ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'" in r
+    assert "ts <= TIMESTAMP '2024-01-05'" in r
+
+
+def test_bboxloose_constraint_and_residual():
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE BBOXLOOSE(geom, -100, -50, 100, 50, 6)"
+        ).where
+    )
+    from geowave_spark.operators.spatial_query import loose_bounds
+
+    bx = loose_bounds(-100, 100, 6)
+    by = loose_bounds(-50, 50, 6)
+    assert plan.bbox == (bx[0], by[0], bx[1], by[1])
+    # under OR: rendered residually with default res 16
+    plan = compile_filter(
+        parse_statement(
+            "SELECT * FROM t WHERE BBOXLOOSE(geom, -100, -50, 100, 50) OR a = 1"
+        ).where
+    )
+    assert plan.bbox is None and "BETWEEN" in plan.residual[0]
+
+
+def test_gwql_bboxloose_matches_engine_loose_query(store, spark, sf_dir):
+    from geowave_spark.operators.spatial_query import bbox_query_loose
+
+    x0, y0, x1, y1 = BBOX
+    got = store.gwql(
+        f"SELECT event_id FROM events WHERE BBOXLOOSE(geom, {x0}, {y0}, {x1}, {y1}, 6)"
+    )
+    want = bbox_query_loose(
+        events_points(spark, sf_dir), x0, y0, x1, y1, 6
+    ).select("event_id")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_toverlaps_matches_during_on_instants(store):
+    a = store.gwql(
+        "SELECT event_id FROM events "
+        "WHERE TOVERLAPS(ts, '2024-01-05/2024-01-20')"
+    )
+    b = store.gwql(
+        "SELECT event_id FROM events WHERE ts DURING '2024-01-05/2024-01-20'"
+    )
+    assert a.count() == b.count() > 0
