@@ -158,6 +158,15 @@ def main():
         # → min-label-propagation connected components)
         "xmodal_topk",
         "dedup_groups",
+        # wave-5: GWQL statement layer (parse + constraint split +
+        # residual — plan identical to the hand-built query, so the
+        # delta over cql_filter measures the statement overhead);
+        # SemDeDup cluster-scoped semantic dedup (planted corpus);
+        # per-domain quota sampling (one window, WindowGroupLimit)
+        "gwql_select",
+        "gwql_agg",
+        "semdedup",
+        "source_quota",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
