@@ -268,6 +268,19 @@ def _q_common_passages(spark, sf):
     return common_passages(_docs(spark, sf), n=8, min_docs=3)
 
 
+def _q_pack_sequences(spark, sf):
+    """Sequence packing (operators/packing.py): token-counted documents
+    → fixed-capacity (256-token) training windows, greedy next-fit per
+    hash bucket — deterministic bucket draw + id order, so the oracle
+    replays the identical greedy fold as a recursive CTE. One shuffle
+    (groupBy bucket), one Arrow batch per bucket."""
+    from geowave_spark.operators.packing import pack_sequences
+    from geowave_spark.operators.text import token_count
+
+    docs = token_count(spark.read.parquet(f"{sf}/documents.parquet"))
+    return pack_sequences(docs, 256)
+
+
 def _q_source_quota(spark, sf):
     """Per-source quota sampling (operators/sampling.source_quota):
     the C4/RefinedWeb-style domain cap — rank rows within each source
@@ -1719,7 +1732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-ranked draw, operators/sampling.py) for OUT = `raster_tiles`
     (green r1+r2+r3; ice_image_tiles, raster_multiband and
     raster_histogram keep the cut-and-merge mosaic pipeline
-    in-window).
+    in-window)); and IN = `pack_sequences`
+    (greedy next-fit sequence packing into fixed-capacity training
+    windows, recursive-CTE oracle) for OUT = `hilbert_bbox` (green
+    r1+r2+r3; xz_extent_keyed, st_bbox_time and crs_bbox_stored keep
+    the stored-key scan paths in-window).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1732,7 +1749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         "gwql_select": _q_gwql_select,
         "st_bbox_time": _q_st_bbox_time,
-        "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
         "attr_range": _q_attr_range,
         "xz_extent_keyed": _q_xz_extent_keyed,
@@ -1778,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "semdedup": _q_semdedup,
         "source_quota": _q_source_quota,
+        "pack_sequences": _q_pack_sequences,
         "ngram_jaccard": _q_ngram_jaccard,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
@@ -1792,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
+        "hilbert_bbox": _q_hilbert_bbox,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -2012,6 +2030,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_geom() -> dict[str, str]:
+    from geowave_spark.operators.packing import pack_sequences_sql
     from geowave_spark.operators.sampling import source_quota_sql
 
     """Oracles for the general-geometry join / predicate surface. The
@@ -2113,6 +2132,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "source_quota": source_quota_sql(
             "documents", 15, select_cols="doc_id, source"
         ),
+        "pack_sequences": pack_sequences_sql("documents", 256),
         "semdedup": "SELECT i AS vec_id, CAST(i % 8 AS BIGINT) AS cluster, "
         "(i % 8) + 8 * ((i // 8) % 6) AS rep_id FROM range(960) t(i)",
         "phash_dedup": _phash_dedup_oracle(),

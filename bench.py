@@ -167,6 +167,7 @@ def main():
         "gwql_agg",
         "semdedup",
         "source_quota",
+        "pack_sequences",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

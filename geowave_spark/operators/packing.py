@@ -1,0 +1,128 @@
+"""Sequence packing — fixed-capacity training-window construction.
+
+An LLM training pipeline's last batch-shaping step: concatenate
+token-counted documents into fixed-length context windows ("bins" of
+``capacity`` tokens) so padding waste stays low. This module implements
+the standard streaming-greedy packer (next-fit: documents in a fixed
+order, open a new bin when the current one cannot fit the next doc) —
+the variant production pipelines favor over bin-packing heuristics
+because it is ONE sequential pass, deterministic, and never reorders a
+shard under retry.
+
+Distribution shape: documents are hash-bucketed (the dedup._h64
+portable draw), packing runs independently per bucket — bucket count
+scales with the corpus so per-bucket cardinality stays bounded, the
+same bounding argument as semdedup's clusters. The per-bucket pass is
+one ``applyInPandas`` group (a single Arrow batch in, the greedy fold
+is a linear numpy-backed loop); the only shuffle is the groupBy's hash
+partitioning on bucket. Bin ids are (bucket, bin_id)-local, so no
+global coordination or driver state exists at any scale.
+
+Determinism: bucket = h64(id) mod n_buckets, pack order = id ASC
+within bucket — re-running any shard reproduces identical bins, and
+the DuckDB oracle replays the same greedy fold as a recursive CTE.
+
+Oversized documents (n_tokens > capacity) are CLAMPED to capacity
+(the truncate-to-context-length convention); each occupies a bin
+alone when encountered mid-stream per the next-fit rule.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geowave_spark.operators.dedup import _h64
+
+_OUT_SCHEMA = (
+    "doc_id LONG, bucket INT, bin_id INT, offset INT, n_tok INT"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: int = 11,
+) -> DataFrame:
+    """Pack documents into fixed-capacity windows, greedy next-fit per
+    hash bucket. Returns (doc_id, bucket, bin_id, offset, n_tok):
+    bin_id is 0-based within the bucket, offset is the document's start
+    position inside its bin, n_tok the (capacity-clamped) token count.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.pmod(_h64(F.col(id_col).cast("string"), salt), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.least(F.col(tokens_col), F.lit(capacity)).cast("int").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        toks = pdf["n_tok"].to_numpy()
+        bins, offs = [], []
+        bin_id, fill = 0, 0
+        for t in toks:
+            if fill + t > capacity and fill > 0:
+                bin_id += 1
+                fill = 0
+            bins.append(bin_id)
+            offs.append(fill)
+            fill += int(t)
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        pdf["offset"] = pd.Series(offs, dtype="int32")
+        return pdf[["doc_id", "bucket", "bin_id", "offset", "n_tok"]]
+
+    return base.groupBy("bucket").applyInPandas(pack, _OUT_SCHEMA)
+
+
+def pack_sequences_sql(
+    table: str,
+    capacity: int,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    tokens_expr: str = "len(string_split(text, ' '))",
+    salt: int = 11,
+) -> str:
+    """DuckDB twin: the same greedy next-fit fold as a recursive CTE
+    stepping through each bucket's id-ordered rows."""
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('s{salt}:', "
+        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT {id_col} AS doc_id,
+         CAST({h} % {n_buckets} AS INT) AS bucket,
+         CAST(least({tokens_expr}, {capacity}) AS INT) AS n_tok,
+         row_number() OVER (
+           PARTITION BY CAST({h} % {n_buckets} AS INT)
+           ORDER BY {id_col}) AS rn
+  FROM {table}
+),
+r AS (
+  SELECT bucket, rn, doc_id, n_tok, 0 AS bin_id, 0 AS "offset",
+         n_tok AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+         CASE WHEN r.fill + d.n_tok > {capacity} AND r.fill > 0
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.fill + d.n_tok > {capacity} AND r.fill > 0
+              THEN 0 ELSE r.fill END,
+         CASE WHEN r.fill + d.n_tok > {capacity} AND r.fill > 0
+              THEN d.n_tok ELSE r.fill + d.n_tok END
+  FROM r JOIN d ON d.bucket = r.bucket AND d.rn = r.rn + 1
+)
+SELECT doc_id, bucket, CAST(bin_id AS INT) AS bin_id,
+       CAST("offset" AS INT) AS "offset", n_tok
+FROM r
+"""
