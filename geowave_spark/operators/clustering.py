@@ -64,6 +64,13 @@ def kmeans_lloyd(
     pts = points.select("pid", "x_u", "y_u").persist()
     try:
         row = pts.orderBy("pid").select("x_u", "y_u").first()
+        if row is None:
+            raise ValueError("kmeans_lloyd: input has no rows")
+        n_distinct = pts.select("x_u", "y_u").distinct().limit(k).count()
+        if n_distinct < k:
+            raise ValueError(
+                f"kmeans_lloyd: k={k} exceeds distinct points ({n_distinct})"
+            )
         seeds: list[tuple[float, float]] = [(float(row[0]), float(row[1]))]
         x, y = F.col("x_u").cast("double"), F.col("y_u").cast("double")
 

@@ -379,6 +379,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never break = the last round still changed labels: the graph
+        # diameter exceeds max_iters and the labels are NOT component
+        # minima. Returning them would silently split duplicate groups
+        # (two canonical ids for one component) — fail loudly instead;
+        # callers with genuinely long chains raise max_iters (or switch
+        # to the large-star/small-star transform, docstring above).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter too large); raise max_iters"
+        )
     return labels
 
 

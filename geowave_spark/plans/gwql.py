@@ -34,14 +34,20 @@ Temporal operator semantics follow the reference's Interval algebra
 (core/geotime/.../filter/expression/temporal/{After,Before,During,
 BeforeOrDuring,DuringOrAfter}.java) specialized to instant-valued
 fields: an instant literal ``'t'`` is the empty interval [t, t+1ms)
-(TimeUtils.getIntervalEnd), an interval literal ``'a/b'`` is [a, b).
+(TimeUtils.getIntervalEnd — 1 MILLISECOND is the algebra's quantum),
+an interval literal ``'a/b'`` is [a, b). The engine renders the
+MILLISECOND-QUANTIZED equivalent forms — exact for any data whose
+timestamps have ≥1 ms granularity (the fixtures' and typical event
+data's regime); a field value with a sub-millisecond fraction can
+shift a boundary decision by <1 ms relative to the reference's
+nanosecond Instants, a documented quantization deviation:
 
-    field AFTER  't'    → field >  t        (start ≥ literal end)
-    field AFTER  'a/b'  → field >= b
-    field BEFORE lit    → field <  start    (end ≤ literal start)
-    field DURING 'a/b'  → a <= field < b
+    field AFTER  't'    → field >  t     (≡ start ≥ t+1ms at ms grain)
+    field AFTER  'a/b'  → field >= b     (exact)
+    field BEFORE lit    → field <  start (≡ end ≤ start at ms grain)
+    field DURING 'a/b'  → a <= field < b (≡ end ≤ b at ms grain)
     field BEFORE_OR_DURING 'a/b' → field < b
-    field DURING_OR_AFTER  'a/b' → field >= a
+    field DURING_OR_AFTER  'a/b' → field >= a  (exact)
 """
 
 from __future__ import annotations
@@ -54,7 +60,12 @@ from pyspark.sql import functions as F
 
 from geowave_spark.geom.udfs import geom_from_wkt
 from geowave_spark.geom.wkb import wkb_loads
-from geowave_spark.plans.cql import CQLPlan, apply_plan, _iso_to_sql
+from geowave_spark.plans.cql import (
+    CQLPlan,
+    _POINT_RE,
+    apply_plan,
+    _iso_to_sql,
+)
 
 
 class GWQLParseException(ValueError):
@@ -505,12 +516,11 @@ def _as_wkt(e: tuple, ctx: str) -> str:
     raise GWQLParseException(f"{ctx} expects a WKT literal")
 
 
-_POINT_RE = re.compile(r"^\s*POINT\s*\(\s*(-?\d+)\s+(-?\d+)\s*\)\s*$", re.I)
 
 
 def _temporal_literal(e: tuple) -> tuple[str, str | None]:
     """'t' → (t, None) instant; 'a/b' → (a, b) interval (SQL literals)."""
-    if e[0] == "cast" and e[3] == "DATE":
+    if e[0] == "cast" and e[2] == "DATE":
         return _temporal_literal(e[1])
     if e[0] != "str":
         raise GWQLParseException("temporal operator expects a date literal")
@@ -544,6 +554,24 @@ def _opred_sql(op: str, e1: tuple, e2: tuple) -> str:
     raise GWQLParseException(f"unknown temporal operator {op}")
 
 
+def _loose_bbox(args: list) -> tuple[int, int, int, int]:
+    """BBOXLOOSE arg validation + widening to enclosing cell bounds at
+    ``res`` (optional 6th arg; defaults to api.DEFAULT_RES — the same
+    resolution the DataStore indexes at). Single implementation shared
+    by the constraint extractor and the residual renderer."""
+    from geowave_spark.api import DEFAULT_RES
+    from geowave_spark.operators.spatial_query import loose_bounds
+
+    if len(args) not in (5, 6):
+        raise GWQLParseException("BBOXLOOSE takes (col, x0, y0, x1, y1[, res])")
+    _as_col(args[0], "BBOXLOOSE")
+    x0, y0, x1, y1 = (int(_as_num(a, "BBOXLOOSE")) for a in args[1:5])
+    res = int(_as_num(args[5], "BBOXLOOSE")) if len(args) == 6 else DEFAULT_RES
+    bx0, bx1 = loose_bounds(x0, x1, res)
+    by0, by1 = loose_bounds(y0, y1, res)
+    return bx0, by0, bx1, by1
+
+
 def _predfn_sql(name: str, args: list, x_col: str, y_col: str) -> str:
     """Render a predicate function residually (exact, point-table)."""
     if name in _TEXT_PRED_FNS:
@@ -553,11 +581,15 @@ def _predfn_sql(name: str, args: list, x_col: str, y_col: str) -> str:
               "STRCONTAINS": "strContains"}[name]
         return f"{fn}({_expr_sql(args[0])}, {_expr_sql(args[1])})"
     if name == "BBOX":
+        if len(args) != 5:
+            raise GWQLParseException("BBOX takes (col, x0, y0, x1, y1)")
         _as_col(args[0], "BBOX")
         x0, y0, x1, y1 = (_as_num(a, "BBOX") for a in args[1:5])
         return (f"({x_col} BETWEEN {x0} AND {x1} "
                 f"AND {y_col} BETWEEN {y0} AND {y1})")
     if name in ("DWITHIN", "BEYOND"):
+        if len(args) not in (3, 4):
+            raise GWQLParseException(f"{name} takes (col, POINT, dist[, units])")
         pm = _POINT_RE.match(_as_wkt(args[1], name))
         if pm is None:
             raise GWQLParseException(f"{name} supports POINT references only")
@@ -582,18 +614,9 @@ def _predfn_sql(name: str, args: list, x_col: str, y_col: str) -> str:
         return (f"({col} <= {t_lo} AND "
                 f"{col} + INTERVAL 1 MILLISECOND >= {t_hi})")
     if name == "BBOXLOOSE":
-        # SpatialPredicates BBOXLOOSE: coarse-cell-only constraint —
-        # the bbox widened to enclosing cell bounds at ``res`` (arg 6,
-        # default DEFAULT_RES), no exact refinement
-        from geowave_spark.operators.spatial_query import loose_bounds
-
-        if len(args) not in (5, 6):
-            raise GWQLParseException("BBOXLOOSE takes (col, x0, y0, x1, y1[, res])")
-        _as_col(args[0], "BBOXLOOSE")
-        x0, y0, x1, y1 = (int(_as_num(a, "BBOXLOOSE")) for a in args[1:5])
-        res = int(_as_num(args[5], "BBOXLOOSE")) if len(args) == 6 else 16
-        bx0, bx1 = loose_bounds(x0, x1, res)
-        by0, by1 = loose_bounds(y0, y1, res)
+        # SpatialPredicates BBOXLOOSE: coarse-cell-only constraint, no
+        # exact refinement — rendered as the widened exact bounds
+        bx0, by0, bx1, by1 = _loose_bbox(args)
         return (f"({x_col} BETWEEN {bx0} AND {bx1} "
                 f"AND {y_col} BETWEEN {by0} AND {by1})")
     if name in _SPATIAL_RESERVED or name in ("INTERSECTS", "WITHIN"):
@@ -659,14 +682,7 @@ def compile_filter(f: tuple | None, x_col: str = "x_u", y_col: str = "y_u") -> C
                 plan.bbox = tuple(int(_as_num(a, "BBOX")) for a in args[1:])
                 continue
             if name == "BBOXLOOSE" and plan.bbox is None and len(args) in (5, 6):
-                from geowave_spark.operators.spatial_query import loose_bounds
-
-                _as_col(args[0], "BBOXLOOSE")
-                x0, y0, x1, y1 = (int(_as_num(a, "BBOXLOOSE")) for a in args[1:5])
-                res = int(_as_num(args[5], "BBOXLOOSE")) if len(args) == 6 else 16
-                bx0, bx1 = loose_bounds(x0, x1, res)
-                by0, by1 = loose_bounds(y0, y1, res)
-                plan.bbox = (bx0, by0, bx1, by1)
+                plan.bbox = _loose_bbox(args)
                 continue
             if name in ("INTERSECTS", "WITHIN") and plan.geometry is None:
                 if len(args) != 2:

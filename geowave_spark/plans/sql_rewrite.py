@@ -37,9 +37,12 @@ fallback — correct, just not index-routed.
 
 from __future__ import annotations
 
+import warnings
+
 import json
 import re
 
+from pyspark.errors import AnalysisException, ParseException
 from pyspark.sql import DataFrame, SparkSession
 
 PRED_MAP = {
@@ -406,8 +409,17 @@ def try_rewrite_spatial_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         rewritten += " " + clauses["tail"]
     try:
         return spark.sql(rewritten)
-    except Exception:
+    except (AnalysisException, ParseException):
         # a residual conjunct the text slicer mis-sliced (exotic syntax
         # the splitter doesn't model) — fall back to plain spark.sql
-        # rather than failing a query that worked unrouted
+        # rather than failing a query that worked unrouted. Warn loudly:
+        # the unrouted plan is the cartesian-product shape this module
+        # exists to prevent, so silent degradation would hide a real
+        # routing regression at scale.
+        warnings.warn(
+            "spatial SQL rewrite produced unparsable SQL; query will run "
+            f"UNROUTED (cartesian + per-row refine): {rewritten!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None

@@ -45,3 +45,20 @@ def test_near_dup_groups_matches_pairs_closure(spark):
         assert groups[r["doc_a"]] == groups[r["doc_b"]]
     # canonical ids are component minima: canonical maps to itself
     assert all(groups[c] == c for c in set(groups.values()))
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iters rounds must fail loudly, never
+    return split components (two canonical ids for one group)."""
+    import pytest
+
+    from geowave_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a LONG, doc_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3).collect()
+    # and with enough rounds the same chain converges to one label
+    out = connected_components(chain, max_iters=40).collect()
+    assert {r["label"] for r in out} == {0}
