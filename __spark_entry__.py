@@ -983,6 +983,47 @@ def _q_ice_bbox(spark, sf):
     )
 
 
+def _q_ice_delete(spark, sf):
+    """Row-level DELETE on the snapshot table (IceTable.delete_where —
+    copy-on-write: only stat-overlapping files rewritten, untouched
+    files carried forward; Iceberg v1 semantics for the reference's
+    BaseDataStore.deleteEntries). The store commits the cell-sorted
+    events, deletes `value < 50` INSIDE the query bbox (idempotent:
+    the delete is applied once, detected via the snapshot log), then
+    runs the SAME three-level-pruned bbox scan as the old ice_bbox row
+    over the post-delete manifest — so this row checks commit, delete
+    row-accounting, NULL-never-matches semantics, snapshot isolation
+    AND the manifest-pruned read in one oracle comparison."""
+    import hashlib as _h
+
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.plans.store import CACHE_ROOT, ice_bbox_query
+    from geowave_spark.sources.icetable import IceTable
+    import os as _os
+
+    x0, y0, x1, y1 = BBOX
+    digest = _h.md5(f"ice_del:{sf}:16".encode()).hexdigest()[:12]
+    t = IceTable(_os.path.join(CACHE_ROOT, f"ice_del_{digest}"))
+    if t.current_snapshot_id() is None:
+        pts = events_points(spark, sf).withColumn(
+            "cell", cell_col(F.col("x_u"), F.col("y_u"), 16)
+        )
+        t.commit_write(
+            pts.repartitionByRange(8, "cell").sortWithinPartitions("cell"),
+            mode="overwrite",
+            stats_cols=["cell"],
+        )
+    if t.snapshots()[-1]["operation"] != "delete":
+        t.delete_where(
+            spark,
+            predicate=(
+                f"x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+                "AND value < 50"
+            ),
+        )
+    return ice_bbox_query(spark, t, x0, y0, x1, y1).select("event_id")
+
+
 def _q_stats_incremental(spark, sf):
     """Write-path incremental statistics: events committed as a 3-append
     snapshot sequence; count + bbox come from the manifest's footer
@@ -1736,7 +1777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (greedy next-fit sequence packing into fixed-capacity training
     windows, recursive-CTE oracle) for OUT = `hilbert_bbox` (green
     r1+r2+r3; xz_extent_keyed, st_bbox_time and crs_bbox_stored keep
-    the stored-key scan paths in-window).
+    the stored-key scan paths in-window)); and IN = `ice_delete`
+    (copy-on-write row-level DELETE + the same manifest-pruned bbox
+    scan) REPLACING `ice_bbox` (green r1+r2+r3), which it subsumes —
+    same three-level-pruned read, now over a post-delete manifest.
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1749,7 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         "gwql_select": _q_gwql_select,
         "st_bbox_time": _q_st_bbox_time,
-        "ice_bbox": _q_ice_bbox,
+        "ice_delete": _q_ice_delete,
         "attr_range": _q_attr_range,
         "xz_extent_keyed": _q_xz_extent_keyed,
         "crs_bbox": _q_crs_bbox,
@@ -1810,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
         "hilbert_bbox": _q_hilbert_bbox,
+        "ice_bbox": _q_ice_bbox,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -2104,6 +2149,9 @@ def _oracle_sql_geom() -> dict[str, str]:
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
         "hilbert_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
+        "ice_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        "AND NOT coalesce(value < 50, FALSE)",
         "ice_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "cql_filter": f"{pts} SELECT event_id FROM {EVENTS_PTS} "

@@ -168,6 +168,7 @@ def main():
         "semdedup",
         "source_quota",
         "pack_sequences",
+        "ice_delete",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
@@ -187,6 +188,7 @@ def main():
         "ice_image_tiles",  # image snapshot-table commit (write path)
         "stats_incremental",  # multi-snapshot stats store commit (write path)
         "crs_bbox_stored",  # custom-CRS cell-sorted layout (write path)
+        "ice_delete",  # snapshot commit + delete rewrite (write path)
     ):
         qs[warm](spark, sf_dir).count()
     # geometry-join path: polyfill + pair-refine UDF codegen and the

@@ -379,6 +379,123 @@ class IceTable:
 
     # -------------------------------------------------------- maintenance
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        ranges: dict[str, tuple] | None = None,
+        predicate: str | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> tuple[int, dict]:
+        """Row-level DELETE, copy-on-write (Iceberg v1 semantics; the
+        reference's row deletion rides the KV store's delete-by-row-id —
+        core/store/.../base/BaseDataStore deleteEntries — this is the
+        lakehouse equivalent over immutable files). Rows matching
+        (``ranges`` AND ``predicate``) are removed by REWRITING only
+        the files whose footer stats admit a match; every provably
+        unaffected file is carried into the new manifest untouched —
+        at 100 TB a bbox delete rewrites the few overlapping files,
+        never the table. Old snapshots still time-travel to the
+        pre-delete rows until ``expire_snapshots``.
+
+        ``ranges``: {col: (lo, hi)} inclusive bounds (None = open) —
+        used BOTH for file skipping and as exact row conditions.
+        ``predicate``: additional SQL condition ANDed in (rows where it
+        evaluates NULL are kept — they do not match the delete).
+
+        Commits with optimistic concurrency: if another writer lands a
+        snapshot between the read and the commit, raises RuntimeError
+        instead of clobbering it (Iceberg's commit validation).
+        Returns (deleted_rows, report)."""
+        ranges = ranges or {}
+        base_sid = self.current_snapshot_id()
+        files = self.files(base_sid)
+        if not files:
+            raise ValueError("empty table")
+        touched, untouched = [], []
+        for fi in files:
+            maybe = True
+            for col, (lo, hi) in ranges.items():
+                st = fi["stats"].get(col)
+                if st is None:
+                    continue  # no stats -> must assume a match
+                if (hi is not None and st[0] > hi) or (
+                    lo is not None and st[1] < lo
+                ):
+                    maybe = False
+                    break
+            (touched if maybe else untouched).append(fi)
+        report = {
+            "files_total": len(files),
+            "files_rewritten": len(touched),
+            "files_skipped": len(untouched),
+        }
+        if not touched:
+            return 0, report
+
+        from pyspark.sql import functions as F
+
+        cond = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                cond = cond & (F.col(col) >= lo)
+            if hi is not None:
+                cond = cond & (F.col(col) <= hi)
+        if predicate is not None:
+            cond = cond & F.expr(predicate)
+        # NULL never matches a delete: keep the row unless cond is TRUE
+        keep = ~F.coalesce(cond, F.lit(False))
+
+        cand = spark.read.parquet(*[f["path"] for f in touched])
+        kept_df = cand.where(keep)
+        n_before = sum(f["rows"] for f in touched)
+        # rewritten files land outside the lock, invisible until publish
+        data_dir = os.path.join(self.root, "data", f"d-{uuid.uuid4().hex[:12]}")
+        kept_df.write.mode("error").parquet(data_dir)
+        if stats_cols is None:
+            cols = set()
+            for fi in touched:
+                cols.update(fi["stats"].keys())
+            stats_cols = sorted(cols) or None
+        new_files = [
+            _file_stats(os.path.join(data_dir, fn), stats_cols)
+            for fn in sorted(os.listdir(data_dir))
+            if fn.endswith(".parquet")
+        ]
+        n_after = sum(x["rows"] for x in new_files)
+        deleted = n_before - n_after
+        if deleted == 0:
+            for fn in os.listdir(data_dir):
+                os.unlink(os.path.join(data_dir, fn))
+            os.rmdir(data_dir)
+            return 0, report
+        with self._commit_lock():
+            meta = self._metadata()
+            if meta["current_snapshot_id"] != base_sid:
+                raise RuntimeError(
+                    "concurrent commit detected: table moved from snapshot "
+                    f"{base_sid} to {meta['current_snapshot_id']} during delete"
+                )
+            sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            manifest = untouched + new_files
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(manifest))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": base_sid,
+                    "ts": time.time(),
+                    "operation": "delete",
+                    "added_files": len(new_files),
+                    "added_rows": n_after,
+                    "added_paths": [x["path"] for x in new_files],
+                    "summary": {"deleted_rows": int(deleted), **report},
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
+        report["deleted_rows"] = int(deleted)
+        return int(deleted), report
+
     def compact(
         self,
         spark: SparkSession,

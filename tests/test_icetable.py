@@ -608,3 +608,82 @@ def test_occupancy_survives_compaction(spark, tmp_path):
     after = t.merged_occupancy()
     assert after == before and after["complete"] is True
     assert sum(after["cells"].values()) == 400
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Row-level DELETE: only overlapping files rewritten, untouched
+    files carried into the new manifest byte-identical; old snapshot
+    still time-travels to the deleted rows."""
+    t = IceTable(str(tmp_path / "del1"))
+    # 4 range-partitioned files with tight id stats
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id"), (F.col("id") * 2).alias("val"))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    s1 = t.commit_write(df, mode="overwrite", stats_cols=["id"])
+    before_paths = {f["path"] for f in t.files()}
+    deleted, rep = t.delete_where(spark, ranges={"id": (50, 75)})
+    assert deleted == 26
+    assert rep["files_rewritten"] < rep["files_total"]  # skipping worked
+    assert t.read(spark).count() == 400 - 26
+    assert t.read(spark).where("id BETWEEN 50 AND 75").count() == 0
+    # untouched files are the SAME paths (no rewrite)
+    after_paths = {f["path"] for f in t.files()}
+    assert len(before_paths & after_paths) == rep["files_skipped"] > 0
+    # time travel to pre-delete snapshot
+    assert t.read(spark, snapshot_id=s1).count() == 400
+    assert t.snapshots()[-1]["operation"] == "delete"
+    assert t.snapshots()[-1]["summary"]["deleted_rows"] == 26
+
+
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    t = IceTable(str(tmp_path / "del2"))
+    rows = [(1, 5), (2, None), (3, 50), (4, 7)]
+    df = spark.createDataFrame(rows, "id LONG, v INT")
+    t.commit_write(df, mode="overwrite", stats_cols=["id"])
+    deleted, _ = t.delete_where(spark, predicate="v < 10")
+    # NULL v does not match the delete -> row 2 kept
+    assert deleted == 2
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_delete_where_no_match_commits_nothing(spark, tmp_path):
+    t = IceTable(str(tmp_path / "del3"))
+    t.commit_write(_mk(spark, 0, 100), mode="overwrite", stats_cols=["id"])
+    n_snaps = len(t.snapshots())
+    deleted, rep = t.delete_where(spark, ranges={"id": (1000, 2000)})
+    assert deleted == 0 and rep["files_rewritten"] == 0
+    deleted, rep = t.delete_where(spark, predicate="val < 0")
+    assert deleted == 0  # files overlap but no rows match
+    assert len(t.snapshots()) == n_snaps  # no empty delete snapshots
+
+
+def test_delete_where_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    import pytest
+
+    t = IceTable(str(tmp_path / "del4"))
+    t.commit_write(_mk(spark, 0, 100), mode="overwrite", stats_cols=["id"])
+    orig_lock = t._commit_lock
+
+    def racing_lock(*a, **kw):
+        # another writer lands an append just before our delete commits
+        monkeypatch.setattr(t, "_commit_lock", orig_lock)
+        t.commit_write(_mk(spark, 100, 110), mode="append", stats_cols=["id"])
+        return orig_lock(*a, **kw)
+
+    monkeypatch.setattr(t, "_commit_lock", racing_lock)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.delete_where(spark, ranges={"id": (0, 10)})
+    # table intact: the racing append is visible, nothing lost
+    assert t.read(spark).count() == 110
+
+
+def test_delete_then_rollback_restores(spark, tmp_path):
+    t = IceTable(str(tmp_path / "del5"))
+    s1 = t.commit_write(_mk(spark, 0, 100), mode="overwrite", stats_cols=["id"])
+    t.delete_where(spark, ranges={"id": (0, 49)})
+    assert t.read(spark).count() == 50
+    t.rollback(s1)
+    assert t.read(spark).count() == 100
