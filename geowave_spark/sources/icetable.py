@@ -496,6 +496,112 @@ class IceTable:
         report["deleted_rows"] = int(deleted)
         return int(deleted), report
 
+    def upsert(
+        self,
+        df: DataFrame,
+        key_col: str,
+        stats_cols: list[str] | None = None,
+    ) -> tuple[int, dict]:
+        """MERGE INTO semantics in ONE atomic snapshot: rows of ``df``
+        replace existing rows with the same ``key_col`` value; new keys
+        append. The reference's ingest has exactly this contract — a
+        re-written data id replaces the stored entry
+        (core/store/.../base/BaseDataStore write path, dataId identity).
+
+        Copy-on-write like delete_where: the incoming batch's
+        [min, max] key range prunes the manifest, so only files whose
+        key stats overlap the batch are anti-joined and rewritten;
+        everything else carries forward untouched. Rewrite + append
+        publish as a SINGLE snapshot — a reader never observes the
+        deleted-but-not-yet-reinserted intermediate state.
+
+        Returns (replaced_rows, report)."""
+        from pyspark.sql import functions as F
+
+        base_sid = self.current_snapshot_id()
+        files = self.files(base_sid)
+        spark = df.sparkSession
+        keys = df.select(F.col(key_col)).distinct().persist()
+        bounds = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        k_lo, k_hi = bounds["lo"], bounds["hi"]
+        touched, untouched = [], []
+        for fi in files:
+            st = fi["stats"].get(key_col)
+            if st is not None and k_lo is not None and (
+                st[0] > k_hi or st[1] < k_lo
+            ):
+                untouched.append(fi)
+            else:
+                touched.append(fi)
+        report = {
+            "files_total": len(files),
+            "files_rewritten": len(touched),
+            "files_skipped": len(untouched),
+        }
+        data_dir = os.path.join(self.root, "data", f"u-{uuid.uuid4().hex[:12]}")
+        n_before = sum(f["rows"] for f in touched)
+        n_after = n_before
+        new_files: list[dict] = []
+        if touched:
+            survivors = (
+                spark.read.parquet(*[f["path"] for f in touched])
+                .join(F.broadcast(keys), key_col, "leftanti")
+            )
+            survivors.write.mode("error").parquet(data_dir)
+            if stats_cols is None:
+                cols = set()
+                for fi in touched:
+                    cols.update(fi["stats"].keys())
+                stats_cols = sorted(cols) or None
+            new_files = [
+                _file_stats(os.path.join(data_dir, fn), stats_cols)
+                for fn in sorted(os.listdir(data_dir))
+                if fn.endswith(".parquet")
+            ]
+            n_after = sum(x["rows"] for x in new_files)
+        batch_dir = os.path.join(self.root, "data", f"u-{uuid.uuid4().hex[:12]}")
+        df.write.mode("error").parquet(batch_dir)
+        batch_files = [
+            _file_stats(os.path.join(batch_dir, fn), stats_cols)
+            for fn in sorted(os.listdir(batch_dir))
+            if fn.endswith(".parquet")
+        ]
+        keys.unpersist()
+        replaced = n_before - n_after
+        with self._commit_lock():
+            meta = self._metadata()
+            if meta["current_snapshot_id"] != base_sid:
+                raise RuntimeError(
+                    "concurrent commit detected: table moved from snapshot "
+                    f"{base_sid} to {meta['current_snapshot_id']} during upsert"
+                )
+            sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            manifest = untouched + new_files + batch_files
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(manifest))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": base_sid,
+                    "ts": time.time(),
+                    "operation": "upsert",
+                    "added_files": len(new_files) + len(batch_files),
+                    "added_rows": sum(
+                        x["rows"] for x in new_files + batch_files
+                    ),
+                    "added_paths": [
+                        x["path"] for x in new_files + batch_files
+                    ],
+                    "summary": {"replaced_rows": int(replaced), **report},
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
+        report["replaced_rows"] = int(replaced)
+        return int(replaced), report
+
     def compact(
         self,
         spark: SparkSession,

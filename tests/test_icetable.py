@@ -687,3 +687,68 @@ def test_delete_then_rollback_restores(spark, tmp_path):
     assert t.read(spark).count() == 50
     t.rollback(s1)
     assert t.read(spark).count() == 100
+
+
+def test_upsert_single_atomic_snapshot(spark, tmp_path):
+    """MERGE: same-key rows replaced, new keys appended, ONE snapshot,
+    file skipping on the batch's key range."""
+    t = IceTable(str(tmp_path / "up1"))
+    base = (
+        spark.range(0, 400)
+        .select(F.col("id"), (F.col("id") * 2).alias("val"))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    s1 = t.commit_write(base, mode="overwrite", stats_cols=["id"])
+    # batch: keys 90-109 straddle two of the four range files; the
+    # other two files fall outside [90, 109] and must not rewrite
+    batch = spark.createDataFrame(
+        [(i, i * 1000) for i in range(90, 110)] + [(405, 405000)],
+        "id LONG, val LONG",
+    )
+    replaced, rep = t.upsert(batch, "id")
+    assert replaced == 20
+    assert len(t.snapshots()) == 2  # one atomic snapshot
+    assert t.snapshots()[-1]["operation"] == "upsert"
+    got = t.read(spark)
+    assert got.count() == 401
+    assert got.where("id = 95").first()["val"] == 95000  # replaced
+    assert got.where("id = 10").first()["val"] == 20     # untouched
+    assert got.where("id = 405").first()["val"] == 405000  # appended
+    assert got.select("id").distinct().count() == 401
+    # pre-upsert snapshot time-travels
+    assert t.read(spark, snapshot_id=s1).where("id = 95").first()["val"] == 190
+    # second upsert with a TIGHT key range: only the one overlapping
+    # range file rewrites, the rest skip via manifest key stats
+    replaced2, rep2 = t.upsert(
+        spark.createDataFrame([(250, 9)], "id LONG, val LONG"), "id"
+    )
+    assert replaced2 == 1 and rep2["files_skipped"] > 0
+
+
+def test_upsert_all_new_keys_appends(spark, tmp_path):
+    t = IceTable(str(tmp_path / "up2"))
+    t.commit_write(_mk(spark, 0, 100), mode="overwrite", stats_cols=["id"])
+    batch = spark.createDataFrame([(500, 1)], "id LONG, val LONG")
+    replaced, rep = t.upsert(batch, "id")
+    assert replaced == 0
+    assert rep["files_skipped"] == rep["files_total"]  # disjoint key range
+    assert t.read(spark).count() == 101
+
+
+def test_upsert_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    import pytest
+
+    t = IceTable(str(tmp_path / "up3"))
+    t.commit_write(_mk(spark, 0, 100), mode="overwrite", stats_cols=["id"])
+    orig_lock = t._commit_lock
+
+    def racing_lock(*a, **kw):
+        monkeypatch.setattr(t, "_commit_lock", orig_lock)
+        t.commit_write(_mk(spark, 100, 105), mode="append", stats_cols=["id"])
+        return orig_lock(*a, **kw)
+
+    monkeypatch.setattr(t, "_commit_lock", racing_lock)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t.upsert(spark.createDataFrame([(5, 9)], "id LONG, val LONG"), "id")
+    assert t.read(spark).count() == 105
