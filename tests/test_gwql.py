@@ -344,3 +344,64 @@ def test_toverlaps_matches_during_on_instants(store):
         "SELECT event_id FROM events WHERE ts DURING '2024-01-05/2024-01-20'"
     )
     assert a.count() == b.count() > 0
+
+
+# ---------------------------------------------------- property testing
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# random well-formed predicate templates exercising every filter shape
+_PRED_TEMPLATES = [
+    lambda n: f"c{n} = {n}",
+    lambda n: f"c{n} <> 'a''b{n}'",
+    lambda n: f"c{n} BETWEEN -{n + 1} AND {n + 2}",
+    lambda n: f"c{n} IS NOT NULL",
+    lambda n: f"ABS(c{n} - 3) * 2 > {n}",
+    lambda n: f"strContains(c{n}, 'x{n}')",
+    lambda n: f"ts AFTER '2024-01-0{(n % 8) + 1}'",
+    lambda n: f"c{n}::number <= 1.5",
+    lambda n: f"NOT (c{n} < {n})",
+    lambda n: f"(c{n} = 1 OR c{n} = 2)",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, len(_PRED_TEMPLATES) - 1), min_size=1, max_size=6))
+def test_gwql_conjunct_roundtrip_property(idxs):
+    """Every top-level AND conjunct survives parse → compile as ONE
+    residual entry (no splits inside BETWEEN/parens/strings, no
+    reordering, no constraint misfires), always renderable SQL."""
+    parts = [_PRED_TEMPLATES[k](n) for n, k in enumerate(idxs)]
+    plan = compile_filter(parse_statement(
+        "SELECT * FROM t WHERE " + " AND ".join(parts)
+    ).where)
+    assert plan.bbox is None and plan.geometry is None
+    assert len(plan.residual) == len(parts)
+    for sql in plan.residual:
+        assert sql  # non-empty rendered text
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, len(_PRED_TEMPLATES) - 1), min_size=1, max_size=4),
+    st.integers(0, 4),
+)
+def test_gwql_constraint_any_position_property(idxs, pos):
+    """BBOX + interval-DURING constraints extract from ANY position in
+    the AND chain; residual count is exactly the template count."""
+    parts = [_PRED_TEMPLATES[k](n) for n, k in enumerate(idxs)]
+    pos = min(pos, len(parts))
+    spatial = [
+        "BBOX(geom, -5, -6, 7, 8)",
+        "ts2 DURING '2024-01-01T00:00:00/2024-02-01T00:00:00'",
+    ]
+    mixed = parts[:pos] + spatial + parts[pos:]
+    plan = compile_filter(parse_statement(
+        "SELECT * FROM t WHERE " + " AND ".join(mixed)
+    ).where)
+    assert plan.bbox == (-5, -6, 7, 8)
+    assert plan.time == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert plan.time_col == "ts2"
+    assert len(plan.residual) == len(parts)
