@@ -294,6 +294,22 @@ def _q_source_quota(spark, sf):
     return source_quota(docs, 15).select("doc_id", "source", "rk")
 
 
+def _q_contamination(spark, sf):
+    """Train/eval decontamination (operators/dedup.contamination — the
+    GPT-3 Appendix-C n-gram overlap procedure): docs from source
+    'src0' act as the held-out benchmark; every other doc sharing a
+    word 3-gram with it is flagged with its distinct-gram hit count.
+    Benchmark gram set broadcasts (eval sets are tiny against a 100 TB
+    training corpus); the training side is one linear shingle pass."""
+    from geowave_spark.operators.dedup import contamination
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
 def _q_doc_repetition(spark, sf):
     """Repetition-based quality filter signals (duplicate-token ratio
     numerator/denominator + most-frequent-bigram count — the published
@@ -1777,7 +1793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (greedy next-fit sequence packing into fixed-capacity training
     windows, recursive-CTE oracle) for OUT = `hilbert_bbox` (green
     r1+r2+r3; xz_extent_keyed, st_bbox_time and crs_bbox_stored keep
-    the stored-key scan paths in-window)); and IN = `ice_delete`
+    the stored-key scan paths in-window)); IN = `contamination`
+    (train/eval n-gram-overlap decontamination, broadcast benchmark
+    grams) for OUT = `ngram_jaccard` (green r1+r2+r3; dedup_groups'
+    oracle re-verifies Jaccard pair semantics in-window every round);
+    and IN = `ice_delete`
     (copy-on-write row-level DELETE + the same manifest-pruned bbox
     scan) REPLACING `ice_bbox` (green r1+r2+r3), which it subsumes —
     same three-level-pruned read, now over a post-delete manifest.
@@ -1839,7 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "source_quota": _q_source_quota,
         "pack_sequences": _q_pack_sequences,
-        "ngram_jaccard": _q_ngram_jaccard,
+        "contamination": _q_contamination,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
         "common_passages": _q_common_passages,
@@ -1855,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": _q_raster_tiles,
         "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
+        "ngram_jaccard": _q_ngram_jaccard,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -2181,6 +2202,15 @@ def _oracle_sql_geom() -> dict[str, str]:
             "documents", 15, select_cols="doc_id, source"
         ),
         "pack_sequences": pack_sequences_sql("documents", 256),
+        "contamination": (
+            "WITH g AS (SELECT doc_id, source, unnest(list_distinct("
+            "list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)), i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))"
+            ")) AS gram FROM documents), "
+            "b AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'), "
+            "t AS (SELECT doc_id, gram FROM g WHERE source <> 'src0') "
+            "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap "
+            "FROM t JOIN b USING (gram) GROUP BY t.doc_id"
+        ),
         "semdedup": "SELECT i AS vec_id, CAST(i % 8 AS BIGINT) AS cluster, "
         "(i % 8) + 8 * ((i // 8) % 6) AS rep_id FROM range(960) t(i)",
         "phash_dedup": _phash_dedup_oracle(),

@@ -169,6 +169,7 @@ def main():
         "source_quota",
         "pack_sequences",
         "ice_delete",
+        "contamination",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -416,3 +416,38 @@ def near_dup_groups(
     return comp.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval overlap detection — the decontamination procedure of
+    GPT-3 (Brown et al. 2020, Appendix C) / PaLM / Llama: a training
+    document is contaminated when it shares any word n-gram with the
+    held-out benchmark set (13-grams at production scale; ``shingle_n``
+    parameterized for short-document corpora). Returns
+    (doc_id, n_overlap) for contaminated docs only — the drop list a
+    pipeline anti-joins against its training table.
+
+    Spark shape for 100 TB: the benchmark side is SMALL by nature
+    (eval sets are thousands of docs against billions of training
+    docs), so its distinct gram set builds once and BROADCASTS; the
+    training side is one linear shingle pass (the zip_with form above)
+    + a broadcast-hash semi-ish join — no shuffle of training grams,
+    no all-pairs anything. The groupBy for per-doc hit counts shuffles
+    only the matched grams (contaminated docs only, a vanishing
+    fraction of the corpus)."""
+    grams = F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_n)))
+    bench_grams = benchmark.select(
+        grams.alias("gram")
+    ).distinct()
+    train_grams = docs.select(F.col(id_col), grams.alias("gram"))
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )

@@ -62,3 +62,34 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds the same chain converges to one label
     out = connected_components(chain, max_iters=40).collect()
     assert {r["label"] for r in out} == {0}
+
+
+def test_contamination_flags_exact_overlap(spark):
+    """Planted case: training doc 10 shares a 3-gram with the benchmark,
+    doc 11 does not; counts are DISTINCT matched grams per doc."""
+    from geowave_spark.operators.dedup import contamination
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id LONG, text STRING"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "a b the quick brown fox c"),   # grams: 'the quick brown','quick brown fox'
+            (11, "totally different words here"),
+            (12, "the quick brown the quick brown"),  # duplicate gram counted once
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in contamination(train, bench).collect()}
+    assert got == {10: 2, 12: 1}
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
+    from geowave_spark.operators.dedup import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        contamination(docs.limit(400), docs.limit(20))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
