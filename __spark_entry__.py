@@ -310,6 +310,19 @@ def _q_contamination(spark, sf):
     )
 
 
+def _q_pii_scan(spark, sf):
+    """PII detection gate (operators/text.pii_scan): email/phone/IPv4
+    regexp_count over the planted corpus (testgeo.pii_planted) — the
+    oracle re-derives every count by id arithmetic, so a hash match
+    proves the regex pipeline (patterns, counting, has_pii flag)
+    end-to-end with zero regex in the oracle. One codegen projection,
+    no shuffle."""
+    from geowave_spark.operators.text import pii_scan
+    from geowave_spark.sources.testgeo import PII_N, pii_planted
+
+    return pii_scan(pii_planted(spark, PII_N))
+
+
 def _q_doc_repetition(spark, sf):
     """Repetition-based quality filter signals (duplicate-token ratio
     numerator/denominator + most-frequent-bigram count — the published
@@ -1797,7 +1810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (train/eval n-gram-overlap decontamination, broadcast benchmark
     grams) for OUT = `ngram_jaccard` (green r1+r2+r3; dedup_groups'
     oracle re-verifies Jaccard pair semantics in-window every round);
-    and IN = `ice_delete`
+    IN = `pii_scan` (email/phone/IPv4 detection over the planted PII
+    corpus, analytic oracle) for OUT = `field_stats` (green r1+r2+r3;
+    `gwql_agg` keeps the COUNT/SUM/MIN/MAX aggregate family
+    in-window); and IN = `ice_delete`
     (copy-on-write row-level DELETE + the same manifest-pruned bbox
     scan) REPLACING `ice_bbox` (green r1+r2+r3), which it subsumes —
     same three-level-pruned read, now over a post-delete manifest.
@@ -1846,7 +1862,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_overview": _q_raster_overview,
         "ice_image_tiles": _q_ice_image_tiles,
         # --- aggregations / statistics
-        "field_stats": _q_field_stats,
         "split_plan": _q_split_plan,
         "stats_incremental": _q_stats_incremental,
         # --- temporal + text predicates + GWQL scalar surface
@@ -1860,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
+        "pii_scan": _q_pii_scan,
         "phash_dedup": _q_phash_dedup,
         "doc_repetition": _q_doc_repetition,
         "common_passages": _q_common_passages,
@@ -1876,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_bbox": _q_hilbert_bbox,
         "ice_bbox": _q_ice_bbox,
         "ngram_jaccard": _q_ngram_jaccard,
+        "field_stats": _q_field_stats,
         "bbox_loose": _q_bbox_loose,
         "tile_assign": _q_tile_assign,
         "pred_within": _q_pred_within,
@@ -2202,6 +2219,13 @@ def _oracle_sql_geom() -> dict[str, str]:
             "documents", 15, select_cols="doc_id, source"
         ),
         "pack_sequences": pack_sequences_sql("documents", 256),
+        "pii_scan": (
+            "SELECT i AS doc_id, CAST(i % 3 AS BIGINT) AS n_email, "
+            "CAST(i % 2 AS BIGINT) AS n_phone, "
+            "CAST(CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ipv4, "
+            "(i % 3 > 0 OR i % 2 > 0 OR i % 5 = 0) AS has_pii "
+            "FROM range(800) t(i)"
+        ),
         "contamination": (
             "WITH g AS (SELECT doc_id, source, unnest(list_distinct("
             "list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)), i -> concat_ws(' ', string_split(text,' ')[i], string_split(text,' ')[i+1], string_split(text,' ')[i+2]))"

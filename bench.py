@@ -170,6 +170,7 @@ def main():
         "pack_sequences",
         "ice_delete",
         "contamination",
+        "pii_scan",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -124,3 +124,42 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("_bg").isNotNull(), F.col("_c")).otherwise(F.lit(0))
         ).alias("top_bigram_n")
     )
+
+
+# --------------------------------------------------------- PII scanning
+
+# Patterns chosen for identical semantics in Java regex (Spark) and
+# the planted fixture's analytic truth: no lookaround, no bounded
+# repetition ambiguity, anchored by non-word context.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts (email / phone / IPv4) — the scrub
+    gate a training pipeline applies before text leaves the corpus.
+    All-native ``regexp_count`` per pattern: one codegen projection,
+    no shuffle, no Python. Returns doc_id + n_<kind> counts +
+    ``has_pii``."""
+    cols = [F.col("doc_id")]
+    total = F.lit(0)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        cols.append(c.alias(f"n_{kind}"))
+        total = total + c
+    return df.select(*cols, (total > 0).alias("has_pii"))
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder token
+    (``<EMAIL>``/``<PHONE>``/``<IPV4>``) — chained native
+    ``regexp_replace``, still one codegen projection. Order matters:
+    emails first so their host parts cannot be re-matched as bare
+    patterns by later rules."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.withColumn(text_col, out)

@@ -728,3 +728,36 @@ def semdedup_planted(spark: SparkSession, n: int = SEMDEDUP_N) -> DataFrame:
     return spark.range(n).select(
         eid.alias("vec_id"), F.array(*comps).alias("embedding")
     )
+
+
+# ------------------------------------------------------------ PII fixture
+
+PII_N = 800
+
+
+def pii_planted(spark: SparkSession, n: int = PII_N) -> DataFrame:
+    """Planted PII corpus, analytic-oracle stance (kmeans_planted /
+    semdedup_planted): each doc embeds a deterministic id-derived
+    count of emails (id % 3), phone numbers (id % 2) and IPv4s
+    (1 if id % 5 == 0), padded with clean filler tokens — so the
+    DuckDB oracle re-derives every count by pure integer arithmetic
+    while the Spark side runs the real regex pipeline."""
+    eid = F.col("id")
+    email = F.concat(F.lit("user"), eid, F.lit("@ex"), eid % 7, F.lit(".com"))
+    phone = F.concat(
+        F.lit("555-"), F.lpad((eid % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((eid % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."), (eid % 256).cast("string"),
+        F.lit ("."), ((eid * 7) % 256).cast("string"), F.lit(".1"),
+    )
+    parts = [F.lit("clean filler text segment")]
+    for k in range(2):  # up to 2 emails: present when id % 3 > k
+        parts.append(F.when(eid % 3 > k, F.concat(F.lit(" mail "), email)).otherwise(F.lit("")))
+    parts.append(F.when(eid % 2 == 1, F.concat(F.lit(" call "), phone)).otherwise(F.lit("")))
+    parts.append(F.when(eid % 5 == 0, F.concat(F.lit(" host "), ip)).otherwise(F.lit("")))
+    parts.append(F.lit(" end"))
+    return spark.range(n).select(
+        eid.alias("doc_id"), F.concat(*parts).alias("text")
+    )

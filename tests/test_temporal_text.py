@@ -216,3 +216,43 @@ def test_common_passages_handcrafted(spark):
     assert got[p] == (4, 1)
     # min_docs high enough to exclude everything else incidental
     assert all(k == p or v[0] >= 4 for k, v in got.items())
+
+
+# ------------------------------------------------------------ PII gates
+
+
+def test_pii_scan_planted_exact(spark):
+    from geowave_spark.operators.text import pii_scan
+    from geowave_spark.sources.testgeo import pii_planted
+
+    out = pii_scan(pii_planted(spark, 200)).toPandas().sort_values("doc_id")
+    i = out["doc_id"].to_numpy()
+    assert (out["n_email"].to_numpy() == i % 3).all()
+    assert (out["n_phone"].to_numpy() == i % 2).all()
+    assert (out["n_ipv4"].to_numpy() == (i % 5 == 0).astype(int)).all()
+    assert (
+        out["has_pii"].to_numpy()
+        == ((i % 3 > 0) | (i % 2 > 0) | (i % 5 == 0))
+    ).all()
+
+
+def test_pii_redact_leaves_no_matches(spark):
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators.text import pii_redact, pii_scan
+    from geowave_spark.sources.testgeo import pii_planted
+
+    red = pii_redact(pii_planted(spark, 200))
+    rescan = pii_scan(red)
+    assert rescan.where(F.col("has_pii")).count() == 0
+    # placeholders present exactly where the originals were
+    row = red.where("doc_id = 1").first()["text"]
+    assert "<EMAIL>" in row and "<PHONE>" in row
+
+
+def test_pii_scan_is_shuffle_free(spark):
+    from geowave_spark.operators.text import pii_scan
+    from geowave_spark.sources.testgeo import pii_planted
+
+    plan = pii_scan(pii_planted(spark, 50))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
