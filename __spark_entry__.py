@@ -294,6 +294,37 @@ def _q_source_quota(spark, sf):
     return source_quota(docs, 15).select("doc_id", "source", "rk")
 
 
+def _q_chunk_docs(spark, sf):
+    """Token-window chunking (operators/text.chunk_tokens): every
+    document split into overlapping fixed-size training windows
+    (window=40, stride=30 — overlap 10) with exact end-of-doc
+    coverage. One codegen projection + explode(sequence) — no shuffle,
+    no Python, no token-array materialization (chunk counts are
+    closed-form). The pre-tokenization chunking step of an LLM data
+    pipeline; per-doc window layout matches the SQL oracle's integer
+    arithmetic row-for-row."""
+    from geowave_spark.operators.text import chunk_tokens
+
+    return chunk_tokens(spark.read.parquet(f"{sf}/documents.parquet"), 40, 30)
+
+
+def _q_dataset_split(spark, sf):
+    """Deterministic train/val/test split (operators/sampling.
+    dataset_split): 90/5/5 by salted portable id hash — a pure
+    function of the row id, so shards, re-runs, and incremental
+    appends all agree; one codegen projection, no shuffle. Returned
+    as per-(source, split) counts so the gate row also checks the
+    stratification shape, not just the labels."""
+    from geowave_spark.operators.sampling import dataset_split
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        dataset_split(docs)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_doc"))
+    )
+
+
 def _q_contamination(spark, sf):
     """Train/eval decontamination (operators/dedup.contamination — the
     GPT-3 Appendix-C n-gram overlap procedure): docs from source
@@ -1817,6 +1848,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (copy-on-write row-level DELETE + the same manifest-pruned bbox
     scan) REPLACING `ice_bbox` (green r1+r2+r3), which it subsumes —
     same three-level-pruned read, now over a post-delete manifest.
+    Wave 6: IN = `chunk_docs` (token-window training chunking,
+    operators/text.chunk_tokens — explode(sequence) over closed-form
+    chunk counts) for OUT = `sql_spatial` (green r2+r3;
+    `sql_spatial_mixed` keeps the SqlQueryRunner routing + residual
+    split in-window and runs the identical GeomIntersects rewrite
+    plus a residual conjunct); and IN = `dataset_split`
+    (deterministic 90/5/5 train/val/test by salted id hash, counts
+    stratified per source) for OUT = `raster_retile_bilinear` (green
+    r3; `raster_retile_bicubic` keeps the SAME retile operator and
+    RESAMPLERS surface in-window — bilinear vs bicubic differ only in
+    the kernel row of raster/codec.RESAMPLERS — and `raster_pyramid`
+    exercises the bilinear kernel itself in-window).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1839,7 +1882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_line_join": _q_geom_line_join,
         "geom_crosses_join": _q_geom_crosses_join,
         "geom_dwithin_join": _q_geom_dwithin_join,
-        "sql_spatial": _q_sql_spatial,
         "sql_spatial_mixed": _q_sql_spatial_mixed,
         # --- the 8-CompareOperation exact-refinement surface
         "pred_contains": _q_pred_contains,
@@ -1854,7 +1896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bin": _q_spatial_bin,
         "kde": _q_kde,
         "raster_histogram": _q_raster_histogram,
-        "raster_retile_bilinear": _q_raster_retile_bilinear,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
         "raster_pyramid": _q_raster_pyramid,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
@@ -1873,6 +1914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": _q_dedup_groups,
         "semdedup": _q_semdedup,
         "source_quota": _q_source_quota,
+        "dataset_split": _q_dataset_split,
+        "chunk_docs": _q_chunk_docs,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "pii_scan": _q_pii_scan,
@@ -1886,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "polygon": _q_polygon,
+        "sql_spatial": _q_sql_spatial,
+        "raster_retile_bilinear": _q_raster_retile_bilinear,
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
@@ -2114,7 +2159,8 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_geom() -> dict[str, str]:
     from geowave_spark.operators.packing import pack_sequences_sql
-    from geowave_spark.operators.sampling import source_quota_sql
+    from geowave_spark.operators.sampling import dataset_split_sql, source_quota_sql
+    from geowave_spark.operators.text import chunk_tokens_sql
 
     """Oracles for the general-geometry join / predicate surface. The
     fixture families are chosen so every exact predicate is pure
@@ -2219,6 +2265,12 @@ def _oracle_sql_geom() -> dict[str, str]:
             "documents", 15, select_cols="doc_id, source"
         ),
         "pack_sequences": pack_sequences_sql("documents", 256),
+        "chunk_docs": chunk_tokens_sql("documents", 40, 30),
+        "dataset_split": (
+            "SELECT source, split, count(*) AS n, min(doc_id) AS min_doc FROM ("
+            + dataset_split_sql("documents", select_cols="doc_id, source")
+            + ") GROUP BY source, split"
+        ),
         "pii_scan": (
             "SELECT i AS doc_id, CAST(i % 3 AS BIGINT) AS n_email, "
             "CAST(i % 2 AS BIGINT) AS n_phone, "

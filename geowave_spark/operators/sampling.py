@@ -107,3 +107,49 @@ def source_quota_sql(
         f"(PARTITION BY {source_col} ORDER BY {h} ASC, {id_col} ASC) AS rk "
         f"FROM {table}) WHERE rk <= {per_source}"
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    bounds_x1000: tuple[int, ...] = (900, 950),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: int = 11,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash —
+    the split is a pure function of the row id, so any shard, any
+    re-run, and any incremental append lands every row in the same
+    split (the property that keeps eval sets stable while the corpus
+    grows). ``bounds_x1000`` are cumulative per-mille cut points:
+    the default (900, 950) is a 90/5/5 split.
+
+    Scale shape: one codegen projection (md5 + CASE), no shuffle; a
+    downstream ``WHERE split = 'train'`` stays a narrow filter.
+    """
+    if len(bounds_x1000) != len(names) - 1 or sorted(bounds_x1000) != list(bounds_x1000):
+        raise ValueError(f"bad split spec: {bounds_x1000=} {names=}")
+    b = F.pmod(sample_key(id_col, salt), F.lit(1000))
+    expr = F.lit(names[-1])
+    for bound, name in zip(reversed(bounds_x1000), reversed(names[:-1])):
+        expr = F.when(b < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def dataset_split_sql(
+    table: str,
+    bounds_x1000: tuple[int, ...] = (900, 950),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: int = 11,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of ``dataset_split`` (same md5-prefix draw)."""
+    h = (
+        f"CAST(concat('0x', substr(md5(concat('s{salt}:', "
+        f"CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT) % 1000"
+    )
+    case = "CASE " + " ".join(
+        f"WHEN {h} < {bound} THEN '{name}'"
+        for bound, name in zip(bounds_x1000, names[:-1])
+    ) + f" ELSE '{names[-1]}' END"
+    return f"SELECT {select_cols}, {case} AS split FROM {table}"

@@ -163,3 +163,61 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return df.withColumn(text_col, out)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 40,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window document chunking: split every document into
+    overlapping fixed-size training windows (``window`` tokens,
+    advancing ``stride`` — overlap = window - stride), the standard
+    pre-tokenization chunking step of an LLM data pipeline. Returns
+    one row per (doc, chunk): ``chunk_id``, ``tok_start``,
+    ``tok_len``; the final chunk may run short so coverage is exact
+    (the last chunk always ends at n_tokens).
+
+    Scale shape: a single narrow codegen projection + ``explode`` of a
+    per-row ``sequence`` — no shuffle, no Python, linear in output
+    chunks; Catalyst pushes any downstream chunk filter into the
+    generate. Chunk COUNT is closed-form (ceil((n-W)/S)+1), so the
+    explode never materializes token arrays — only chunk offsets.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError(f"need 0 < stride <= window, got {window=} {stride=}")
+    n = F.size(tokens_col(F.col(text_col)))
+    base = df.select(F.col(id_col), n.alias("_n"))
+    n_chunks = F.when(F.col("_n") <= window, F.lit(1)).otherwise(
+        F.floor((F.col("_n") - window + stride - 1) / stride).cast("int") + 1
+    )
+    out = base.withColumn("_nc", n_chunks).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        "_n",
+    )
+    tok_start = F.col("chunk_id") * stride
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        tok_start.cast("int").alias("tok_start"),
+        F.least(F.lit(window), F.col("_n") - tok_start).cast("int").alias("tok_len"),
+    )
+
+
+def chunk_tokens_sql(
+    table: str, window: int = 40, stride: int = 30, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``chunk_tokens`` (same whitespace tokenization as
+    the doc_tokens oracle, same integer chunk arithmetic)."""
+    return (
+        f"WITH d AS (SELECT {id_col}, len(string_split(text,' ')) AS n FROM {table}), "
+        f"c AS (SELECT {id_col}, n, CASE WHEN n <= {window} THEN 1 "
+        f"ELSE (n - {window} + {stride - 1}) // {stride} + 1 END AS nc FROM d), "
+        f"e AS (SELECT {id_col}, n, unnest(generate_series(0, nc-1)) AS gs FROM c) "
+        f"SELECT {id_col}, CAST(gs AS INT) AS chunk_id, "
+        f"CAST(gs*{stride} AS INT) AS tok_start, "
+        f"CAST(LEAST({window}, n - gs*{stride}) AS INT) AS tok_len FROM e"
+    )

@@ -256,3 +256,79 @@ def test_pii_scan_is_shuffle_free(spark):
 
     plan = pii_scan(pii_planted(spark, 50))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------ chunk_tokens
+
+
+def test_chunk_tokens_covers_exactly(spark, sf_dir):
+    """Every token is covered; chunks advance by stride; the last chunk
+    ends exactly at n_tokens (no overrun, no gap)."""
+    from geowave_spark.operators.text import chunk_tokens, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    W, S = 40, 30
+    out = chunk_tokens(docs, W, S).cache()
+    n_tok = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        assert r["tok_start"] == r["chunk_id"] * S
+        assert 1 <= r["tok_len"] <= W
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        last = chunks[-1]
+        assert last["tok_start"] + last["tok_len"] == n_tok[d]  # exact coverage
+        # every non-final chunk is full-width
+        assert all(c["tok_len"] == W for c in chunks[:-1])
+    out.unpersist()
+
+
+def test_chunk_tokens_short_doc_single_chunk(spark):
+    from geowave_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(["w"] * 40)), (3, " ".join(["w"] * 41))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["tok_start"], r["tok_len"])
+        for r in chunk_tokens(df, 40, 30).collect()
+    }
+    assert got == {
+        (1, 0): (0, 3),
+        (2, 0): (0, 40),
+        (3, 0): (0, 40),
+        (3, 1): (30, 11),
+    }
+
+
+def test_chunk_tokens_matches_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from geowave_spark.operators.text import chunk_tokens, chunk_tokens_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["tok_start"], r["tok_len"])
+        for r in chunk_tokens(docs, 25, 20).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    exp = set(map(tuple, con.sql(chunk_tokens_sql("documents", 25, 20)).fetchall()))
+    assert got == exp and len(got) > 500
+
+
+def test_chunk_tokens_bad_args_raise(spark, sf_dir):
+    import pytest
+
+    from geowave_spark.operators.text import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, 10, 20)  # stride > window
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, 10, 0)
