@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geowave_spark.geom.wkb import polygon
@@ -1481,6 +1481,53 @@ def _q_image_thumbs(spark, sf):
 EMB_GRID = 4
 
 
+def _q_caption_align(spark, sf):
+    """CLIP-score-style image↔caption pair-quality ranking
+    (operators/multimodal.caption_alignment): ONE dual-tower
+    mapInPandas pass (decode → image vector; caption → text vector —
+    no tower-join shuffle), native sequential-fold dot per pair, full
+    corpus ranked ascending (worst-aligned first — the rows a
+    production filter would drop). The oracle re-derives BOTH towers
+    driver-side from the generator and re-ranks with
+    list_dot_product, so a hash match proves decode, both embedding
+    kernels, the cosine, and the total order end-to-end."""
+    from geowave_spark.operators.multimodal import caption_alignment
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, RASTER_N, w=RASTER_TS, h=RASTER_TS, partitions=8)
+    ali = caption_alignment(imgs, kernel="blockmean", grid=EMB_GRID)
+    w = Window.orderBy(F.asc("align"), F.asc("image_id"))
+    return ali.select(
+        "image_id", F.row_number().over(w).cast("int").alias("align_rank")
+    )
+
+
+def _caption_align_oracle() -> str:
+    """Both towers re-derived driver-side (xmodal_topk's oracle
+    pattern); cosine = plain dot since both vectors are L2-normalized."""
+    from geowave_spark.operators.multimodal import (
+        caption_embed_vector,
+        image_embed_vector,
+    )
+    from geowave_spark.sources.images import caption_for, render_pixels
+
+    def lit_vec(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    rows = ", ".join(
+        f"('img{i:012d}', "
+        f"{lit_vec(image_embed_vector(render_pixels(i, RASTER_TS, RASTER_TS), 'blockmean', EMB_GRID))}, "
+        f"{lit_vec(caption_embed_vector(caption_for(i), EMB_GRID * EMB_GRID))})"
+        for i in range(RASTER_N)
+    )
+    return (
+        f"WITH t(image_id, iv, cv) AS (VALUES {rows}) "
+        "SELECT image_id, CAST(row_number() OVER (ORDER BY "
+        "list_dot_product(CAST(iv AS DOUBLE[]), CAST(cv AS DOUBLE[])) ASC, "
+        "image_id ASC) AS INT) AS align_rank FROM t"
+    )
+
+
 def _q_image_embed(spark, sf):
     """Image embedding extraction (decode → block-mean kernel →
     L2-normalize), emitted as integer-scaled (image_id, dim, val)
@@ -1859,7 +1906,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r3; `raster_retile_bicubic` keeps the SAME retile operator and
     RESAMPLERS surface in-window — bilinear vs bicubic differ only in
     the kernel row of raster/codec.RESAMPLERS — and `raster_pyramid`
-    exercises the bilinear kernel itself in-window).
+    exercises the bilinear kernel itself in-window); and IN =
+    `caption_align` (CLIP-score-style image↔caption pair-quality
+    ranking — single dual-tower mapInPandas pass, native dot, full
+    total-order rank; oracle re-derives both towers from the
+    generator) for OUT = `xz_extent_keyed` (green r2+r3; `bbox` keeps
+    the live z-order scan, `crs_bbox_stored` + `st_bbox_time` keep
+    write-time cell-keyed stored scans, and the XZ extent math itself
+    stays pytest-covered in tests/test_xz.py).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1874,7 +1928,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_bbox_time": _q_st_bbox_time,
         "ice_delete": _q_ice_delete,
         "attr_range": _q_attr_range,
-        "xz_extent_keyed": _q_xz_extent_keyed,
         "crs_bbox": _q_crs_bbox,
         "crs_bbox_stored": _q_crs_bbox_stored,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
@@ -1925,12 +1978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xmodal_topk": _q_xmodal_topk,
         "image_thumbs": _q_image_thumbs,
         "image_embed": _q_image_embed,
+        "caption_align": _q_caption_align,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "polygon": _q_polygon,
         "sql_spatial": _q_sql_spatial,
         "raster_retile_bilinear": _q_raster_retile_bilinear,
+        "xz_extent_keyed": _q_xz_extent_keyed,
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
@@ -2292,6 +2347,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "phash_dedup": _phash_dedup_oracle(),
         "image_thumbs": _image_thumbs_oracle(),
         "image_embed": _image_embed_oracle(),
+        "caption_align": _caption_align_oracle(),
         "xmodal_topk": _xmodal_topk_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
         "raster_pyramid": _raster_pyramid_oracle(),

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _STUB_AUDIO_FMTS = {"mp3", "flac", "ogg", "aac", "wav"}
 _STUB_VIDEO_FMTS = {"h264", "h265", "vp9", "av1", "mp4"}
@@ -300,3 +301,57 @@ def caption_embed(
     return docs.select(id_col, text_col).mapInPandas(
         embed, "id string, embedding array<double>"
     ).withColumnRenamed("id", id_col)
+
+
+def dual_tower_embed(
+    images: DataFrame, kernel: str = "blockmean", grid: int = 4, seed: int = 7
+) -> DataFrame:
+    """Both towers of the CLIP-style dual encoder in ONE mapInPandas
+    pass: decode image → image vector, caption → text vector, emitted
+    side by side as (image_id, iv, cv). One Arrow boundary and zero
+    joins — the per-pair alignment consumer never shuffles, unlike
+    running image_embed + caption_embed separately and equi-joining
+    the towers back together. Both vectors are L2-normalized float64
+    (image_embed_vector / caption_embed_vector), so cosine degrades
+    to a plain dot product downstream."""
+    from geowave_spark.raster.codec import decode_image
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dim = grid * grid
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image(bytes(r.bytes), r.fmt)
+                rows.append(
+                    (
+                        r.image_id,
+                        image_embed_vector(img, kernel, grid),
+                        caption_embed_vector(r.caption, dim, seed),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "iv", "cv"])
+
+    return images.select("image_id", "bytes", "fmt", "caption").mapInPandas(
+        embed, "image_id string, iv array<double>, cv array<double>"
+    )
+
+
+def caption_alignment(
+    images: DataFrame, kernel: str = "blockmean", grid: int = 4, seed: int = 7
+) -> DataFrame:
+    """CLIP-score-style image↔caption alignment: cosine between an
+    image's own two tower embeddings — the standard pair-quality
+    filter of an image+caption training pipeline (drop pairs whose
+    caption does not describe the image). With the deterministic
+    stand-in towers the SCORE carries no semantics; the pipeline
+    shape is the real product: one dual-tower mapInPandas pass, one
+    native sequential-fold dot per row (deterministic order → exactly
+    reproducible driver-side), no shuffle. A production deployment
+    swaps the two *_vector kernels for trained encoders and
+    thresholds `align` as a narrow filter."""
+    from geowave_spark.operators.similarity import dot_col
+
+    towers = dual_tower_embed(images, kernel, grid, seed)
+    return towers.select(
+        "image_id", dot_col(F.col("iv"), F.col("cv")).alias("align")
+    )

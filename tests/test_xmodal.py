@@ -74,3 +74,60 @@ def test_xmodal_topk_shape_and_determinism(spark):
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
     # deterministic across runs
     assert rows == sorted(map(tuple, out.collect()))
+
+
+# ------------------------------------------------ caption_alignment
+
+
+def test_dual_tower_matches_separate_towers(spark):
+    """The fused dual-tower pass emits exactly the vectors the two
+    standalone tower operators produce."""
+    from geowave_spark.operators.multimodal import (
+        caption_embed,
+        dual_tower_embed,
+        image_embed,
+    )
+    from geowave_spark.sources.images import images_table
+
+    imgs = images_table(spark, 40, w=16, h=16, partitions=2)
+    fused = {
+        r["image_id"]: (tuple(r["iv"]), tuple(r["cv"]))
+        for r in dual_tower_embed(imgs, kernel="blockmean", grid=4).collect()
+    }
+    iv = {
+        r["image_id"]: tuple(r["embedding"])
+        for r in image_embed(imgs, kernel="blockmean", grid=4).collect()
+    }
+    cv = {
+        r["image_id"]: tuple(r["embedding"])
+        for r in caption_embed(imgs, dim=16).collect()
+    }
+    assert len(fused) == 40
+    for k, (a, b) in fused.items():
+        assert a == iv[k] and b == cv[k]
+
+
+def test_caption_alignment_matches_driver_twin(spark):
+    """Spark's sequential-fold dot over the fused towers equals the
+    driver-side numpy-free recomputation bit-for-bit."""
+    from geowave_spark.operators.multimodal import (
+        caption_alignment,
+        caption_embed_vector,
+        image_embed_vector,
+    )
+    from geowave_spark.sources.images import caption_for, images_table, render_pixels
+
+    imgs = images_table(spark, 40, w=16, h=16, partitions=2)
+    got = {
+        r["image_id"]: r["align"]
+        for r in caption_alignment(imgs, kernel="blockmean", grid=4).collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        iv = image_embed_vector(render_pixels(i, 16, 16), "blockmean", 4)
+        cv = caption_embed_vector(caption_for(i), 16)
+        acc = 0.0
+        for x, y in zip(iv, cv):  # same sequential fold as dot_col
+            acc += x * y
+        assert got[f"img{i:012d}"] == acc
+        assert -1.0 - 1e-12 <= acc <= 1.0 + 1e-12  # normalized towers
