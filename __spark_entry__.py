@@ -1481,6 +1481,22 @@ def _q_image_thumbs(spark, sf):
 EMB_GRID = 4
 
 
+def _q_aspect_batches(spark, sf):
+    """Aspect-ratio bucketed batch assembly (operators/batching.py):
+    snap every variable-size image to the nearest-aspect bucket
+    (exact integer scoring — no log-space drift), then pack each
+    (bucket, shard) into complete fixed-size batches ordered by the
+    salted portable hash. Runs over the REAL generated variable-size
+    table (dims read from the data); the oracle re-derives dims from
+    the id arithmetic and replays the same argmin + draw + remainder
+    drop, so a hash match proves the whole batch layout."""
+    from geowave_spark.operators.batching import aspect_bucket_assign, pack_batches
+    from geowave_spark.sources.images import images_table_var
+
+    imgs = images_table_var(spark, RASTER_N, partitions=8).select("image_id", "w", "h")
+    return pack_batches(aspect_bucket_assign(imgs), batch_size=8, shards=2)
+
+
 def _q_caption_align(spark, sf):
     """CLIP-score-style image↔caption pair-quality ranking
     (operators/multimodal.caption_alignment): ONE dual-tower
@@ -1913,7 +1929,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     generator) for OUT = `xz_extent_keyed` (green r2+r3; `bbox` keeps
     the live z-order scan, `crs_bbox_stored` + `st_bbox_time` keep
     write-time cell-keyed stored scans, and the XZ extent math itself
-    stays pytest-covered in tests/test_xz.py).
+    stays pytest-covered in tests/test_xz.py); and IN =
+    `aspect_batches` (aspect-ratio bucketed batch assembly over the
+    variable-size image fixture — exact integer bucket argmin, hash
+    draw order, per-(bucket, shard) packing with ragged remainders
+    dropped; oracle re-derives dims from the id arithmetic) for OUT =
+    `poly_nonconvex` (green r1+r2+r3; `pred_contains` keeps the same
+    vectorized non-convex polygon refine kernel in-window — both run
+    geom/predicates.py's winding-number path — and `cql_filter`'s
+    polygon constraint keeps range decomposition + refine in-window).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1938,7 +1962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_spatial_mixed": _q_sql_spatial_mixed,
         # --- the 8-CompareOperation exact-refinement surface
         "pred_contains": _q_pred_contains,
-        "poly_nonconvex": _q_poly_nonconvex,
         # --- kNN family + clustering
         "knn_bulk": _q_knn_bulk,
         "nn_join": _q_nn_join,
@@ -1979,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_thumbs": _q_image_thumbs,
         "image_embed": _q_image_embed,
         "caption_align": _q_caption_align,
+        "aspect_batches": _q_aspect_batches,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
@@ -1986,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_spatial": _q_sql_spatial,
         "raster_retile_bilinear": _q_raster_retile_bilinear,
         "xz_extent_keyed": _q_xz_extent_keyed,
+        "poly_nonconvex": _q_poly_nonconvex,
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
@@ -2216,6 +2241,7 @@ def _oracle_sql_geom() -> dict[str, str]:
     from geowave_spark.operators.packing import pack_sequences_sql
     from geowave_spark.operators.sampling import dataset_split_sql, source_quota_sql
     from geowave_spark.operators.text import chunk_tokens_sql
+    from geowave_spark.operators.batching import aspect_batches_sql
 
     """Oracles for the general-geometry join / predicate surface. The
     fixture families are chosen so every exact predicate is pure
@@ -2348,6 +2374,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "image_thumbs": _image_thumbs_oracle(),
         "image_embed": _image_embed_oracle(),
         "caption_align": _caption_align_oracle(),
+        "aspect_batches": aspect_batches_sql(RASTER_N, 8, 2),
         "xmodal_topk": _xmodal_topk_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
         "raster_pyramid": _raster_pyramid_oracle(),

@@ -201,3 +201,55 @@ def images_pdf_typed(
 ) -> pd.DataFrame:
     """Driver-side twin (identical bytes) for golden tests."""
     return _gen_batch_typed(np.arange(n), w, h, bands, dtype)
+
+
+# --------------------------------------------- variable-size image set
+# Fixture for aspect-ratio bucketing (operators/batching.py): per-id
+# width/height from pure integer arithmetic, so the DuckDB oracle
+# re-derives every dimension without running the generator. Sizes span
+# tall (16x112) through wide (144x16) panels.
+
+
+def var_dims(i: int) -> tuple[int, int]:
+    return 16 * (1 + (i * 7) % 9), 16 * (1 + (i * 13) % 7)
+
+
+VAR_DIMS_SQL = "16 * (1 + (i * 7) % 9)", "16 * (1 + (i * 13) % 7)"
+
+
+def _gen_batch_var(ids: np.ndarray) -> pd.DataFrame:
+    xs, ys = xy_numpy(ids)
+    rows = []
+    for j, i in enumerate(ids):
+        w, h = var_dims(int(i))
+        img = render_pixels(int(i), w, h)
+        fmt = "raw" if i % 3 == 0 else "png"
+        data = encode_raw(img) if fmt == "raw" else png_encode(img)
+        rows.append(
+            (
+                f"img{int(i):012d}",
+                data,
+                w,
+                h,
+                fmt,
+                caption_for(int(i)),
+                dhash64(img),
+                int(xs[j]),
+                int(ys[j]),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "x_u", "y_u"],
+    )
+
+
+def images_table_var(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
+    """Variable-size twin of images_table (same schema, arithmetic
+    per-id dims) — distributed mapInPandas generation."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_batch_var(pdf["id"].to_numpy())
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, SCHEMA)
