@@ -171,6 +171,14 @@ def main():
         "ice_delete",
         "contamination",
         "pii_scan",
+        # wave-6: token-window chunking (explode over closed-form
+        # counts); 90/5/5 hash split (one projection + groupBy);
+        # fused dual-tower caption↔image alignment rank; aspect-ratio
+        # bucketed batch packing (broadcast ladder + sharded windows)
+        "chunk_docs",
+        "dataset_split",
+        "caption_align",
+        "aspect_batches",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

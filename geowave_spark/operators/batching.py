@@ -15,10 +15,10 @@ followed by one correctly-rounded IEEE division — so the DuckDB
 oracle reproduces the assignment bit-for-bit with no transcendental
 (log-space) scoring to drift across engines.
 
-Scale shape: bucket assignment is a broadcast cross join against the
-tiny ladder plus one per-image row_number (window partitioned BY
-image — Catalyst collapses it; no data movement beyond the broadcast).
-Packing shuffles once on (bucket, shard): ``shards`` splits every
+Scale shape: bucket assignment is a pure codegen expression (the
+constant ladder unrolls into an array_min over (score, bucket)
+structs — no join, no window, no shuffle). Packing shuffles once on
+(bucket, shard): ``shards`` splits every
 bucket's window into independent hash-sharded partitions, because at
 10^12 rows a handful of global per-bucket windows would serialize the
 sort — per-(bucket, shard) batch ids keep every partition's packing
@@ -65,19 +65,24 @@ def aspect_bucket_assign(
     buckets = BUCKETS_DEFAULT if buckets is None else buckets
     if not buckets:
         raise ValueError("need at least one bucket")
-    spark = df.sparkSession
-    b = spark.createDataFrame(buckets, "bucket_w int, bucket_h int")
-    score = F.abs(
-        F.col(w_col) * F.col("bucket_h") - F.col(h_col) * F.col("bucket_w")
-    ) / (F.col(h_col) * F.col("bucket_h")).cast("double")
-    w = Window.partitionBy(id_col).orderBy(
-        score.asc(), F.col("bucket_w").asc(), F.col("bucket_h").asc()
-    )
-    return (
-        df.crossJoin(F.broadcast(b))
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
+    # the ladder is a compile-time constant, so the argmin is a pure
+    # expression: array_min over (score, bw, bh) structs (lexicographic
+    # struct comparison = ORDER BY score, bw, bh LIMIT 1). Zero joins,
+    # zero windows, zero shuffles — stays in whole-stage codegen.
+    entries = [
+        F.struct(
+            (
+                F.abs(F.col(w_col) * bh - F.col(h_col) * bw)
+                / (F.col(h_col) * bh).cast("double")
+            ).alias("s"),
+            F.lit(bw).alias("bucket_w"),
+            F.lit(bh).alias("bucket_h"),
+        )
+        for bw, bh in buckets
+    ]
+    best = F.array_min(F.array(*entries))
+    return df.withColumn("bucket_w", best["bucket_w"]).withColumn(
+        "bucket_h", best["bucket_h"]
     )
 
 
