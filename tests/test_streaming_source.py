@@ -223,3 +223,40 @@ def test_kafka_wire_schema_stream_matches_batch(spark, tmp_path):
     )
     assert got.count() == 500
     assert set(map(tuple, got.collect())) == set(map(tuple, want.collect()))
+
+
+def test_streaming_caption_alignment_matches_batch(spark, tmp_path):
+    """The pair-quality gate over Structured Streaming: a file stream
+    of image+caption parquet flows through the SAME fused dual-tower
+    mapInPandas + native-dot stage as batch, and the streamed scores
+    match the batch run bit-for-bit — a training-data filter that can
+    score pairs continuously on ingest."""
+    from geowave_spark.operators.multimodal import caption_alignment
+    from geowave_spark.sources.images import SCHEMA, images_table
+
+    src = str(tmp_path / "align_src")
+    images_table(spark, 80, w=16, h=16, partitions=2).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        caption_alignment(stream, kernel="blockmean", grid=4)
+        .writeStream.format("memory")
+        .queryName("align_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.image_id: r.align
+        for r in spark.sql("SELECT image_id, align FROM align_stream").collect()
+    }
+    batch = {
+        r.image_id: r.align
+        for r in caption_alignment(
+            spark.read.parquet(src), kernel="blockmean", grid=4
+        ).collect()
+    }
+    assert len(got) == 80
+    assert got == batch
