@@ -1481,6 +1481,50 @@ def _q_image_thumbs(spark, sf):
 EMB_GRID = 4
 
 
+def _q_image_validate(spark, sf):
+    """Corpus validation gate (operators/multimodal.validate_images):
+    real decode attempt per row, classified as decode_error /
+    dims_mismatch / too_small / bad_aspect / ok with fixed precedence.
+    Corruption is PLANTED deterministically on the variable-size
+    table — bytes truncated to 8 bytes for id%23==0 (kills both the
+    RAW header read and the PNG chunk stream), metadata width skewed
+    +16 for id%29==0 — so the oracle re-derives every verdict from id
+    arithmetic alone and a hash match proves the decode attempt, the
+    dims cross-check, and the size/aspect rules end-to-end."""
+    from geowave_spark.operators.multimodal import validate_images
+    from geowave_spark.sources.images import images_table_var
+
+    imgs = images_table_var(spark, RASTER_N, partitions=8)
+    i = F.substring("image_id", 4, 12).cast("long")
+    planted = imgs.select(
+        "image_id",
+        F.when(i % 23 == 0, F.expr("substring(bytes, 1, 8)"))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        "fmt",
+        F.when((i % 23 != 0) & (i % 29 == 0), F.col("w") + 16)
+        .otherwise(F.col("w"))
+        .alias("w"),
+        "h",
+    )
+    return validate_images(planted, min_pixels=1024, max_aspect=4)
+
+
+def _image_validate_oracle() -> str:
+    return (
+        f"WITH ids AS (SELECT unnest(generate_series(0, {RASTER_N - 1})) AS i), "
+        "d AS (SELECT printf('img%012d', i) AS image_id, i, "
+        "16 * (1 + (i * 7) % 9) AS w, 16 * (1 + (i * 13) % 7) AS h FROM ids) "
+        "SELECT image_id, reason = 'ok' AS ok, reason FROM ("
+        "SELECT image_id, CASE "
+        "WHEN i % 23 = 0 THEN 'decode_error' "
+        "WHEN i % 29 = 0 THEN 'dims_mismatch' "
+        "WHEN w * h < 1024 THEN 'too_small' "
+        "WHEN w > 4 * h OR h > 4 * w THEN 'bad_aspect' "
+        "ELSE 'ok' END AS reason FROM d)"
+    )
+
+
 def _q_aspect_batches(spark, sf):
     """Aspect-ratio bucketed batch assembly (operators/batching.py):
     snap every variable-size image to the nearest-aspect bucket
@@ -1937,7 +1981,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `poly_nonconvex` (green r1+r2+r3; `pred_contains` keeps the same
     vectorized non-convex polygon refine kernel in-window — both run
     geom/predicates.py's winding-number path — and `cql_filter`'s
-    polygon constraint keeps range decomposition + refine in-window).
+    polygon constraint keeps range decomposition + refine in-window);
+    and IN = `image_validate` (corpus validation gate — real decode
+    attempt + dims cross-check + size/aspect rules over planted
+    corruption, verdicts re-derived by id arithmetic in the oracle)
+    for OUT = `spatial_bin` (green r1+r2+r3; `kde` keeps the spatial
+    binning/grid-agg family in-window on the same cell-keying math,
+    and `raster_histogram` keeps binned pixel aggregation in-window).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -1969,7 +2019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_hulls": _q_kmeans_hulls,
         # --- raster / tiling / binning
         "subsample_px": _q_subsample_px,
-        "spatial_bin": _q_spatial_bin,
         "kde": _q_kde,
         "raster_histogram": _q_raster_histogram,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
@@ -2003,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_embed": _q_image_embed,
         "caption_align": _q_caption_align,
         "aspect_batches": _q_aspect_batches,
+        "image_validate": _q_image_validate,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
@@ -2011,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_retile_bilinear": _q_raster_retile_bilinear,
         "xz_extent_keyed": _q_xz_extent_keyed,
         "poly_nonconvex": _q_poly_nonconvex,
+        "spatial_bin": _q_spatial_bin,
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
@@ -2375,6 +2426,7 @@ def _oracle_sql_geom() -> dict[str, str]:
         "image_embed": _image_embed_oracle(),
         "caption_align": _caption_align_oracle(),
         "aspect_batches": aspect_batches_sql(RASTER_N, 8, 2),
+        "image_validate": _image_validate_oracle(),
         "xmodal_topk": _xmodal_topk_oracle(),
         "ice_image_tiles": _raster_tiles_oracle(),
         "raster_pyramid": _raster_pyramid_oracle(),

@@ -355,3 +355,55 @@ def caption_alignment(
     return towers.select(
         "image_id", dot_col(F.col("iv"), F.col("cv")).alias("align")
     )
+
+
+def validate_images(
+    images: DataFrame,
+    min_pixels: int = 1024,
+    max_aspect: int = 4,
+) -> DataFrame:
+    """Corpus validation gate — the first filter a web-crawled image
+    corpus passes before any training use: try the real decode and
+    classify every row. Reasons, in precedence order:
+
+    - ``decode_error``  — bytes do not decode under the declared fmt
+      (truncated download, codec lies, stub codec);
+    - ``dims_mismatch`` — decoded pixel dims disagree with the row's
+      (w, h) metadata columns (corrupt metadata, re-encoded payload);
+    - ``too_small``     — decoded area below ``min_pixels``;
+    - ``bad_aspect``    — decoded aspect beyond ``max_aspect``:1
+      either way (integer-exact comparison, no float ratio);
+    - ``ok``.
+
+    Returns (image_id, ok, reason). mapInPandas — one Arrow boundary,
+    per-batch Python only around the codec call (the same shape as
+    every decode kernel here); downstream consumers filter on ``ok``,
+    a narrow predicate Catalyst pushes freely. At 100 TB this runs
+    once on ingest and rides the checkpointed write path."""
+
+    from geowave_spark.raster.codec import decode_image
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decode_image(bytes(r.bytes), r.fmt)
+                    dh, dw = img.shape[:2]
+                except Exception:
+                    rows.append((r.image_id, False, "decode_error"))
+                    continue
+                if (dw, dh) != (r.w, r.h):
+                    reason = "dims_mismatch"
+                elif dw * dh < min_pixels:
+                    reason = "too_small"
+                elif dw > max_aspect * dh or dh > max_aspect * dw:
+                    reason = "bad_aspect"
+                else:
+                    reason = "ok"
+                rows.append((r.image_id, reason == "ok", reason))
+            yield pd.DataFrame(rows, columns=["image_id", "ok", "reason"])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInPandas(
+        check, "image_id string, ok boolean, reason string"
+    )

@@ -162,3 +162,59 @@ def test_image_embedding_near_dup_recovers_planted_pairs(spark):
     }
     assert got == want
     assert all(r.cos >= 0.9 for r in pairs)
+
+
+# ------------------------------------------------ validate_images
+
+
+def test_validate_images_clean_corpus_all_ok_or_shape_flagged(spark):
+    """On the uncorrupted fixed-size table everything decodes and
+    matches metadata; 32x32 passes the default size/aspect rules."""
+    from geowave_spark.operators.multimodal import validate_images
+    from geowave_spark.sources.images import images_table
+
+    out = validate_images(images_table(spark, 60, w=32, h=32, partitions=2)).collect()
+    assert len(out) == 60
+    assert all(r["ok"] and r["reason"] == "ok" for r in out)
+
+
+def test_validate_images_planted_failures(spark):
+    """Each failure class is detected with the documented precedence."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.operators.multimodal import validate_images
+    from geowave_spark.sources.images import images_table_var, var_dims
+
+    imgs = images_table_var(spark, 120, partitions=4)
+    i = F.substring("image_id", 4, 12).cast("long")
+    planted = imgs.select(
+        "image_id",
+        F.when(i % 23 == 0, F.expr("substring(bytes, 1, 8)"))
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        "fmt",
+        F.when((i % 23 != 0) & (i % 29 == 0), F.col("w") + 16)
+        .otherwise(F.col("w"))
+        .alias("w"),
+        "h",
+    )
+    got = {r["image_id"]: r["reason"] for r in validate_images(planted).collect()}
+    assert len(got) == 120
+    for k, reason in got.items():
+        n = int(k[3:])
+        w, h = var_dims(n)
+        if n % 23 == 0:
+            exp = "decode_error"
+        elif n % 29 == 0:
+            exp = "dims_mismatch"
+        elif w * h < 1024:
+            exp = "too_small"
+        elif w > 4 * h or h > 4 * w:
+            exp = "bad_aspect"
+        else:
+            exp = "ok"
+        assert reason == exp, (k, reason, exp)
+    # every class actually occurs in the planted corpus
+    assert {"decode_error", "dims_mismatch", "too_small", "bad_aspect", "ok"} <= set(
+        got.values()
+    )
