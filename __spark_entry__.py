@@ -294,6 +294,21 @@ def _q_source_quota(spark, sf):
     return source_quota(docs, 15).select("doc_id", "source", "rk")
 
 
+def _q_doc_tokens_bpe(spark, sf):
+    """Token counting at BOTH granularities the brief names: the
+    whitespace count and the BPE-ish pre-tokenizer regex count
+    (operators/text.token_count_bpe — contractions split off,
+    letter/digit/punctuation runs with optional leading space; the
+    RE2∩Java-regex common subset so Spark and DuckDB count
+    identically). One codegen projection, no shuffle."""
+    from geowave_spark.operators.text import token_count, token_count_bpe
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return token_count_bpe(token_count(docs)).select(
+        "doc_id", "n_tokens", "n_tokens_bpe"
+    )
+
+
 def _q_chunk_docs(spark, sf):
     """Token-window chunking (operators/text.chunk_tokens): every
     document split into overlapping fixed-size training windows
@@ -1987,7 +2002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corruption, verdicts re-derived by id arithmetic in the oracle)
     for OUT = `spatial_bin` (green r1+r2+r3; `kde` keeps the spatial
     binning/grid-agg family in-window on the same cell-keying math,
-    and `raster_histogram` keeps binned pixel aggregation in-window).
+    and `raster_histogram` keeps binned pixel aggregation in-window);
+    and IN = `doc_tokens_bpe` (token counting at both granularities
+    the brief names — whitespace + the BPE-ish pre-tokenizer regex,
+    RE2∩Java common subset so both engines count identically) for
+    OUT = `geom_line_join` (green r3; `geom_crosses_join` keeps the
+    general-geometry join's segment kernels and `geom_dwithin_join`
+    the distance form in-window — three kernels of the same operator,
+    two stay).
     The tail (entries 51+) holds derived-path twins of in-window
     queries that have at least one prior-round green gate row, the
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
@@ -2006,7 +2028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_bbox_stored": _q_crs_bbox_stored,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
-        "geom_line_join": _q_geom_line_join,
         "geom_crosses_join": _q_geom_crosses_join,
         "geom_dwithin_join": _q_geom_dwithin_join,
         "sql_spatial_mixed": _q_sql_spatial_mixed,
@@ -2041,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "dataset_split": _q_dataset_split,
         "chunk_docs": _q_chunk_docs,
+        "doc_tokens_bpe": _q_doc_tokens_bpe,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "pii_scan": _q_pii_scan,
@@ -2062,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz_extent_keyed": _q_xz_extent_keyed,
         "poly_nonconvex": _q_poly_nonconvex,
         "spatial_bin": _q_spatial_bin,
+        "geom_line_join": _q_geom_line_join,
         "audio_stats": _q_audio_stats,
         "geom_poly_join": _q_geom_poly_join,
         "raster_tiles": _q_raster_tiles,
@@ -2291,7 +2314,9 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_geom() -> dict[str, str]:
     from geowave_spark.operators.packing import pack_sequences_sql
     from geowave_spark.operators.sampling import dataset_split_sql, source_quota_sql
-    from geowave_spark.operators.text import chunk_tokens_sql
+    from geowave_spark.operators.text import BPE_SPLIT_PATTERN, chunk_tokens_sql
+
+    BPE_SPLIT_PATTERN_SQL = BPE_SPLIT_PATTERN.replace("'", "''")
     from geowave_spark.operators.batching import aspect_batches_sql
 
     """Oracles for the general-geometry join / predicate surface. The
@@ -2398,6 +2423,11 @@ def _oracle_sql_geom() -> dict[str, str]:
         ),
         "pack_sequences": pack_sequences_sql("documents", 256),
         "chunk_docs": chunk_tokens_sql("documents", 40, 30),
+        "doc_tokens_bpe": (
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens, "
+            f"CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN_SQL}')) AS INT) "
+            "AS n_tokens_bpe FROM documents"
+        ),
         "dataset_split": (
             "SELECT source, split, count(*) AS n, min(doc_id) AS min_doc FROM ("
             + dataset_split_sql("documents", select_cols="doc_id, source")

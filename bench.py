@@ -179,6 +179,9 @@ def main():
         "dataset_split",
         "caption_align",
         "aspect_batches",
+        "doc_tokens_bpe",
+        # image_validate is gate-only: decode-bound over the fixed
+        # 300-image fixture, the same decode path image_thumbs times
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -221,3 +221,24 @@ def chunk_tokens_sql(
         f"CAST(gs*{stride} AS INT) AS tok_start, "
         f"CAST(LEAST({window}, n - gs*{stride}) AS INT) AS tok_len FROM e"
     )
+
+
+# BPE-style pre-tokenizer split (public GPT-2-family construction,
+# simplified to the RE2∩Java-regex common subset: no lookahead, so
+# runs of whitespace between words count as one token instead of
+# attaching to the following word — a documented, deterministic
+# deviation that keeps Spark (Java regex) and DuckDB (RE2) counting
+# identically). Contractions split off; letters/digits/punctuation
+# runs each form a token with an optional leading space.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under the BPE-ish pre-tokenizer regex — the
+    pre-tokenization granularity an LLM pipeline budgets by (training
+    cost, packing capacity), vs the coarser whitespace count. One
+    native ``regexp_count`` — codegen projection, no shuffle, no
+    Python, no token materialization."""
+    return df.withColumn(
+        "n_tokens_bpe", F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN))
+    )

@@ -332,3 +332,61 @@ def test_chunk_tokens_bad_args_raise(spark, sf_dir):
         chunk_tokens(docs, 10, 20)  # stride > window
     with pytest.raises(ValueError):
         chunk_tokens(docs, 10, 0)
+
+
+def test_chunk_tokens_exhaustive_invariants(spark):
+    """Exhaustive sweep: every token count 1..120 under five (W, S)
+    configs — chunk count matches the closed form, coverage is exact,
+    overlap is W-S everywhere but the tail."""
+    from geowave_spark.operators.text import chunk_tokens
+
+    rows = [(n, " ".join(["w"] * n)) for n in range(1, 121)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for W, S in [(40, 30), (25, 20), (10, 10), (64, 1), (7, 3)]:
+        got = {}
+        for r in chunk_tokens(df, W, S).collect():
+            got.setdefault(r["doc_id"], []).append(r)
+        assert set(got) == set(range(1, 121))
+        for n, chunks in got.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            exp_cnt = 1 if n <= W else (n - W + S - 1) // S + 1
+            assert len(chunks) == exp_cnt, (W, S, n)
+            assert chunks[-1]["tok_start"] + chunks[-1]["tok_len"] == n
+            for c in chunks[:-1]:
+                assert c["tok_len"] == W
+            for a, b in zip(chunks, chunks[1:]):
+                assert b["tok_start"] - a["tok_start"] == S
+
+
+def test_token_count_bpe_engine_parity_and_semantics(spark):
+    """The BPE-ish pre-tokenizer counts identically under Spark's Java
+    regex and DuckDB's RE2 on adversarial strings (contractions,
+    multi-space runs, unicode letters, CJK, digit/letter boundaries),
+    and matches hand-counted expectations."""
+    import duckdb
+
+    from geowave_spark.operators.text import BPE_SPLIT_PATTERN, token_count_bpe
+
+    cases = [
+        (0, "hello world", 2),
+        (1, "it's 2024, ok?!", 6),
+        (2, "a  b\t\nc", 5),
+        (3, "don't stop-me now3x", 8),
+        (4, "", 0),
+        (5, "  lead", 2),
+        (6, "trail  ", 2),
+        (7, "café ñandú 北京 12ab", 5),
+        (8, "we'll they're i'm you've he'd", 10),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens_bpe"] for r in token_count_bpe(df).collect()}
+    con = duckdb.connect()
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    for i, t, exp in cases:
+        assert got[i] == exp, (t, got[i], exp)
+        duck = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
+        ).fetchone()[0]
+        assert duck == exp, (t, duck, exp)
