@@ -251,6 +251,18 @@ def _q_doc_tokens(spark, sf):
     return token_count(_docs(spark, sf)).select("doc_id", "n_tokens")
 
 
+def _q_quality_filter(spark, sf):
+    """Composite rule-based quality gate (operators/text.quality_filter
+    — the C4/Gopher-style document filter): first-failing-rule verdict
+    over exact integer features (token bounds, mean-token-length band,
+    cross-multiplied stopword ratio). Tail entry: oracle-checked in the
+    full local sweep; in-window siblings doc_repetition + pii_scan keep
+    the document-quality family in the driver gate."""
+    from geowave_spark.operators.text import quality_filter
+
+    return quality_filter(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
 def _q_doc_quality(spark, sf):
     return quality_features(_docs(spark, sf))
 
@@ -2116,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_prefix": _q_text_prefix,
         "text_suffix": _q_text_suffix,
         "doc_quality": _q_doc_quality,
+        "quality_filter": _q_quality_filter,
         "doc_tokens": _q_doc_tokens,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2253,6 +2266,19 @@ def oracle_sql() -> dict[str, str]:
         f"min(y_u) AS y_min, max(y_u) AS y_max FROM {EVENTS_PTS}) s",
         "doc_tokens": "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens "
         "FROM documents",
+        "quality_filter": (
+            "WITH f AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens, "
+            "(length(text) - len(string_split(text,' ')) + 1) * 100 // "
+            "greatest(len(string_split(text,' ')), 1) AS mtl, "
+            f"len(list_filter(string_split(text,' '), x -> x IN ({_stop_list_sql(['the','and','of','to','a','in','is','it','for','on'])}))) AS n_stop "
+            "FROM documents), r AS (SELECT doc_id, CASE "
+            "WHEN n_tokens < 20 THEN 'too_short' "
+            "WHEN n_tokens > 100000 THEN 'too_long' "
+            "WHEN mtl < 250 OR mtl > 1200 THEN 'bad_tok_len' "
+            "WHEN n_stop * 1000 < 30 * n_tokens THEN 'low_stopword' "
+            "ELSE 'ok' END AS reason FROM f) "
+            "SELECT doc_id, reason, reason = 'ok' AS ok FROM r"
+        ),
         "doc_quality": "SELECT doc_id, CAST(length(text) AS INT) AS n_chars_q, "
         "CAST(len(string_split(text,' ')) AS INT) AS n_tokens, "
         f"CAST(len(list_filter(string_split(text,' '), x -> x IN ({_stop_list_sql(['the','and','of','to','a','in','is','it','for','on'])}))) AS INT) AS n_stop_en, "

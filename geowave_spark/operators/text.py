@@ -242,3 +242,48 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "n_tokens_bpe", F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN))
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_tok_len_x100: int = 250,
+    max_mean_tok_len_x100: int = 1200,
+    min_stop_ratio_x1000: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite rule-based quality gate (the C4/Gopher-style document
+    filter): classify every document with the FIRST failing rule —
+
+    - ``too_short`` / ``too_long`` — whitespace token count bounds;
+    - ``bad_tok_len`` — mean token length ×100 outside
+      [min, max] (gibberish / no-space blobs / char soup);
+    - ``low_stopword`` — English stopword hits below
+      ``min_stop_ratio_x1000``/1000 of tokens (non-linguistic text);
+    - ``ok``.
+
+    Every feature is the exact integer from quality_features, and the
+    ratio rules cross-multiply instead of dividing, so the verdict is
+    integer-exact and oracle-reproducible. One codegen projection over
+    the feature columns — no shuffle; downstream ``WHERE ok`` is a
+    narrow pushable predicate (at 100 TB this gate rides the same
+    ingest pass as pii_scan/validate_images)."""
+    feats = quality_features(df, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(
+            (F.col("mean_tok_len_x100") < min_mean_tok_len_x100)
+            | (F.col("mean_tok_len_x100") > max_mean_tok_len_x100),
+            F.lit("bad_tok_len"),
+        )
+        .when(
+            F.col("n_stop_en") * 1000 < min_stop_ratio_x1000 * F.col("n_tokens"),
+            F.lit("low_stopword"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return feats.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("ok")
+    )

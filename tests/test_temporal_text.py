@@ -390,3 +390,39 @@ def test_token_count_bpe_engine_parity_and_semantics(spark):
             f"SELECT len(regexp_extract_all(?, '{pat}'))", [t]
         ).fetchone()[0]
         assert duck == exp, (t, duck, exp)
+
+
+def test_quality_filter_matches_duckdb_and_flags(spark, sf_dir):
+    """Verdicts are integer-exact across engines; every rule fires on
+    at least one crafted document."""
+    import duckdb
+
+    from geowave_spark.operators.text import quality_filter
+
+    crafted = spark.createDataFrame(
+        [
+            (9001, "too short"),
+            (9002, " ".join(["supercalifragilistic"] * 30)),  # bad_tok_len (long)
+            (9003, " ".join(["x"] * 30)),  # bad_tok_len (short tokens)
+            (9004, " ".join(["zqxw"] * 10 + ["wvum"] * 20)),  # no stopwords
+            (9005, "the quick brown fox is on the run and it jumps for " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["reason"] for r in quality_filter(crafted).collect()}
+    assert got[9001] == "too_short"
+    assert got[9002] == "bad_tok_len"
+    assert got[9003] == "bad_tok_len"
+    assert got[9004] == "low_stopword"
+    assert got[9005] == "ok"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got_real = {
+        (r["doc_id"], r["reason"], r["ok"]) for r in quality_filter(docs).collect()
+    }
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    exp = set(con.sql(e.oracle_sql()["quality_filter"]).fetchall())
+    assert got_real == exp and len(got_real) > 0
