@@ -126,7 +126,11 @@ def dataset_split(
     Scale shape: one codegen projection (md5 + CASE), no shuffle; a
     downstream ``WHERE split = 'train'`` stays a narrow filter.
     """
-    if len(bounds_x1000) != len(names) - 1 or sorted(bounds_x1000) != list(bounds_x1000):
+    if (
+        len(bounds_x1000) != len(names) - 1
+        or sorted(bounds_x1000) != list(bounds_x1000)
+        or any(not 0 <= b <= 1000 for b in bounds_x1000)
+    ):
         raise ValueError(f"bad split spec: {bounds_x1000=} {names=}")
     b = F.pmod(sample_key(id_col, salt), F.lit(1000))
     expr = F.lit(names[-1])

@@ -134,3 +134,5 @@ def test_dataset_split_bad_spec_raises(docs):
         dataset_split(docs, bounds_x1000=(900,), names=("a", "b", "c"))
     with pytest.raises(ValueError):
         dataset_split(docs, bounds_x1000=(950, 900), names=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        dataset_split(docs, bounds_x1000=(900, 1100), names=("a", "b", "c"))
