@@ -263,6 +263,36 @@ def _q_quality_filter(spark, sf):
     return quality_filter(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+def _q_pii_redacted(spark, sf):
+    """PII redaction proven end-to-end (operators/text.pii_redact):
+    the chained regexp_replace pipeline runs over the planted corpus
+    and the oracle CONSTRUCTS the expected redacted text analytically
+    from id arithmetic — zero regex in the oracle, so a hash match
+    proves every pattern matched exactly its planted span and nothing
+    else. Tail entry (full-sweep checked); pii_scan keeps the PII
+    family in the driver window."""
+    from geowave_spark.operators.text import pii_redact
+    from geowave_spark.sources.testgeo import PII_N, pii_planted
+
+    return pii_redact(pii_planted(spark, PII_N)).select(
+        "doc_id", F.col("text").alias("redacted")
+    )
+
+
+def _pii_redacted_oracle() -> str:
+    from geowave_spark.sources.testgeo import PII_N
+
+    return (
+        f"WITH ids AS (SELECT unnest(generate_series(0, {PII_N - 1})) AS i) "
+        "SELECT i AS doc_id, 'clean filler text segment' "
+        "|| (CASE WHEN i % 3 > 0 THEN ' mail <EMAIL>' ELSE '' END) "
+        "|| (CASE WHEN i % 3 > 1 THEN ' mail <EMAIL>' ELSE '' END) "
+        "|| (CASE WHEN i % 2 = 1 THEN ' call <PHONE>' ELSE '' END) "
+        "|| (CASE WHEN i % 5 = 0 THEN ' host <IPV4>' ELSE '' END) "
+        "|| ' end' AS redacted FROM ids"
+    )
+
+
 def _q_doc_quality(spark, sf):
     return quality_features(_docs(spark, sf))
 
@@ -2129,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_suffix": _q_text_suffix,
         "doc_quality": _q_doc_quality,
         "quality_filter": _q_quality_filter,
+        "pii_redacted": _q_pii_redacted,
         "doc_tokens": _q_doc_tokens,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2266,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
         f"min(y_u) AS y_min, max(y_u) AS y_max FROM {EVENTS_PTS}) s",
         "doc_tokens": "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens "
         "FROM documents",
+        "pii_redacted": _pii_redacted_oracle(),
         "quality_filter": (
             "WITH f AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens, "
             "(length(text) - len(string_split(text,' ')) + 1) * 100 // "
