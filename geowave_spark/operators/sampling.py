@@ -128,7 +128,10 @@ def dataset_split(
     """
     if (
         len(bounds_x1000) != len(names) - 1
-        or sorted(bounds_x1000) != list(bounds_x1000)
+        # strictly increasing: a duplicated cut point (900, 900) would
+        # pass a non-strict sort check and silently yield a permanently
+        # empty middle split instead of an error
+        or any(a >= b for a, b in zip(bounds_x1000, bounds_x1000[1:]))
         or any(not 0 <= b <= 1000 for b in bounds_x1000)
     ):
         raise ValueError(f"bad split spec: {bounds_x1000=} {names=}")

@@ -333,6 +333,10 @@ def semdedup(
     pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
+        # cosine is undefined for zero-norm vectors: without the na/nb
+        # guards the test 0 >= tau*0*0 is TRUE and every zero vector in
+        # a cluster collapses into one "duplicate" group
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
         .where(
             dot_col(F.col("va"), F.col("vb"))
             >= F.lit(threshold_x1000 / 1000.0) * F.col("na") * F.col("nb")

@@ -79,7 +79,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<string>'(?:\\.|''|[^'\\])*')
   | (?P<qident>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
-  | (?P<number>\d+\.\d+(?:[eE]-?\d+)?|\d+(?:[eE]\d+)?)
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<ident>[a-zA-Z_]\w*)
   | (?P<op><>|<=|>=|::|[<>=(),*/+\-;\[\]])
     """,
@@ -722,7 +722,16 @@ def _agg_column(sel: Selector, x_col: str, y_col: str):
         c = getattr(F, fn.lower())(F.col(arg))
     elif fn == "BBOX":
         # BboxFunction → VectorBoundingBoxAggregation: the envelope of
-        # the geometry column (Envelope result → one struct column)
+        # the geometry column (Envelope result → one struct column).
+        # The engine binds exactly one geometry per type (the x_col/
+        # y_col pair, pseudo-column "geom"), so any OTHER column name
+        # here would silently aggregate the wrong geometry — reject it
+        # (BboxFunction.java validates its argument is a geometry field)
+        if arg not in ("*", "geom"):
+            raise GWQLParseException(
+                f"BBOX({arg}) aggregates an unbound geometry column; the "
+                "bound geometry pseudo-column is 'geom' (or use BBOX(*))"
+            )
         c = F.struct(
             F.min(x_col).alias("minx"), F.min(y_col).alias("miny"),
             F.max(x_col).alias("maxx"), F.max(y_col).alias("maxy"),

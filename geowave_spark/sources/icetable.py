@@ -339,6 +339,12 @@ class IceTable:
                 # point nor a gap
                 sid = s.get("parent")
                 continue
+            summary = s.get("summary") or {}
+            removes_rows = (
+                op in ("delete", "upsert")
+                or int(summary.get("deleted_rows", 0)) > 0
+                or int(summary.get("replaced_rows", 0)) > 0
+            )
             occ = s.get("occupancy")
             if occ is not None and (res is None or occ["res"] == res):
                 if res is None:
@@ -346,8 +352,13 @@ class IceTable:
                 for gx, gy, n in occ["cells"]:
                     k = (int(gx), int(gy))
                     cells[k] = cells.get(k, 0) + int(n)
-            elif int(s.get("added_rows", 0)) > 0:
-                complete = False  # this snapshot's rows are not folded
+            elif int(s.get("added_rows", 0)) > 0 or removes_rows:
+                # a row-REMOVING snapshot without an occupancy delta is
+                # an incompleteness point even when added_rows == 0 (a
+                # delete emptying every touched file adds no rows, yet
+                # the removed rows stay counted in ancestor deltas — the
+                # fold would OVERcount, so the flag must not read true)
+                complete = False
             if op == "overwrite":
                 break
             sid = s.get("parent")

@@ -42,6 +42,37 @@ def test_mixed_selectors_raise():
         parse_statement("SELECT a, COUNT(*) FROM t")
 
 
+def test_scientific_notation_literals_parse():
+    # 1e-3 / 2E+4 / 5e2 are single number tokens (the old pattern only
+    # allowed an exponent after a decimal point, so '1e-3' tokenized as
+    # ['1','e','-','3'] and failed with a misleading error)
+    s = parse_statement("SELECT * FROM t WHERE a < 1e-3 AND b > 2E+4 AND c = 5e2")
+
+    def nums(node, out):
+        if isinstance(node, tuple):
+            if node[0] == "num":
+                out.append(float(node[1]))
+            for part in node[1:]:
+                nums(part, out)
+        elif isinstance(node, list):
+            for part in node:
+                nums(part, out)
+        return out
+
+    assert nums(s.where, []) == [1e-3, 2e4, 5e2]
+
+
+def test_bbox_aggregate_rejects_unbound_geometry_column(spark):
+    from geowave_spark.plans.gwql import _agg_column
+
+    s = parse_statement("SELECT BBOX(other_geom) FROM t")
+    with pytest.raises(GWQLParseException, match="other_geom"):
+        _agg_column(s.selectors[0], "x_u", "y_u")
+    # the bound pseudo-column and the wildcard both stay valid
+    for ok in ("SELECT BBOX(geom) FROM t", "SELECT BBOX(*) FROM t"):
+        _agg_column(parse_statement(ok).selectors[0], "x_u", "y_u")
+
+
 def test_unknown_aggregate_raises():
     with pytest.raises(GWQLParseException):
         parse_statement("SELECT AVG(a) FROM t")

@@ -752,3 +752,40 @@ def test_upsert_detects_concurrent_commit(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         t.upsert(spark.createDataFrame([(5, 9)], "id LONG, val LONG"), "id")
     assert t.read(spark).count() == 105
+
+
+def test_occupancy_fold_incomplete_after_empty_file_delete(spark, tmp_path):
+    """A delete snapshot whose rewritten files keep 0 rows has
+    added_rows == 0, yet the removed rows are still counted in the
+    ancestor occupancy deltas — merged_occupancy must flip
+    complete=False for ANY delete/upsert in the chain, never report an
+    overcount as complete."""
+    from geowave_spark.sources.icetable import IceTable
+
+    def pts(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("pid"),
+            ((F.col("id") * 7919) % 360_000_000 - 180_000_000).alias("x_u"),
+            ((F.col("id") * 104729) % 360_000_000 - 180_000_000).alias("y_u"),
+        )
+
+    t = IceTable(str(tmp_path / "t"))
+    t.commit_write(
+        pts(0, 100), mode="append", stats_cols=["pid"],
+        occupancy=(4, "x_u", "y_u"),
+    )
+    assert t.merged_occupancy()["complete"] is True
+    # delete EVERY row: the rewritten file set is empty (added_rows 0),
+    # the old "added_rows > 0" guard never fired here
+    deleted, _ = t.delete_where(spark, ranges={"pid": (0, 99)})
+    assert deleted == 100
+    occ = t.merged_occupancy()
+    assert occ["complete"] is False
+    # a partial delete (added_rows > 0) is flagged too
+    t2 = IceTable(str(tmp_path / "t2"))
+    t2.commit_write(
+        pts(0, 100), mode="append", stats_cols=["pid"],
+        occupancy=(4, "x_u", "y_u"),
+    )
+    t2.delete_where(spark, ranges={"pid": (0, 10)})
+    assert t2.merged_occupancy()["complete"] is False

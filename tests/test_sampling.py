@@ -136,3 +136,7 @@ def test_dataset_split_bad_spec_raises(docs):
         dataset_split(docs, bounds_x1000=(950, 900), names=("a", "b", "c"))
     with pytest.raises(ValueError):
         dataset_split(docs, bounds_x1000=(900, 1100), names=("a", "b", "c"))
+    # duplicate cut points pass a non-strict sort check but make the
+    # middle split permanently empty — must raise, not silently degrade
+    with pytest.raises(ValueError):
+        dataset_split(docs, bounds_x1000=(900, 900), names=("a", "b", "c"))

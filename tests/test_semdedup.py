@@ -72,3 +72,14 @@ def test_planted_near_dups_collapse(spark):
     out = semdedup(df, threshold_x1000=999, nlist=4, train_rows=80).toPandas()
     got = dict(zip(out["vec_id"], out["rep_id"]))
     assert all(got[2 * i + 1] == got[2 * i] == 2 * i for i in range(40))
+
+
+def test_zero_norm_vectors_stay_singletons(spark):
+    """cosine is undefined for zero vectors: 0 >= tau*0*0 is true, so
+    without the norm guard every zero vector in a cluster collapses
+    into one group. They must come out as singletons instead."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = semdedup(df, threshold_x1000=900, centroids=np.eye(2)).toPandas()
+    got = dict(zip(out["vec_id"], out["rep_id"]))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
