@@ -320,7 +320,9 @@ def _q_pack_sequences(spark, sf):
     from geowave_spark.operators.text import token_count
 
     docs = token_count(spark.read.parquet(f"{sf}/documents.parquet"))
-    return pack_sequences(docs, 256)
+    # n_buckets pinned to the oracle's CTE layout (default None derives
+    # it from corpus size — see packing.pack_sequences)
+    return pack_sequences(docs, 256, n_buckets=16)
 
 
 def _q_source_quota(spark, sf):

@@ -13,6 +13,7 @@ zip_with), which makes the scores bit-identical to the DuckDB oracle's
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -256,13 +257,36 @@ def topk_ivf(
 
 def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     """Index of the max-dot centroid (min index wins ties) — the IVF
-    write-time list assignment, shared by topk_ivf and semdedup."""
-    return F.greatest(
-        *[
-            F.struct(s.alias("s"), F.lit(-i).alias("negi"))
-            for i, s in enumerate(_centroid_scores(vec, centroids))
-        ]
-    )["negi"] * -1
+    write-time list assignment, shared by topk_ivf and semdedup.
+
+    Small centroid sets inline as native codegen (one greatest over
+    nlist dot folds — zero Python); beyond _NATIVE_NLIST_MAX the
+    expression tree would blow up Catalyst codegen, so the assignment
+    switches to ONE Arrow-batched matmul (V @ C.T argmax) — same
+    min-index tie rule (np.argmax returns the first maximum)."""
+    if len(centroids) <= _NATIVE_NLIST_MAX:
+        return F.greatest(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("negi"))
+                for i, s in enumerate(_centroid_scores(vec, centroids))
+            ]
+        )["negi"] * -1
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(mat @ cmat.T, axis=1).astype("int32"))
+
+    return assign(vec)
+
+
+_NATIVE_NLIST_MAX = 64
+
+# default rows-per-cluster target when nlist is derived: the semdedup
+# pair join is O(rows²) per cluster, so the target bounds per-cluster
+# pair counts (~1M pairs at 1024) independent of corpus size
+SEMDEDUP_TARGET_PER_CLUSTER = 1024
 
 
 def semdedup(
@@ -271,8 +295,9 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
-    nlist: int = 16,
+    nlist: int | None = None,
     train_rows: int = 2048,
+    target_per_cluster: int = SEMDEDUP_TARGET_PER_CLUSTER,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus by k-means clustering followed
@@ -297,12 +322,27 @@ def semdedup(
     shard); default trains deterministic driver-side Lloyd on the
     first ``train_rows`` id-ordered vectors (topk_ivf stance).
 
+    ``nlist=None`` (default) derives the cluster count from the
+    corpus: ceil(count / target_per_cluster), clamped to
+    [16, train_rows] — one cheap count() so a default-argument call at
+    100 TB gets bounded per-cluster cardinality (~target rows → ~1M
+    pairs per cluster) instead of 1/16th-corpus clusters (round-4
+    verdict fixed-k caveat). Deterministic: nlist is a pure function
+    of corpus size. The train_rows ceiling exists because Lloyd init
+    takes the first nlist sample rows; raise train_rows together with
+    nlist for corpora that need > 2048 clusters.
+
     Returns (vec_id, cluster, rep_id): rep_id = vec_id ⇔ the row is
     the kept representative of its semantic group (singletons keep
     themselves).
     """
     from geowave_spark.operators.dedup import connected_components
 
+    if centroids is not None:
+        nlist = len(centroids)
+    elif nlist is None:
+        n_rows = corpus.count()
+        nlist = min(max(16, -(-n_rows // target_per_cluster)), train_rows)
     if centroids is None:
         sample = np.array(
             [

@@ -13,7 +13,7 @@ CAP = 256
 @pytest.fixture(scope="module")
 def packed(spark, sf_dir):
     docs = token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return pack_sequences(docs, CAP).cache()
+    return pack_sequences(docs, CAP, n_buckets=16).cache()
 
 
 def test_every_doc_packed_once(packed, spark, sf_dir):
@@ -82,3 +82,28 @@ def test_oversized_doc_is_clamped_and_isolated(spark):
 def test_bad_capacity_raises(spark):
     with pytest.raises(ValueError):
         pack_sequences(spark.range(1).withColumn("n_tokens", F.lit(1)), 0)
+
+
+def test_default_bucket_count_derives_from_corpus_size(spark):
+    """With n_buckets unset, the bucket count scales with the corpus
+    (ceil(n / target_per_bucket)) so per-bucket pandas groups stay
+    bounded — a default-argument call must never load 1/16th of a
+    100 TB corpus as one group."""
+    from geowave_spark.operators.packing import pack_sequences
+
+    def docs(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 90 + 10).alias("n_tokens")
+        )
+
+    small = pack_sequences(docs(300), 256, target_per_bucket=100)
+    big = pack_sequences(docs(1200), 256, target_per_bucket=100)
+    n_small = small.select("bucket").distinct().count()
+    n_big = big.select("bucket").distinct().count()
+    assert n_small == 3 and n_big == 12
+    # hash bucketing keeps every group within ~2x the target
+    worst = big.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    assert worst <= 200
+    # derived layout is deterministic: same corpus -> same assignment
+    again = pack_sequences(docs(1200), 256, target_per_bucket=100)
+    assert big.exceptAll(again).count() == 0

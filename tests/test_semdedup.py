@@ -83,3 +83,51 @@ def test_zero_norm_vectors_stay_singletons(spark):
     out = semdedup(df, threshold_x1000=900, centroids=np.eye(2)).toPandas()
     got = dict(zip(out["vec_id"], out["rep_id"]))
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_default_nlist_derives_from_corpus_size(spark):
+    """With nlist unset, the cluster count scales with the corpus
+    (ceil(n / target_per_cluster), clamped to [16, train_rows]) so the
+    O(n^2/k) within-cluster pair join stays bounded with default args."""
+    rng = np.random.default_rng(3)
+
+    def corpus(n):
+        vecs = rng.normal(size=(n, 8))
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        )
+
+    small = semdedup(corpus(64), threshold_x1000=999, target_per_cluster=4)
+    big = semdedup(corpus(256), threshold_x1000=999, target_per_cluster=4)
+    # 64/4 = 16 clusters, 256/4 = 64 clusters (both above the floor)
+    assert small.select("cluster").distinct().count() <= 16
+    assert big.select("cluster").distinct().count() <= 64
+    assert big.select(F.max("cluster")).first()[0] >= 16  # actually scaled up
+    assert big.count() == 256
+
+
+def test_nearest_centroid_arrow_path_matches_native(spark):
+    """Above _NATIVE_NLIST_MAX the assignment switches from inlined
+    codegen to one Arrow-batched matmul — both paths must produce the
+    same argmax with the same min-index tie rule."""
+    from geowave_spark.operators.similarity import nearest_centroid
+
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(70, 6))
+    vecs = rng.normal(size=(50, 6))
+    # duplicate centroid 0 at index 69: ties must pick the lower index
+    cents[69] = cents[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    got = (
+        df.select("vec_id", nearest_centroid(F.col("embedding"), cents).alias("c"))
+        .toPandas()
+        .sort_values("vec_id")["c"]
+        .to_numpy()
+    )
+    # float32 storage: expectation computed from the same float32 values
+    exp = np.argmax(vecs.astype(np.float32).astype(np.float64) @ cents.T, axis=1)
+    assert (got == exp).all() and (got != 69).all()
