@@ -322,25 +322,113 @@ def common_passages(
     )
 
 
+def _star_components(edges: DataFrame, max_iters: int = 60) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14, Alg. 3) — converges in O(log n) rounds regardless of
+    graph diameter, the scale path for long-chain duplicate graphs
+    where min-label propagation needs diameter rounds.
+
+    ``edges``: (src, dst) pairs, any orientation. Each round is two
+    groupBy-min transforms over the edge list (no driver-side graph
+    state); lineage truncates per round via localCheckpoint.
+
+    large-star: every node attaches its STRICTLY LARGER neighbors to
+    the minimum of its neighborhood (incl. itself) — run over the
+    symmetrized edge list. small-star: edges oriented toward the
+    larger endpoint; that endpoint attaches itself and its smaller
+    neighbors to the neighborhood minimum. At the fixed point the
+    edge set is a star forest rooted at component minima.
+
+    Returns (node, label) for every node incident to an edge.
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates()
+        mn_l = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("nmn"))
+            .select("src", F.least("src", "nmn").alias("m"))
+        )
+        large = (
+            sym.join(mn_l, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .dropDuplicates()
+        )
+        # small-star over large-star's output, oriented to the larger end
+        g = (
+            large.select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        mn_s = g.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so m = min(Γ∪{u})
+        new_e = (
+            g.join(mn_s, "u")
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .unionByName(mn_s.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        # fixed point: the canonically-oriented edge set is unchanged
+        old_c = e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        ).dropDuplicates()
+        new_c = new_e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        ).dropDuplicates()
+        done = (
+            new_c.count() == old_c.count() and new_c.exceptAll(old_c).isEmpty()
+        )
+        e = new_e
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            f"_star_components did not converge in {max_iters} rounds"
+        )
+    # star forest: every non-root has exactly one (node, root) edge
+    # after canonical orientation; roots label themselves
+    stars = e.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("m")
+    ).groupBy("node").agg(F.min("m").alias("label"))
+    roots = stars.select(F.col("label").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    return stars.unionByName(roots).dropDuplicates(["node"])
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     nodes: DataFrame | None = None,
     max_iters: int = 20,
+    star_fallback_after: int = 8,
 ) -> DataFrame:
     """Connected components over an undirected pair list by iterative
     min-label propagation: each round every node takes the minimum
     label among itself and its neighbors; converged when no label
     changes. Rounds needed = graph diameter — for near-duplicate
     clusters (the LSH candidate graph) that is tiny, since band
-    collisions make clusters near-cliques; the pathological
-    long-chain case at 100 TB is where the alternating large-star/
-    small-star transform (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14) drops rounds to O(log n) — this
-    implementation keeps the simple propagation because every round
-    is one shuffle join on the node id, and lineage is truncated per
-    round (localCheckpoint) so the plan never grows with iterations.
+    collisions make clusters near-cliques. If propagation has not
+    converged after ``star_fallback_after`` rounds (a long-chain
+    graph), the computation SWITCHES to the alternating large-star/
+    small-star transform (_star_components, Kiveris et al. SoCC'14),
+    which converges in O(log n) rounds regardless of diameter — so a
+    pathological duplicate chain at 100 TB completes instead of
+    burning max_iters and raising.
 
     ``nodes`` (optional) adds isolated vertices (e.g. every doc_id, so
     unpaired documents come out as singleton components).
@@ -356,12 +444,25 @@ def connected_components(
     ).unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = sym.dropDuplicates(["src", "dst"]).localCheckpoint()
 
-    labels = edges.select(F.col("src").alias("node")).distinct()
+    all_nodes = edges.select(F.col("src").alias("node")).distinct()
     if nodes is not None:
-        labels = labels.unionByName(nodes.select(F.col(nodes.columns[0]).alias("node"))).distinct()
-    labels = labels.select("node", F.col("node").alias("label")).localCheckpoint()
+        all_nodes = all_nodes.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        ).distinct()
+    labels = all_nodes.select("node", F.col("node").alias("label")).localCheckpoint()
 
-    for _ in range(max_iters):
+    for i in range(max_iters):
+        if i >= star_fallback_after:
+            # propagation is diameter-bound and still moving: hand the
+            # ORIGINAL edge set to the O(log n) star transform and
+            # graft isolated vertices back as singletons
+            star = _star_components(edges)
+            return (
+                all_nodes.join(star, "node", "left")
+                .select(
+                    "node", F.coalesce("label", F.col("node")).alias("label")
+                )
+            )
         prop = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), "label")
@@ -380,12 +481,6 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # never break = the last round still changed labels: the graph
-        # diameter exceeds max_iters and the labels are NOT component
-        # minima. Returning them would silently split duplicate groups
-        # (two canonical ids for one component) — fail loudly instead;
-        # callers with genuinely long chains raise max_iters (or switch
-        # to the large-star/small-star transform, docstring above).
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             "(graph diameter too large); raise max_iters"

@@ -93,3 +93,50 @@ def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_star_fallback_converges_on_long_chain(spark):
+    """A 10k-node chain has diameter 10k: min-label propagation alone
+    would burn max_iters and raise; the large-star/small-star fallback
+    (Kiveris et al. SoCC'14) must label the whole chain with node 0 in
+    O(log n) rounds."""
+    from geowave_spark.operators.dedup import connected_components
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = connected_components(chain, max_iters=12, star_fallback_after=3)
+    assert out.count() == n
+    assert out.where(F.col("label") != 0).count() == 0
+
+
+def test_star_components_match_propagation_on_random_graph(spark):
+    """Both algorithms must produce identical (node, label) maps —
+    validated on a random graph with several components plus isolated
+    vertices."""
+    import random
+
+    from geowave_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = []
+    # 5 blocks of 40 nodes; edges only within a block (sparse, so some
+    # blocks split into several true components — fine, both algorithms
+    # see the same graph)
+    for b in range(5):
+        base = b * 40
+        for _ in range(50):
+            u, v = rng.sample(range(base, base + 40), 2)
+            edges.append((u, v))
+    pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    nodes = spark.range(220).select(F.col("id").alias("doc_id"))
+    prop = connected_components(
+        pairs, nodes=nodes, max_iters=40, star_fallback_after=40
+    )
+    star = connected_components(
+        pairs, nodes=nodes, max_iters=40, star_fallback_after=0
+    )
+    a = {(r["node"], r["label"]) for r in prop.collect()}
+    b = {(r["node"], r["label"]) for r in star.collect()}
+    assert a == b and len(a) == 220
