@@ -32,6 +32,7 @@ from geowave_spark.sources.media import audio_stats_sql, video_frame_sample_sql
 from geowave_spark.sources.testgeo import (
     customer_boxes,
     customer_boxes_sql,
+    events_intervals_sql,
     events_points,
     events_points_sql,
     octagon_vertices_sql,
@@ -1079,6 +1080,21 @@ def _q_st_bbox_time(spark, sf):
     ).select("event_id")
 
 
+def _q_st_interval_query(spark, sf):
+    """Interval (ranged-time) index: events carry [ts_start, ts_end)
+    derived from ts + a key-hashed 1h..49h duration; the stored layout
+    duplicates each row into every DAY bin its interval spans
+    (TemporalBinningStrategy bin-spanning insertion), the query scans
+    bins overlapping [T_LO, T_HI) + Morton cell ranges, refines with
+    the exact half-open overlap, and dedupes on read."""
+    from geowave_spark.plans.store import st_interval_query, st_interval_store
+
+    x0, y0, x1, y1 = BBOX
+    return st_interval_query(
+        st_interval_store(spark, sf), x0, y0, x1, y1, T_LO, T_HI
+    ).select("event_id")
+
+
 def _q_hilbert_bbox(spark, sf):
     """bbox range scan over the stored Hilbert point index — the
     reference's default point curve as a live index option."""
@@ -2066,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         "gwql_select": _q_gwql_select,
         "st_bbox_time": _q_st_bbox_time,
+        "st_interval_query": _q_st_interval_query,
         "ice_delete": _q_ice_delete,
         "attr_range": _q_attr_range,
         "crs_bbox": _q_crs_bbox,
@@ -2448,6 +2465,12 @@ def _oracle_sql_geom() -> dict[str, str]:
         "st_bbox_time": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         f"AND ts >= TIMESTAMP '{T_LO}' AND ts < TIMESTAMP '{T_HI}'",
+        # interval OVERLAPS on the raw interval table — the engine's
+        # bin-spanning stored layout + dedupe must be invisible here
+        "st_interval_query": f"WITH ivs AS {events_intervals_sql('')} "
+        f"SELECT event_id FROM ivs "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        f"AND ts_start < TIMESTAMP '{T_HI}' AND ts_end > TIMESTAMP '{T_LO}'",
         "hilbert_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "ice_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "

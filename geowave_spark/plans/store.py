@@ -148,6 +148,103 @@ def st_bbox_time_query(
     )
 
 
+# --------------------------------------------- interval (ranged-time) index
+
+
+def interval_bin_bounds(start, end, unit: str = "DAY"):
+    """(bin_lo, bin_hi) Columns for a half-open [start, end) interval:
+    the inclusive range of periodic bins the interval touches. End
+    exclusive — an interval ending exactly on a bin boundary does NOT
+    occupy the next bin (TemporalBinningStrategy.getBinnedQueryRanges
+    treats the bin edge the same way: binStart inclusive, binEnd
+    exclusive). DAY unit only for now (the composite ST store's unit)."""
+    from geowave_spark.operators.temporal import time_bin_col
+
+    b_lo = time_bin_col(start, unit).cast("long")
+    b_end = time_bin_col(end, unit).cast("long")
+    on_edge = end.cast("date").cast("timestamp") == end
+    if unit != "DAY":  # HOUR/WEEK/... boundary tests need their own edge rule
+        raise ValueError(f"interval binning supports DAY only, got {unit!r}")
+    b_hi = F.when(on_edge, b_end - 1).otherwise(b_end)
+    return b_lo, b_hi
+
+
+ST_IVAL_RES = 8
+
+
+def st_interval_store(
+    spark: SparkSession, sf_dir: str, res: int = ST_IVAL_RES
+) -> DataFrame:
+    """Interval-keyed spatial-temporal layout: each row is DUPLICATED
+    into every DAY bin its [ts_start, ts_end) range spans — the
+    reference's bin-spanning insertion for ranged-time fields
+    (core/geotime/.../index/dimension/TemporalBinningStrategy.java:36-43:
+    getInsertionIds emits one key per bin the range crosses; readers
+    dedupe). Stored sorted by (bin, cell) so both constraint dimensions
+    prune at the parquet row-group level, exactly like st_store — the
+    difference is the write-side explode and the read-side dedupe."""
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.sources.testgeo import events_intervals
+
+    def build():
+        iv = events_intervals(spark, sf_dir)
+        b_lo, b_hi = interval_bin_bounds(F.col("ts_start"), F.col("ts_end"))
+        return (
+            iv.withColumn("bin", F.explode(F.sequence(b_lo, b_hi)))
+            .withColumn("cell", cell_col(F.col("x_u"), F.col("y_u"), res))
+            .repartitionByRange(8, "bin", "cell")
+            .sortWithinPartitions("bin", "cell")
+        )
+
+    return _materialize(spark, "ivstore", f"{sf_dir}:{res}", build)
+
+
+def st_interval_query(
+    stored: DataFrame,
+    x_lo: int,
+    y_lo: int,
+    x_hi: int,
+    y_hi: int,
+    t_lo: str,
+    t_hi: str,
+    res: int = ST_IVAL_RES,
+    max_ranges: int = 8,
+) -> DataFrame:
+    """bbox + interval-OVERLAPS query over the interval-keyed layout:
+    coarse = bin BETWEEN the query interval's touched bins AND ≤
+    max_ranges Morton cell ranges (both sargable on the stored sort);
+    refine = exact bbox + half-open overlap (ts_start < t_hi AND
+    ts_end > t_lo); then DEDUPE — a row duplicated across k bins can
+    match in several scanned bins, the read path must return it once
+    (the reference's DedupeFilter stage after a bin-spanning scan)."""
+    from datetime import datetime
+
+    from geowave_spark.index.zorder import bbox_ranges
+    from geowave_spark.operators.spatial_query import cell_range_predicate
+
+    epoch = datetime(1970, 1, 1)
+    b_lo = (datetime.fromisoformat(t_lo) - epoch).days
+    dt_hi = datetime.fromisoformat(t_hi)
+    b_hi = (dt_hi - epoch).days
+    if dt_hi.time() == datetime.min.time():
+        b_hi -= 1  # t_hi exclusive: midnight belongs to the previous bin
+    ranges = bbox_ranges(x_lo, y_lo, x_hi, y_hi, res, max_ranges)
+    coarse = F.col("bin").between(b_lo, b_hi) & cell_range_predicate(
+        F.col("cell"), ranges
+    )
+    exact = (
+        F.col("x_u").between(x_lo, x_hi)
+        & F.col("y_u").between(y_lo, y_hi)
+        & (F.col("ts_start") < F.lit(t_hi).cast("timestamp"))
+        & (F.col("ts_end") > F.lit(t_lo).cast("timestamp"))
+    )
+    # duplicates of one insertion are bit-identical rows (only the bin
+    # differed), so dedupe on the row key alone — the shuffle carries
+    # one key column, not the payload comparison a full-row distinct
+    # would (DedupeFilter semantics: first insertion id wins)
+    return stored.where(coarse).where(exact).drop("bin").dropDuplicates(["event_id"])
+
+
 # ------------------------------------------------ snapshot (Iceberg) store
 
 

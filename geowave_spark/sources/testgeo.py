@@ -115,6 +115,47 @@ def events_points_sql(sf_dir: str) -> str:
     )
 
 
+# interval (ranged-time) fixture: duration 1h..49h derived from the
+# key, so intervals span 1-3 DAY bins — exercises the bin-spanning
+# insertion of the interval index (TemporalBinningStrategy)
+IVAL_DUR_MIN_S = 3600
+IVAL_DUR_SPAN_S = 172_800
+
+
+def events_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-valued event table: (ts_start, ts_end) derived from ts
+    plus a key-hashed duration — the engine's stand-in for features
+    whose time is a START/END attribute pair (the reference's
+    TimeDescriptors start/end range configuration). End exclusive."""
+    from geowave_spark.operators.temporal import interval_end_col
+
+    pts = events_points(spark, sf_dir)
+    dur = (
+        F.lit(IVAL_DUR_MIN_S)
+        + F.pmod(F.col("event_id") * F.lit(K1), F.lit(IVAL_DUR_SPAN_S))
+    ).cast("long")
+    return pts.select(
+        "event_id",
+        F.col("ts").alias("ts_start"),
+        interval_end_col(F.col("ts"), dur).alias("ts_end"),
+        "user_id",
+        "value",
+        "x_u",
+        "y_u",
+    )
+
+
+def events_intervals_sql(sf_dir: str) -> str:
+    """DuckDB FROM-clause twin of events_intervals (exact timestamp
+    arithmetic: ts + to_seconds(n))."""
+    x, y = xy_sql("event_id")
+    dur = f"({IVAL_DUR_MIN_S} + (event_id * {K1}) % {IVAL_DUR_SPAN_S})"
+    return (
+        f"(SELECT event_id, ts AS ts_start, ts + to_seconds({dur}) AS ts_end, "
+        f"user_id, value, {x} AS x_u, {y} AS y_u FROM events)"
+    )
+
+
 # web-mercator axis half-span in integer mm — derived from the CRS
 # definition so the fixture domain, the index bounds, and the DuckDB
 # oracle constant (__spark_entry__ imports this) can never diverge
