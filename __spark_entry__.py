@@ -57,6 +57,13 @@ PENTA = [
 ]
 T_LO, T_HI = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
 KNN_QUERIES = [(1, 0, 0), (2, -73_950_000, 40_700_000), (3, 150_000_000, -60_000_000)]
+# geodesic fixture: query 2 at 70°N (planar vs great-circle ranks
+# diverge), query 3 at lon 179° (antimeridian wrap)
+KNN_GEO_QUERIES = [
+    (1, 0, 0),
+    (2, 20_000_000, 70_000_000),
+    (3, 179_000_000, -50_000_000),
+]
 KNN_K = 10
 DIST_RADIUS_U = 2_000_000
 TILE_RES = 7
@@ -218,6 +225,22 @@ def _q_distance_join(spark, sf):
 
 def _q_knn(spark, sf):
     return knn(spark, events_points(spark, sf), KNN_QUERIES, KNN_K)
+
+
+def _q_knn_geodesic(spark, sf):
+    """Great-circle kNN (operators/geodesic.knn_geodesic): haversine
+    meters on the mean sphere, wrap-aware candidate rings, latitude-
+    corrected ring-sufficiency gate — the OrthodromicDistancePartitioner
+    semantics. Query 2 sits at 70°N where planar µdeg and geodesic
+    ranks genuinely differ (pytest asserts the divergence); query 3
+    hugs the antimeridian so the wrap path is exercised in the gate.
+    Output is (query_id, event_id, rank) — integer-exact; the oracle
+    re-derives the same closed-form haversine in DuckDB."""
+    from geowave_spark.operators.geodesic import knn_geodesic
+
+    return knn_geodesic(
+        spark, events_points(spark, sf), KNN_GEO_QUERIES, KNN_K
+    )
 
 
 def _q_tile_assign(spark, sf):
@@ -2096,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_contains": _q_pred_contains,
         # --- kNN family + clustering
         "knn_bulk": _q_knn_bulk,
+        "knn_geodesic": _q_knn_geodesic,
         "nn_join": _q_nn_join,
         "dbscan_labels": _q_dbscan_labels,
         "kmeans_hulls": _q_kmeans_hulls,
@@ -2215,6 +2239,11 @@ def oracle_sql() -> dict[str, str]:
         "p.x_u BETWEEN b.x_lo AND b.x_hi AND p.y_u BETWEEN b.y_lo AND b.y_hi"
     )
     knn_vals = ", ".join(f"({q}, {qx}, {qy})" for q, qx, qy in KNN_QUERIES)
+    from geowave_spark.operators.geodesic import haversine_m_sql
+
+    knn_geo_vals = ", ".join(
+        f"({q}, {qx}, {qy})" for q, qx, qy in KNN_GEO_QUERIES
+    )
     h64 = lambda e, s: (
         f"CAST(concat('0x', substr(md5(concat('s{s}:', {e})), 1, 15)) AS BIGINT)"
     )
@@ -2290,6 +2319,13 @@ def oracle_sql() -> dict[str, str]:
         f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy), p.event_id) AS rank "
         f"FROM {EVENTS_PTS} p, q) "
         f"SELECT query_id, event_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {KNN_K}",
+        "knn_geodesic": f"{pts}, q(query_id, qx, qy) AS (VALUES {knn_geo_vals}), "
+        f"d AS (SELECT q.query_id, p.event_id, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"{haversine_m_sql('q.qx', 'q.qy', 'p.x_u', 'p.y_u')}, p.event_id) AS rank "
+        f"FROM {EVENTS_PTS} p, q) "
+        f"SELECT query_id, event_id, CAST(rank AS INT) AS rank FROM d "
+        f"WHERE rank <= {KNN_K}",
         "knn_bulk": f"{pts}, "
         f"q AS (SELECT event_id AS query_id, x_u AS qx, y_u AS qy FROM {EVENTS_PTS} "
         f"WHERE event_id % {KNN_BULK_MOD} = 0), "
