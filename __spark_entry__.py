@@ -1182,6 +1182,46 @@ def _q_ice_delete(spark, sf):
     return ice_bbox_query(spark, t, x0, y0, x1, y1).select("event_id")
 
 
+def _q_gwql_delete(spark, sf):
+    """GWQL DELETE statement routed through the snapshot store's
+    copy-on-write delete (DeleteStatement.java → BaseDataStore.delete):
+    `DELETE FROM ev WHERE BBOX(...) AND value < 30` compiles to the
+    store's (ranges, predicate) form, delete_where rewrites only the
+    stat-overlapping files, and the registered view refreshes to the
+    post-delete snapshot. The returned scan is the same three-level-
+    pruned bbox read as ice_delete, over a DIFFERENT store + predicate
+    — so this row checks the statement grammar → durable-delete
+    routing end-to-end, idempotent via the snapshot log."""
+    import hashlib as _h
+    import os as _os
+
+    from geowave_spark.api import DataStore
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.plans.store import CACHE_ROOT, ice_bbox_query
+    from geowave_spark.sources.icetable import IceTable
+
+    x0, y0, x1, y1 = BBOX
+    digest = _h.md5(f"gwql_del:{sf}:16".encode()).hexdigest()[:12]
+    t = IceTable(_os.path.join(CACHE_ROOT, f"gwql_del_{digest}"))
+    if t.current_snapshot_id() is None:
+        pts = events_points(spark, sf).withColumn(
+            "cell", cell_col(F.col("x_u"), F.col("y_u"), 16)
+        )
+        t.commit_write(
+            pts.repartitionByRange(8, "cell").sortWithinPartitions("cell"),
+            mode="overwrite",
+            stats_cols=["cell", "x_u", "y_u"],
+        )
+    if t.snapshots()[-1]["operation"] != "delete":
+        ds = DataStore(spark)
+        ds.add_snapshot_type("ev", t)
+        ds.gwql(
+            f"DELETE FROM ev WHERE BBOX(geom, {x0}, {y0}, {x1}, {y1}) "
+            "AND value < 30"
+        )
+    return ice_bbox_query(spark, t, x0, y0, x1, y1).select("event_id")
+
+
 def _q_stats_incremental(spark, sf):
     """Write-path incremental statistics: events committed as a 3-append
     snapshot sequence; count + bbox come from the manifest's footer
@@ -2107,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_bbox_time": _q_st_bbox_time,
         "st_interval_query": _q_st_interval_query,
         "ice_delete": _q_ice_delete,
+        "gwql_delete": _q_gwql_delete,
         "attr_range": _q_attr_range,
         "crs_bbox": _q_crs_bbox,
         "crs_bbox_stored": _q_crs_bbox_stored,
@@ -2512,6 +2553,9 @@ def _oracle_sql_geom() -> dict[str, str]:
         "ice_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         "AND NOT coalesce(value < 50, FALSE)",
+        "gwql_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        "AND NOT coalesce(value < 30, FALSE)",
         "ice_bbox": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1}",
         "cql_filter": f"{pts} SELECT event_id FROM {EVENTS_PTS} "

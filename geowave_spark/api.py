@@ -49,6 +49,7 @@ class DataStore:
         self.spark = spark
         self.res = res
         self._types: dict[str, DataFrame] = {}
+        self._ice: dict[str, object] = {}  # name -> IceTable handle
         register_all(spark)
 
     # ------------------------------------------------------------ types
@@ -64,6 +65,16 @@ class DataStore:
 
     def type(self, name: str) -> DataFrame:
         return self._types[name]
+
+    def add_snapshot_type(self, name: str, table) -> None:
+        """Register a snapshot-store-backed type (sources/icetable.py).
+        Queries read the current snapshot; GWQL ``DELETE FROM name
+        WHERE ...`` routes through the store's copy-on-write
+        delete_where instead of the in-memory anti-join — the
+        DeleteStatement → BaseDataStore.delete path of the reference
+        (rows removed durably, old snapshots still time-travel)."""
+        self._ice[name] = table
+        self.add_type(name, table.read(self.spark), indexed=False)
 
     # ---------------------------------------------------------- queries
 
@@ -297,6 +308,44 @@ class DataStore:
         and the returned count would disagree with the rows removed."""
         matched = self.query(name, bbox=bbox, polygon=polygon, time=time, where=where)
         return self._delete_matched(name, matched, key)
+
+    def _delete_snapshot(self, name: str, stmt) -> int:
+        """GWQL DELETE over a snapshot-store-backed type: compile the
+        statement's WHERE into the store's (ranges, predicate) form and
+        run the copy-on-write delete_where — file skipping on footer
+        stats, only overlapping files rewritten, one atomic snapshot
+        (DeleteStatement.java executed against the durable store rather
+        than the session view). The registered view refreshes to the
+        post-delete snapshot. Returns rows removed."""
+        from geowave_spark.plans.gwql import GWQLParseException, compile_filter
+
+        plan = compile_filter(stmt.where, x_col="x_u", y_col="y_u")
+        if plan.geometry is not None or plan.dwithin is not None:
+            raise GWQLParseException(
+                "snapshot-store DELETE supports BBOX + attribute/temporal "
+                "predicates; polygon/DWITHIN deletes need the query-then-"
+                "delete-by-key path (DataStore.delete)"
+            )
+        ranges: dict[str, tuple] = {}
+        if plan.bbox is not None:
+            x0, y0, x1, y1 = plan.bbox
+            ranges["x_u"] = (x0, x1)
+            ranges["y_u"] = (y0, y1)
+        conjuncts = list(plan.residual)
+        if plan.time is not None:
+            lo, hi = plan.time
+            conjuncts.append(
+                f"{plan.time_col} >= TIMESTAMP '{lo}' "
+                f"AND {plan.time_col} < TIMESTAMP '{hi}'"
+            )
+        predicate = " AND ".join(f"({c})" for c in conjuncts) or None
+        deleted, _report = self._ice[name].delete_where(
+            self.spark, ranges=ranges or None, predicate=predicate
+        )
+        refreshed = self._ice[name].read(self.spark)
+        self._types[name] = refreshed
+        refreshed.createOrReplaceTempView(name)
+        return deleted
 
     def _delete_matched(
         self, name: str, matched: DataFrame, key: str | None = None

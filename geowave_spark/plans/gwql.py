@@ -770,6 +770,11 @@ def gwql(store, statement: str) -> DataFrame | int:
     if stmt.table not in store._types:
         raise GWQLParseException(f"No type named {stmt.table}")
     if stmt.kind == "delete":
+        if stmt.table in getattr(store, "_ice", {}):
+            # snapshot-store-backed type: route through the store's
+            # copy-on-write delete (durable, file-skipping) instead of
+            # the in-memory anti-join
+            return store._delete_snapshot(stmt.table, stmt)
         matched = execute(store._types[stmt.table], stmt)
         return store._delete_matched(stmt.table, matched)
     return execute(store._types[stmt.table], stmt)

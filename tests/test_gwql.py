@@ -311,6 +311,44 @@ def test_delete_roundtrip(spark, sf_dir):
     assert spark.sql("SELECT COUNT(*) c FROM ev_del").first()["c"] == after
 
 
+def test_delete_routes_to_snapshot_store(spark, sf_dir, tmp_path):
+    """A snapshot-store-backed type routes GWQL DELETE through
+    IceTable.delete_where (copy-on-write, durable) instead of the
+    in-memory anti-join; the view refreshes to the post-delete
+    snapshot and the store's snapshot log records the delete."""
+    from geowave_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "ev"))
+    t.commit_write(
+        events_points(spark, sf_dir), mode="overwrite", stats_cols=["x_u", "y_u"]
+    )
+    ds = DataStore(spark)
+    ds.add_snapshot_type("ev_snap", t)
+    before = t.read(spark).count()
+    expect = t.read(spark).where(
+        "x_u BETWEEN -60000000 AND 70000000 "
+        "AND y_u BETWEEN -40000000 AND 55000000 AND value < 20"
+    ).count()
+    removed = ds.gwql(
+        "DELETE FROM ev_snap WHERE "
+        "BBOX(geom, -60000000, -40000000, 70000000, 55000000) AND value < 20"
+    )
+    assert removed == expect > 0
+    assert t.snapshots()[-1]["operation"] == "delete"
+    assert t.read(spark).count() == before - removed
+    # the registered view follows the new snapshot
+    assert (
+        spark.sql("SELECT COUNT(*) c FROM ev_snap").first()["c"]
+        == before - removed
+    )
+    # polygon deletes are not compilable to (ranges, predicate): loud error
+    with pytest.raises(GWQLParseException, match="snapshot-store DELETE"):
+        ds.gwql(
+            "DELETE FROM ev_snap WHERE INTERSECTS(geom, "
+            "POLYGON((0 0, 10 0, 10 10, 0 0)))"
+        )
+
+
 def test_select_polygon_refine_matches_cql(store, spark, sf_dir):
     wkt = ("POLYGON((-120000000 -30000000, 120000000 -30000000, "
            "0 45000000, -120000000 -30000000))")
