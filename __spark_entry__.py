@@ -1182,6 +1182,35 @@ def _q_ice_delete(spark, sf):
     return ice_bbox_query(spark, t, x0, y0, x1, y1).select("event_id")
 
 
+def _q_stats_sketch_commit(spark, sf):
+    """Commit-maintained field sketches read from METADATA ONLY: the
+    3-append snapshot store records CMS cell counts, Bloom bit
+    positions and HLL register maxima per commit (sketch_cols on
+    icetable.commit_write); merged_field_sketches folds them along the
+    lineage with each sketch's merge operator (sum / or / max). The
+    oracle recomputes all three tables from the raw events — equality
+    proves the per-commit deltas and the metadata fold are together
+    exactly the full-table sketch (StatisticsStore's transactional
+    field statistics)."""
+    from geowave_spark.plans.store import ice_events_sketch_store
+    from geowave_spark.sources.icetable import CMS_WIDTH
+
+    t = ice_events_sketch_store(spark, sf)
+    m = t.merged_field_sketches("user_id")
+    # every commit in this store writes sketches; a partial fold here
+    # means missing snapshots — fail loudly, never present undercounts
+    assert m["complete"], "sketch fold is missing snapshots"
+    rows = (
+        [("hll", int(reg), int(rho)) for reg, rho in m["hll"].items()]
+        + [
+            ("cms", int(d) * CMS_WIDTH + int(b), int(n))
+            for (d, b), n in m["cms"].items()
+        ]
+        + [("bloom", int(p), 1) for p in m["bloom"]]
+    )
+    return spark.createDataFrame(rows, "kind string, k long, n long")
+
+
 def _q_gwql_delete(spark, sf):
     """GWQL DELETE statement routed through the snapshot store's
     copy-on-write delete (DeleteStatement.java → BaseDataStore.delete):
@@ -2177,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- aggregations / statistics
         "split_plan": _q_split_plan,
         "stats_incremental": _q_stats_incremental,
+        "stats_sketch_commit": _q_stats_sketch_commit,
         # --- temporal + text predicates + GWQL scalar surface
         "time_bin_week": _q_time_bin_week,
         "text_contains": _q_text_contains,
@@ -2391,6 +2421,26 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {EVENTS_PTS} GROUP BY 1, 2) c CROSS JOIN "
         "(SELECT count(*) AS n_rows, min(x_u) AS x_min, max(x_u) AS x_max, "
         f"min(y_u) AS y_min, max(y_u) AS y_max FROM {EVENTS_PTS}) s",
+        # commit-maintained field sketches: the oracle recomputes the
+        # full CMS / Bloom / HLL tables from the raw events with the
+        # SAME md5-prefix hash family; the engine answers from snapshot
+        # metadata alone (merged_field_sketches)
+        "stats_sketch_commit": (
+            "WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events), "
+            "hl AS (SELECT CAST(concat('0x', substr(md5(concat('hll:', s)), 1, 15)) "
+            "AS BIGINT) AS h FROM v) "
+            "SELECT 'hll' AS kind, h % 256 AS k, "
+            "max(CASE WHEN h // 256 > 0 THEN 53 - length(bin(h // 256)) "
+            "ELSE 53 END) AS n FROM hl GROUP BY h % 256 "
+            "UNION ALL SELECT 'cms' AS kind, d * 2048 + b AS k, n FROM ("
+            "SELECT d, CAST(concat('0x', substr(md5(concat('cms', d, ':', s)), 1, 15)) "
+            "AS BIGINT) % 2048 AS b, count(*) AS n "
+            "FROM v, (SELECT unnest(range(4)) AS d) GROUP BY 1, 2) "
+            "UNION ALL SELECT 'bloom' AS kind, p AS k, CAST(1 AS BIGINT) AS n FROM ("
+            "SELECT DISTINCT CAST(concat('0x', substr(md5(concat('bf', d, ':', s)), 1, 15)) "
+            "AS BIGINT) % 65536 AS p "
+            "FROM v, (SELECT unnest(range(3)) AS d))"
+        ),
         "doc_tokens": "SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tokens "
         "FROM documents",
         "pii_redacted": _pii_redacted_oracle(),

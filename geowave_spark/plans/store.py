@@ -345,6 +345,38 @@ def ice_events_stats_store(spark: SparkSession, sf_dir: str, res: int = STATS_RE
     return t
 
 
+def ice_events_sketch_store(spark: SparkSession, sf_dir: str, n_snaps: int = 3):
+    """Events committed as a multi-snapshot append sequence with
+    COMMIT-MAINTAINED FIELD SKETCHES on user_id (CMS + Bloom + HLL
+    deltas recorded per snapshot — icetable.commit_write(sketch_cols);
+    the reference's CountMinSketchStatistic / BloomFilterStatistic /
+    HyperLogLogStatistic updated transactionally per write). Readers
+    answer frequency/membership/cardinality questions from metadata
+    alone (merged_field_sketches). Same resume-by-batch-id discipline
+    as ice_events_stats_store."""
+    import hashlib as _h
+
+    from geowave_spark.sources.icetable import IceTable
+    from geowave_spark.sources.testgeo import events_points
+
+    digest = _h.md5(f"ice_sketch:{sf_dir}:{n_snaps}".encode()).hexdigest()[:12]
+    t = IceTable(os.path.join(CACHE_ROOT, f"ice_sketch_{digest}"))
+    done = {(s.get("summary") or {}).get("batch") for s in t.snapshots()}
+    todo = [i for i in range(n_snaps) if i not in done]
+    if todo:
+        pts = events_points(spark, sf_dir)
+        for i in todo:
+            batch = pts.where(F.pmod(F.xxhash64("event_id"), F.lit(n_snaps)) == i)
+            t.commit_write(
+                batch,
+                mode="append",
+                stats_cols=["x_u", "y_u"],
+                sketch_cols=["user_id"],
+                summary={"batch": i},
+            )
+    return t
+
+
 # ---------------------------------------------------- attribute (secondary)
 
 

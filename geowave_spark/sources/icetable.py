@@ -95,6 +95,64 @@ def _file_stats(path: str, stats_cols: list[str] | None) -> dict:
     }
 
 
+# field-sketch geometry — shared with plans/stats.field_sketches so
+# commit-maintained and on-demand sketches are bit-identical (same
+# md5-prefix hash family, same table shapes)
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+BF_M = 1 << 16
+BF_K = 3
+HLL_M = 256  # registers; the 60-bit md5-prefix hash leaves 52 rho bits
+
+
+def _sketch_delta(batch, col: str) -> dict:
+    """One partial-agg pass over a written batch producing this
+    commit's sketch deltas for ``col``: CMS cell counts (merge = sum),
+    Bloom bit positions (merge = or), HLL per-register max rho
+    (merge = max). Everything is exact integer arithmetic over the
+    md5-prefix draw, computable identically by the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col).cast("string")
+
+    def h(prefix: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 15), 16, 10
+        ).cast("long")
+
+    cms_rows = None
+    for d in range(CMS_DEPTH):
+        part = batch.select(
+            F.lit(d).alias("d"),
+            F.pmod(h(f"cms{d}:"), F.lit(CMS_WIDTH)).alias("b"),
+        )
+        cms_rows = part if cms_rows is None else cms_rows.unionByName(part)
+    cms = [
+        [int(r["d"]), int(r["b"]), int(r["n"])]
+        for r in cms_rows.groupBy("d", "b").agg(F.count("*").alias("n")).collect()
+    ]
+
+    bf_rows = None
+    for d in range(BF_K):
+        part = batch.select(F.pmod(h(f"bf{d}:"), F.lit(BF_M)).alias("p"))
+        bf_rows = part if bf_rows is None else bf_rows.unionByName(part)
+    bloom = sorted(int(r["p"]) for r in bf_rows.distinct().collect())
+
+    hv = h("hll:")
+    w = F.call_function("div", hv, F.lit(HLL_M))
+    rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
+    hll = [
+        [int(r["reg"]), int(r["rho"])]
+        for r in batch.select(
+            F.pmod(hv, F.lit(HLL_M)).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    ]
+    return {"cms": cms, "bloom": bloom, "hll": hll}
+
+
 class IceTable:
     def __init__(self, root: str):
         self.root = root
@@ -187,6 +245,7 @@ class IceTable:
         stats_cols: list[str] | None = None,
         summary: dict | None = None,
         occupancy: tuple[int, str, str] | None = None,
+        sketch_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` as immutable data files and commit a snapshot.
         ``mode`` 'append' unions the parent's file list; 'overwrite'
@@ -205,7 +264,20 @@ class IceTable:
         the stat read is O(snapshots × occupied cells) metadata, not a
         data scan. Row count + per-column min/max need no extra work at
         all: they ride the parquet footers already collected into the
-        manifest (merged_column_stats). Returns the new snapshot id."""
+        manifest (merged_column_stats).
+
+        ``sketch_cols`` additionally records per-commit FIELD SKETCH
+        deltas for each named column — CountMinSketch cell counts,
+        Bloom bit positions, HyperLogLog register maxima (the
+        CountMinSketchStatistic / BloomFilterStatistic /
+        HyperLogLogStatistic trio of core/store/.../statistics/field/*,
+        maintained transactionally per write). All three merge along
+        the snapshot chain with the sketch's own operator (sum / or /
+        max — merged_field_sketches), so the table-level sketch is
+        readable from METADATA alone after any append sequence. The
+        hash family is the md5-prefix draw shared with
+        plans/stats.field_sketches, so on-demand and commit-maintained
+        sketches are bit-identical. Returns the new snapshot id."""
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         # data files land OUTSIDE the lock (the slow part, and they are
@@ -241,6 +313,12 @@ class IceTable:
                 "res": int(res),
                 "cells": [[int(r["gx"]), int(r["gy"]), int(r["count"])] for r in occ_rows],
             }
+        sk_entry = None
+        if sketch_cols:
+            batch = df.sparkSession.read.parquet(data_dir)
+            sk_entry = {
+                col: _sketch_delta(batch, col) for col in sketch_cols
+            }
         new_files = [
             _file_stats(os.path.join(data_dir, fn), stats_cols)
             for fn in sorted(os.listdir(data_dir))
@@ -265,6 +343,7 @@ class IceTable:
                     "added_paths": [x["path"] for x in new_files],
                     "summary": summary or {},
                     **({"occupancy": occ_entry} if occ_entry is not None else {}),
+                    **({"sketches": sk_entry} if sk_entry is not None else {}),
                 }
             )
             meta["current_snapshot_id"] = sid
@@ -363,6 +442,64 @@ class IceTable:
                 break
             sid = s.get("parent")
         return {"res": res, "cells": cells, "complete": complete}
+
+    def merged_field_sketches(self, col: str) -> dict:
+        """Fold the per-snapshot field-sketch deltas for ``col`` along
+        the CURRENT snapshot's lineage — each sketch with its own merge
+        operator (CMS cells: sum; Bloom positions: or/union; HLL
+        registers: max), the same walk rules as merged_occupancy
+        (overwrite = reset point, rollback redirects, compaction
+        transparent). ``complete`` is False when any row-adding OR
+        row-removing snapshot in the chain carries no sketch entry for
+        the column — none of the three sketches supports deletion, so a
+        delete/upsert always flips the flag. Metadata-only: never
+        touches data files.
+
+        Returns {"cms": {(d, bucket): n}, "bloom": set[int],
+        "hll": {register: max_rho}, "complete": bool}."""
+        by_id = {s["id"]: s for s in self.snapshots()}
+        sid = self.current_snapshot_id()
+        cms: dict = {}
+        bloom: set = set()
+        hll: dict = {}
+        complete = True
+        while sid is not None:
+            s = by_id.get(sid)
+            if s is None:
+                complete = False  # lineage truncated by expire_snapshots
+                break
+            op = str(s.get("operation", ""))
+            if op.startswith("rollback-to-"):
+                sid = int(op[len("rollback-to-") :])
+                continue
+            if (s.get("summary") or {}).get("compaction"):
+                sid = s.get("parent")
+                continue
+            summary = s.get("summary") or {}
+            removes_rows = (
+                op in ("delete", "upsert")
+                or int(summary.get("deleted_rows", 0)) > 0
+                or int(summary.get("replaced_rows", 0)) > 0
+            )
+            sk = (s.get("sketches") or {}).get(col)
+            if removes_rows:
+                # CMS/HLL/Bloom cannot subtract: removed rows stay
+                # counted in ancestor deltas, so the fold OVERcounts
+                complete = False
+            if sk is not None:
+                for d, b, n in sk["cms"]:
+                    k = (int(d), int(b))
+                    cms[k] = cms.get(k, 0) + int(n)
+                bloom.update(int(p) for p in sk["bloom"])
+                for reg, rho in sk["hll"]:
+                    r = int(reg)
+                    hll[r] = max(hll.get(r, 0), int(rho))
+            elif int(s.get("added_rows", 0)) > 0:
+                complete = False  # this snapshot's rows are not folded
+            if op == "overwrite":
+                break
+            sid = s.get("parent")
+        return {"cms": cms, "bloom": bloom, "hll": hll, "complete": complete}
 
     def rollback(self, snapshot_id: int) -> int:
         """Commit a new snapshot whose state is a historical one (time

@@ -789,3 +789,65 @@ def test_occupancy_fold_incomplete_after_empty_file_delete(spark, tmp_path):
     )
     t2.delete_where(spark, ranges={"pid": (0, 10)})
     assert t2.merged_occupancy()["complete"] is False
+
+
+def test_commit_maintained_sketches_match_on_demand(spark, tmp_path):
+    """Field sketches folded from snapshot metadata must equal the
+    on-demand computation (plans/stats.field_sketches) over the live
+    table — after a multi-snapshot append sequence AND after a
+    rollback redirects the fold."""
+    from geowave_spark.plans.stats import field_sketches
+    from geowave_spark.sources.icetable import (
+        BF_K,
+        BF_M,
+        CMS_DEPTH,
+        CMS_WIDTH,
+        IceTable,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("rid"), (F.col("id") % 37).alias("uid")
+        )
+
+    t = IceTable(str(tmp_path / "t"))
+    sids = []
+    for lo, hi in [(0, 400), (400, 700), (700, 1000)]:
+        sids.append(
+            t.commit_write(batch(lo, hi), mode="append", sketch_cols=["uid"])
+        )
+
+    def on_demand(df):
+        cms, bf = field_sketches(
+            df, "uid", width=CMS_WIDTH, depth=CMS_DEPTH, m=BF_M, k=BF_K
+        )
+        return cms._t, bf._bits
+
+    m = t.merged_field_sketches("uid")
+    assert m["complete"] is True
+    exp_cms, exp_bits = on_demand(batch(0, 1000))
+    assert m["cms"] == exp_cms
+    assert m["bloom"] == exp_bits
+    # HLL registers: max rho per register over the full table equals
+    # the fold of per-commit maxima (recompute expectation directly)
+    import hashlib
+
+    regs: dict[int, int] = {}
+    for uid in range(37):
+        h = int(hashlib.md5(f"hll:{uid}".encode()).hexdigest()[:15], 16)
+        w = h // 256
+        rho = 53 - w.bit_length() if w > 0 else 53
+        r = h % 256
+        regs[r] = max(regs.get(r, 0), rho)
+    assert m["hll"] == regs
+
+    # rollback to the 2-append state: the fold follows the redirect
+    t.rollback(sids[1])
+    m2 = t.merged_field_sketches("uid")
+    exp_cms2, exp_bits2 = on_demand(batch(0, 700))
+    assert m2["complete"] is True
+    assert m2["cms"] == exp_cms2 and m2["bloom"] == exp_bits2
+
+    # a delete makes the fold incomplete (sketches cannot subtract)
+    t.delete_where(spark, predicate="rid < 100")
+    assert t.merged_field_sketches("uid")["complete"] is False
