@@ -551,6 +551,19 @@ def _q_text_suffix(spark, sf):
     return suffix_search(_docs(spark, sf), "text", "row").select("doc_id")
 
 
+def _q_text_suffix_stored(spark, sf):
+    """ENDS_WITH through the STORED reverse-text layout (write-time
+    reverse(text) sort key, plans/store.reverse_text_store — the
+    TextIndexStrategy REVERSE key family): reversed-prefix range in
+    PushedFilters, exact endswith refine. The old text_suffix tail row
+    computes reverse() at query time; this one reads the stored key."""
+    from geowave_spark.plans.store import reverse_text_store, suffix_stored_query
+
+    return suffix_stored_query(
+        reverse_text_store(spark, sf), "text", "row"
+    ).select("doc_id")
+
+
 def _q_text_contains(spark, sf):
     """CONTAINS through the STORED ngram inverted index (write-time
     materialization, plans/store.ngram_store — the TextIndexStrategy
@@ -2210,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- temporal + text predicates + GWQL scalar surface
         "time_bin_week": _q_time_bin_week,
         "text_contains": _q_text_contains,
+        "text_suffix_stored": _q_text_suffix_stored,
         "gwql_scalars": _q_gwql_scalars,
         "gwql_agg": _q_gwql_agg,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
@@ -2881,6 +2895,7 @@ def _oracle_sql_round2() -> dict[str, str]:
         f"AND ts + to_seconds(user_id) > TIMESTAMP '{TOVL_LO}'",
         "text_prefix": "SELECT doc_id FROM documents WHERE text LIKE 'key%'",
         "text_suffix": "SELECT doc_id FROM documents WHERE text LIKE '%row'",
+        "text_suffix_stored": "SELECT doc_id FROM documents WHERE text LIKE '%row'",
         "text_contains": "SELECT doc_id FROM documents WHERE text LIKE '%spark join%'",
         "bbox_dateline": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE (x_u >= {DL_X_LO} OR x_u <= {DL_X_HI}) "

@@ -490,6 +490,43 @@ def ngram_store(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return _materialize(spark, f"ngram{n}", sf_dir, build)
 
 
+# ------------------------------------------------- text REVERSE index
+
+
+def reverse_text_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored REVERSE text layout for ENDS_WITH search — the
+    TextIndexStrategy REVERSE key family's WRITE path (core/index/.../
+    text/TextIndexStrategy.java: the reversed string is the sort key,
+    computed at ingest): documents + rtext = reverse(text), range-
+    partitioned and sorted by rtext so a suffix query's reversed-prefix
+    BETWEEN lands in PushedFilters and prunes at the parquet row-group
+    level — completing the stored trio (FORWARD implicit in any sorted
+    string layout, NGRAM = ngram_store, REVERSE = this)."""
+
+    def build():
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return (
+            docs.withColumn("rtext", F.reverse(F.col("text")))
+            .repartitionByRange(8, "rtext")
+            .sortWithinPartitions("rtext")
+        )
+
+    return _materialize(spark, "revtext", sf_dir, build)
+
+
+def suffix_stored_query(stored: DataFrame, col: str, suffix: str) -> DataFrame:
+    """ENDS_WITH over the stored REVERSE layout: sargable string-range
+    coarse predicate on the materialized rtext (a plain BETWEEN-ish
+    range → PushedFilters + row-group min/max pruning; compare
+    operators/text_search.suffix_search, which computes reverse(col)
+    at query time and cannot push it), then exact endswith refine."""
+    from geowave_spark.operators.text_search import _MAX_CHAR
+
+    rp = suffix[::-1]
+    coarse = (F.col("rtext") >= rp) & (F.col("rtext") < rp + _MAX_CHAR)
+    return stored.where(coarse).where(F.col(col).endswith(suffix))
+
+
 # ----------------------------------------------------- hilbert point index
 
 

@@ -426,3 +426,28 @@ def test_quality_filter_matches_duckdb_and_flags(spark, sf_dir):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
     exp = set(con.sql(e.oracle_sql()["quality_filter"]).fetchall())
     assert got_real == exp and len(got_real) > 0
+
+
+def test_reverse_stored_layout_prunes_and_matches(spark, sf_dir):
+    """The stored REVERSE layout answers ENDS_WITH identically to the
+    query-time suffix_search, with the reversed-prefix range in
+    PushedFilters (the write-time key, not a post-filter)."""
+    import contextlib
+    from io import StringIO
+
+    from geowave_spark.operators.text_search import suffix_search
+    from geowave_spark.plans.store import reverse_text_store, suffix_stored_query
+
+    stored = reverse_text_store(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = suffix_stored_query(stored, "text", "row").select("doc_id")
+    want = suffix_search(docs, "text", "row").select("doc_id")
+    g = {r["doc_id"] for r in got.collect()}
+    assert g == {r["doc_id"] for r in want.collect()} and len(g) > 0
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "rtext" in pushed[0]
