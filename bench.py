@@ -182,6 +182,15 @@ def main():
         "doc_tokens_bpe",
         # image_validate is gate-only: decode-bound over the fixed
         # 300-image fixture, the same decode path image_thumbs times
+        # round-5 additions: geodesic kNN (haversine ring ladder);
+        # interval-keyed ST scan + read dedupe; GWQL DELETE routed to
+        # the snapshot store (post-delete pruned scan); metadata-only
+        # field-sketch fold; stored REVERSE suffix scan
+        "knn_geodesic",
+        "st_interval_query",
+        "gwql_delete",
+        "stats_sketch_commit",
+        "text_suffix_stored",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
@@ -202,6 +211,10 @@ def main():
         "stats_incremental",  # multi-snapshot stats store commit (write path)
         "crs_bbox_stored",  # custom-CRS cell-sorted layout (write path)
         "ice_delete",  # snapshot commit + delete rewrite (write path)
+        "st_interval_query",  # bin-exploded interval layout (write path)
+        "gwql_delete",  # snapshot commit + GWQL delete rewrite (write path)
+        "stats_sketch_commit",  # 3-append sketch store commits (write path)
+        "text_suffix_stored",  # reversed-text sorted layout (write path)
     ):
         qs[warm](spark, sf_dir).count()
     # geometry-join path: polyfill + pair-refine UDF codegen and the
@@ -225,11 +238,20 @@ def main():
     # Min-of-2 bounds that one-sided noise; the JSON reports the raw
     # per-pass sums too so the window quality stays visible.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # bimodality guard: when a query's passes disagree by more than
+    # OUTLIER_RATIO, BOTH may have landed in the same bad host window
+    # (round-4 artifact: raster_retile_bilinear recorded 4.56 s while
+    # six consecutive re-runs measured 1.5-2.2 s) — give it up to
+    # OUTLIER_RUNS extra passes and keep the min, and report which
+    # queries needed it so window quality stays visible.
+    outlier_ratio = float(os.environ.get("SPARK_GRAFT_OUTLIER_RATIO", "1.8"))
+    outlier_runs = int(os.environ.get("SPARK_GRAFT_OUTLIER_RUNS", "1"))
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
+    reran: list[str] = []
     pass_totals = [0.0] * n_runs
     for name in bench_names:
-        best = None
+        runs = []
         for p in range(n_runs):
             # amortize GC debt OUTSIDE the timing window: ~38
             # back-to-back queries accumulate dead broadcast/shuffle
@@ -241,8 +263,15 @@ def main():
             counts[name] = qs[name](spark, sf_dir).count()
             dt = time.time() - t0
             pass_totals[p] += dt
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            runs.append(dt)
+        if len(runs) > 1 and max(runs) > outlier_ratio * min(runs):
+            reran.append(name)
+            for _ in range(outlier_runs):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
 
     # raster pipeline: cut + merge synthetic images (north-rule
     # tile-assignment throughput). Generation is persisted OUTSIDE the
@@ -284,6 +313,7 @@ def main():
         "jvm_probe_pre_sec": probes_pre,
         "disk_probe_pre_sec": disk_pre,
         "pass_totals_sec": [round(t, 3) for t in pass_totals],
+        "outlier_reruns": reran,
     }
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_SIDECAR.json"
