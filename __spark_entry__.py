@@ -1131,6 +1131,34 @@ def _q_st_interval_query(spark, sf):
     ).select("event_id")
 
 
+def _q_crs_transform(spark, sf):
+    """Closed-form WGS84↔Web-Mercator reprojection (geom/transform.py —
+    the sandbox stand-in for the reference's GeoTools crsTransform):
+    events reprojected to integer-mm 3857 and back, both legs native
+    codegen (ln/tan/atan/exp), outputs the forward coordinates AND the
+    round-trip micro-degrees so the oracle pins both directions."""
+    from geowave_spark.geom.transform import (
+        merc_x_mm,
+        merc_y_mm,
+        wgs_x_u,
+        wgs_y_u,
+    )
+
+    pts = events_points(spark, sf)
+    fwd = pts.select(
+        "event_id",
+        merc_x_mm(F.col("x_u")).alias("x_mm"),
+        merc_y_mm(F.col("y_u")).alias("y_mm"),
+    )
+    return fwd.select(
+        "event_id",
+        "x_mm",
+        "y_mm",
+        wgs_x_u(F.col("x_mm")).alias("rt_x_u"),
+        wgs_y_u(F.col("y_mm")).alias("rt_y_u"),
+    )
+
+
 def _q_hilbert_bbox(spark, sf):
     """bbox range scan over the stored Hilbert point index — the
     reference's default point curve as a live index option."""
@@ -2267,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
+        "crs_transform": _q_crs_transform,
         "raster_overview": _q_raster_overview,
         "time_bin_week": _q_time_bin_week,
         "phash_dedup": _q_phash_dedup,
@@ -2337,6 +2366,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _stop_list_sql(words):
     return ", ".join(f"'{w}'" for w in words)
+
+
+def _crs_transform_oracle() -> str:
+    from geowave_spark.geom.transform import (
+        merc_x_mm_sql,
+        merc_y_mm_sql,
+        wgs_x_u_sql,
+        wgs_y_u_sql,
+    )
+
+    return (
+        f"{_pts_cte()}, f AS (SELECT event_id, "
+        f"{merc_x_mm_sql('x_u')} AS x_mm, {merc_y_mm_sql('y_u')} AS y_mm "
+        f"FROM {EVENTS_PTS}) "
+        f"SELECT event_id, x_mm, y_mm, {wgs_x_u_sql('x_mm')} AS rt_x_u, "
+        f"{wgs_y_u_sql('y_mm')} AS rt_y_u FROM f"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2742,6 +2788,7 @@ def _oracle_sql_geom() -> dict[str, str]:
             f"WITH base AS ({_raster_tiles_oracle()}) "
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
+        "crs_transform": _crs_transform_oracle(),
         "crs_bbox": (
             "SELECT event_id FROM events WHERE "
             f"((event_id * {_K1_TG}) % {2 * MERC_MM}) - {MERC_MM} "

@@ -249,22 +249,12 @@ def _coarsen_to(cells: Column, d_res: Column) -> Column:
 # (the 100×-scale hazard: the fact side of a fact×dim geometry join)
 BC_MAX_BYTES = 64 << 20
 
-# below this estimated per-side input size the keyed frames persist()
-# instead of eager-localCheckpointing (see geom_geom_join) — the two
-# checkpoint jobs are a fixed ~1 s latency that only pays for itself
-# when recomputing the Arrow polyfill would cost more
+# below this EXACT per-side WKB size the keyed frames keep their
+# persist() mark instead of eager-localCheckpointing (see
+# geom_geom_join) — the checkpoint's block copy is a fixed latency
+# that only pays for itself when recomputing the Arrow polyfill would
+# cost more than the copy
 EAGER_CKPT_MIN_BYTES = 32 << 20
-
-
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's optimized-plan size estimate — zero jobs. Unknown or
-    failed estimates return huge, so the SAFE plan (checkpoint) wins;
-    a misestimate below the gate still computes once via the persist
-    mark under normal cache behavior."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return 1 << 62
 
 
 def _collect_payload_dict(sc, df: DataFrame, key: str, geom_col: str, strict: bool = True):
@@ -474,42 +464,31 @@ def geom_geom_join(
     # is computed exactly once regardless of cache state. At cluster
     # scale the production path is a reliable checkpoint into the stage
     # store (plans/checkpoint.py) — same contract, durable blocks.
-    # Round 5: the eager checkpoint is SIZE-GATED. Its two extra Spark
-    # jobs + block writes are what the polyfill-once guarantee costs —
-    # a bargain at fact scale (the round-4 union-branch recompute bug),
-    # pure latency tax on dimension-sized inputs where the whole join
-    # runs ~1 s (BENCH.md §9.4 note). Catalyst's optimizedPlan size
-    # estimate costs no job; below the gate the keyed frames take a
-    # persist() mark instead — still compute-once under normal cache
-    # behavior, and a small input is cheap to recompute even if evicted
-    # (the failure mode the checkpoint exists to prevent only matters
-    # when recompute is expensive, i.e. above the gate).
-    l_in = left.select(F.col(left_key), F.col(left_geom).alias("_lg"))
-    r_in = right.select(F.col(right_key), F.col(right_geom).alias("_rg"))
-    small_inputs = (
-        _plan_size_bytes(l_in) <= EAGER_CKPT_MIN_BYTES
-        and _plan_size_bytes(r_in) <= EAGER_CKPT_MIN_BYTES
-    )
-
-    def _materialize_keys(df):
-        return df.persist() if small_inputs else df.localCheckpoint(eager=True)
-
+    # Round 5: the eager checkpoint is SIZE-GATED on the EXACT per-side
+    # WKB bytes. Its two extra Spark jobs + block writes buy the
+    # polyfill-once-regardless-of-cache-state guarantee — essential at
+    # fact scale (the round-4 union-branch recompute bug), pure latency
+    # tax on dimension-sized inputs where the whole join runs ~1 s
+    # (BENCH.md §10.2). Order of operations: the keyed frames first
+    # take a persist() mark; the _side_stats aggregates below
+    # materialize that cache AND return the exact WKB byte totals; a
+    # side above the gate is then checkpointed FROM the cache (a block
+    # copy, not a recompute) and the mark dropped. A Catalyst plan-size
+    # estimate was tried first and rejected: it sees the pre-UDF input
+    # (8 bytes/row for a generated key column), not the constructed
+    # WKB, so a fact-scale side would silently keep the advisory mark.
     _KEY_FIELDS = ("res", "cells", "bx0", "by0", "bx1", "by1", "rect")
-    l = _materialize_keys(
-        geom_keys(
-            l_in.repartition(par),
-            "_lg",
-            max_cells,
-            buffer_u=buffer_u,
-        ).withColumnsRenamed({c: f"_l{c}" for c in _KEY_FIELDS})
-    )
-    r = _materialize_keys(
-        geom_keys(
-            r_in.repartition(par),
-            "_rg",
-            max_cells,
-        ).withColumnsRenamed({c: f"_r{c}" for c in _KEY_FIELDS})
-    )
+    l = geom_keys(
+        left.select(F.col(left_key), F.col(left_geom).alias("_lg")).repartition(par),
+        "_lg",
+        max_cells,
+        buffer_u=buffer_u,
+    ).withColumnsRenamed({c: f"_l{c}" for c in _KEY_FIELDS}).persist()
+    r = geom_keys(
+        right.select(F.col(right_key), F.col(right_geom).alias("_rg")).repartition(par),
+        "_rg",
+        max_cells,
+    ).withColumnsRenamed({c: f"_r{c}" for c in _KEY_FIELDS}).persist()
 
     # driver-side tiny aggregates deciding the two box fast paths AND
     # the broadcast plan:
@@ -542,6 +521,19 @@ def geom_geom_join(
 
     l_rect, l_fulldim, l_bytes = _side_stats(l, "l", "_lg")
     r_rect, r_fulldim, r_bytes = _side_stats(r, "r", "_rg")
+
+    # exact-bytes checkpoint gate (comment at the persist site above):
+    # a fact-scale side trades one cache->block copy for lineage
+    # truncation; a dimension-sized side keeps the (now warm) mark
+    def _harden(df, nbytes):
+        if nbytes <= EAGER_CKPT_MIN_BYTES:
+            return df
+        ck = df.localCheckpoint(eager=True)
+        df.unpersist()
+        return ck
+
+    l = _harden(l, l_bytes)
+    r = _harden(r, r_bytes)
     native_pred = (
         _box_pair_native_pred(predicate, distance_u)
         if (l_fulldim and r_fulldim)
