@@ -1131,6 +1131,28 @@ def _q_st_interval_query(spark, sf):
     ).select("event_id")
 
 
+NN_GEO_RADIUS_M = 300_000.0  # 300 km
+NN_GEO_MOD = 50  # event_id % 50 == 0 are the query rows
+NN_GEO_K = 5
+
+
+def _q_nn_join_geodesic(spark, sf):
+    """All-pairs NN self-join with a 300 km GREAT-CIRCLE radius
+    (operators/geodesic.nn_self_join_geodesic): latitude-corrected
+    per-row candidate rings (wider in lon-cells at high latitude),
+    antimeridian wrap, haversine refine, per-query top-k. Query side
+    restricted to event_id % 50 == 0 so the DuckDB brute oracle stays
+    tractable; outputs integer ranks only."""
+    from geowave_spark.operators.geodesic import nn_self_join_geodesic
+
+    return nn_self_join_geodesic(
+        events_points(spark, sf),
+        NN_GEO_RADIUS_M,
+        NN_GEO_K,
+        left_filter=F.col("event_id") % NN_GEO_MOD == 0,
+    )
+
+
 def _q_crs_transform(spark, sf):
     """Closed-form WGS84↔Web-Mercator reprojection (geom/transform.py —
     the sandbox stand-in for the reference's GeoTools crsTransform):
@@ -2284,7 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "pii_scan": _q_pii_scan,
-        "doc_repetition": _q_doc_repetition,
+        "nn_join_geodesic": _q_nn_join_geodesic,
         "xmodal_topk": _q_xmodal_topk,
         "image_thumbs": _q_image_thumbs,
         "image_embed": _q_image_embed,
@@ -2296,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
         "crs_transform": _q_crs_transform,
+        "doc_repetition": _q_doc_repetition,
         "raster_overview": _q_raster_overview,
         "time_bin_week": _q_time_bin_week,
         "phash_dedup": _q_phash_dedup,
@@ -2473,6 +2496,15 @@ def oracle_sql() -> dict[str, str]:
         f"(p.x_u - q.qx)*(p.x_u - q.qx) + (p.y_u - q.qy)*(p.y_u - q.qy), p.event_id) AS rank "
         f"FROM {EVENTS_PTS} p, q) "
         f"SELECT query_id, event_id, dist2, CAST(rank AS INT) AS rank FROM d WHERE rank <= {KNN_K}",
+        "nn_join_geodesic": f"{pts}, "
+        f"q AS (SELECT event_id AS a_id, x_u AS ax, y_u AS ay FROM {EVENTS_PTS} "
+        f"WHERE event_id % {NN_GEO_MOD} = 0), "
+        f"d AS (SELECT q.a_id, p.event_id AS b_id, "
+        f"row_number() OVER (PARTITION BY q.a_id ORDER BY "
+        f"{haversine_m_sql('q.ax', 'q.ay', 'p.x_u', 'p.y_u')}, p.event_id) AS rank "
+        f"FROM {EVENTS_PTS} p, q WHERE p.event_id <> q.a_id "
+        f"AND {haversine_m_sql('q.ax', 'q.ay', 'p.x_u', 'p.y_u')} <= {NN_GEO_RADIUS_M}) "
+        f"SELECT a_id, b_id, CAST(rank AS INT) AS rank FROM d WHERE rank <= {NN_GEO_K}",
         "knn_geodesic": f"{pts}, q(query_id, qx, qy) AS (VALUES {knn_geo_vals}), "
         f"d AS (SELECT q.query_id, p.event_id, "
         f"row_number() OVER (PARTITION BY q.query_id ORDER BY "

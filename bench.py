@@ -187,6 +187,7 @@ def main():
         # the snapshot store (post-delete pruned scan); metadata-only
         # field-sketch fold; stored REVERSE suffix scan
         "knn_geodesic",
+        "nn_join_geodesic",
         "st_interval_query",
         "gwql_delete",
         "stats_sketch_commit",

@@ -202,6 +202,118 @@ def knn_geodesic(
         ring *= 2
 
 
+def nn_self_join_geodesic(
+    points: DataFrame,
+    max_dist_m: float,
+    k: int,
+    key: str = "event_id",
+    left_filter: Column | None = None,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """All-pairs NN self-join with a radius in METERS — the geodesic
+    twin of nn_join.nn_self_join, completing the orthodromic option
+    across the NN surface (knn_geodesic / dwithin_geodesic_col / this).
+
+    Same one-shuffle shape as the planar join (query side keyed by its
+    own cell, candidate side exploded to a covering neighborhood,
+    equi-join, exact refine, per-query window top-k) with the two
+    geodesic corrections baked into the NEIGHBORHOOD: the resolution is
+    picked so one cell's LATITUDE span covers max_dist (±1 row of
+    cells suffices vertically — meridians don't shrink), while the
+    LONGITUDE half-width is PER-ROW: kx(φ) = floor(D / (R·cosφ_worst)
+    / span) + 1 cells, where φ_worst is the row's |lat| widened by the
+    lat reach D/R — at high latitude a lon-cell is narrower in meters,
+    so the ring widens exactly there instead of globally (the
+    OrthodromicDistancePartitioner's latitude-aware neighborhood).
+    Longitude neighbors WRAP across the antimeridian (pmod), latitude
+    clamps. A pair can match at most one join key (single query cell ×
+    array_distinct candidate cells), so no dedupe stage exists.
+
+    Returns (a_id, b_id, rank) — rank by (haversine, b_id); the float
+    meters never leave the plan (integer-exact across engines)."""
+    dist_lat_deg = math.degrees(float(max_dist_m) / EARTH_R_M)
+    dist_lat_u = max(int(math.ceil(dist_lat_deg * 1e6)), 1)
+    from geowave_spark.operators.nn_join import res_for_distance
+
+    res = res_for_distance(dist_lat_u)
+    n_side = 1 << res
+    span_deg = 360.0 / n_side
+
+    from geowave_spark import LAT_OFF_U, LON_OFF_U
+    from geowave_spark.index.native import grid_coord_col
+
+    def packed(gx, gy):
+        return F.shiftleft(gx, 32).bitwiseOR(gy)
+
+    def clamp_y(g):
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
+
+    left = points
+    if left_filter is not None:
+        left = left.where(left_filter)
+    left = left.select(
+        F.col(key).alias("a_id"),
+        F.col("x_u").alias("ax"),
+        F.col("y_u").alias("ay"),
+        packed(
+            grid_coord_col(F.col("x_u"), res, LON_OFF_U),
+            grid_coord_col(F.col("y_u"), res, LAT_OFF_U),
+        ).alias("_cell"),
+    ).repartition("a_id")
+
+    # per-row longitude half-width in cells (latitude-corrected ring)
+    phi_worst = F.least(
+        F.abs(F.col("y_u")) / F.lit(1e6) + F.lit(dist_lat_deg), F.lit(89.9999)
+    )
+    lon_deg_needed = F.lit(dist_lat_deg) / F.greatest(
+        F.cos(F.radians(phi_worst)), F.lit(1e-9)
+    )
+    kx = F.least(
+        F.floor(lon_deg_needed / F.lit(span_deg)).cast("int") + F.lit(1),
+        F.lit(n_side // 2),
+    )
+    gx0 = grid_coord_col(F.col("x_u"), res, LON_OFF_U)
+    gy0 = grid_coord_col(F.col("y_u"), res, LAT_OFF_U)
+    ring = F.array_distinct(
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.sequence(-kx, kx),
+                        lambda dx: packed(
+                            F.pmod(gx0 + dx, F.lit(n_side)), clamp_y(gy0 + F.lit(dy))
+                        ),
+                    )
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        )
+    )
+    right = points.select(
+        F.col(key).alias("b_id"),
+        F.col("x_u").alias("bx"),
+        F.col("y_u").alias("by"),
+        F.explode(ring).alias("_cell"),
+    )
+    if broadcast_candidates:
+        right = F.broadcast(right)
+
+    hav = haversine_m(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+    cand = (
+        left.join(right, "_cell")
+        .where(F.col("a_id") != F.col("b_id"))
+        .withColumn("_hav", hav)
+        .where(F.col("_hav") <= F.lit(float(max_dist_m)))
+        .select("a_id", "_hav", "b_id")
+    )
+    w = Window.partitionBy("a_id").orderBy("_hav", "b_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("a_id", "b_id", "rank")
+    )
+
+
 def knn_geodesic_brute(
     spark: SparkSession,
     points: DataFrame,

@@ -141,3 +141,54 @@ def test_haversine_known_distances(spark):
     r = df.first()
     assert abs(r["d1"] - EARTH_R_M * math.radians(1.0)) < 1.0
     assert abs(r["d2"] - EARTH_R_M * math.pi) < 1.0
+
+
+def test_nn_join_geodesic_matches_brute(spark, sf_dir):
+    """The latitude-corrected ring join must equal brute all-pairs
+    haversine ranking for every query row (incl. high-latitude rows
+    where the ring widens and near-dateline rows where it wraps)."""
+    from geowave_spark.operators.geodesic import nn_self_join_geodesic
+
+    pts = events_points(spark, sf_dir)
+    radius, k = 400_000.0, 4
+    flt = F.col("event_id") % 25 == 0
+    got = nn_self_join_geodesic(pts, radius, k, left_filter=flt)
+    g = {(r["a_id"], r["rank"]): r["b_id"] for r in got.collect()}
+
+    q = pts.where(flt).select(
+        F.col("event_id").alias("a_id"),
+        F.col("x_u").alias("ax"),
+        F.col("y_u").alias("ay"),
+    )
+    from pyspark.sql import Window
+
+    hav = haversine_m(F.col("ax"), F.col("ay"), F.col("x_u"), F.col("y_u"))
+    w = Window.partitionBy("a_id").orderBy("_h", "event_id")
+    brute = (
+        pts.crossJoin(F.broadcast(q))
+        .where(F.col("event_id") != F.col("a_id"))
+        .withColumn("_h", hav)
+        .where(F.col("_h") <= radius)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    b = {(r["a_id"], r["rank"]): r["event_id"] for r in brute.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_nn_join_geodesic_high_latitude_ring_widens(spark):
+    """A planted pair at 84°N separated by 10° of longitude is only
+    ~116 km apart — a fixed 3x3 planar ring at the radius-derived
+    resolution would miss it; the latitude-corrected ring must not."""
+    from geowave_spark.operators.geodesic import nn_self_join_geodesic
+
+    rows = [
+        (1, 0, 84_000_000),
+        (2, 10_000_000, 84_000_000),   # ~116 km away at 84N
+        (3, 0, -84_000_000),           # far (other pole)
+    ]
+    pts = spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG")
+    out = nn_self_join_geodesic(pts, 200_000.0, 2)
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert (1, 2) in got and (2, 1) in got
+    assert all(a != 3 and b != 3 for a, b in got)
