@@ -1181,6 +1181,22 @@ def _q_crs_transform(spark, sf):
     )
 
 
+def _q_utm_transform(spark, sf):
+    """WGS84 → UTM (ellipsoidal transverse Mercator, Krüger n⁴ series,
+    per-row zone) → WGS84 over every event (geom/transform.utm_stages):
+    17 chained selectExpr stages Catalyst collapses into ONE
+    whole-stage-codegen projection; the inverse is fixed-point
+    inversion of the exact forward map. The oracle runs the SAME stage
+    strings as a DuckDB CTE chain, so both engines execute textually
+    identical math (e_m/n_m integer meters; rt_* exact µdeg)."""
+    from geowave_spark.geom.transform import utm_roundtrip
+
+    pts = events_points(spark, sf).select("event_id", "x_u", "y_u")
+    return utm_roundtrip(pts).select(
+        "event_id", "zone", "e_m", "n_m", "rt_x_u", "rt_y_u"
+    )
+
+
 def _q_hilbert_bbox(spark, sf):
     """bbox range scan over the stored Hilbert point index — the
     reference's default point curve as a live index option."""
@@ -2318,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
         "crs_transform": _q_crs_transform,
+        "utm_transform": _q_utm_transform,
         "doc_repetition": _q_doc_repetition,
         "raster_overview": _q_raster_overview,
         "time_bin_week": _q_time_bin_week,
@@ -2389,6 +2406,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _stop_list_sql(words):
     return ", ".join(f"'{w}'" for w in words)
+
+
+def _utm_transform_oracle() -> str:
+    from geowave_spark.geom.transform import utm_roundtrip_sql
+
+    return f"{_pts_cte()}, " + utm_roundtrip_sql(
+        EVENTS_PTS, cols="event_id, zone, e_m, n_m, rt_x_u, rt_y_u"
+    )
 
 
 def _crs_transform_oracle() -> str:
@@ -2821,6 +2846,7 @@ def _oracle_sql_geom() -> dict[str, str]:
             "SELECT DISTINCT level - 1 AS level, tx // 2 AS tx, ty // 2 AS ty FROM base"
         ),
         "crs_transform": _crs_transform_oracle(),
+        "utm_transform": _utm_transform_oracle(),
         "crs_bbox": (
             "SELECT event_id FROM events WHERE "
             f"((event_id * {_K1_TG}) % {2 * MERC_MM}) - {MERC_MM} "

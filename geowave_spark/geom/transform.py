@@ -107,3 +107,252 @@ def reproject_3857_to_4326(df, x_col: str = "x_mm", y_col: str = "y_mm"):
     return df.withColumns(
         {"x_u": wgs_x_u(F.col(x_col)), "y_u": wgs_y_u(F.col(y_col))}
     )
+
+
+# ===================================================================
+# WGS84 ↔ UTM (ellipsoidal transverse Mercator, Krüger series)
+# ===================================================================
+#
+# The second projected-CRS family a reference user reprojects into
+# (GeoTools territory there: SpatialDimensionalityTypeProvider wires
+# any EPSG code through gt-referencing). Closed-form Krüger/Karney
+# series truncated at n⁴ (n = f/(2−f) ≈ 1.68e-3 for WGS84, so the
+# truncation error is O(n⁵·A) ≈ 0.1 µm — far below the integer-meter
+# output grid; the published n⁵/n⁶ terms buy nothing at this grid).
+# Per-row zone selection (floor((λ+180)/6)+1), southern false
+# northing, |λ−λ0| ≤ 3° by construction.
+#
+# Single source of truth: every stage is an SQL expression STRING,
+# evaluated by Spark via selectExpr (whole-stage codegen — ln/exp/
+# trig native, no Python) AND verbatim as the DuckDB oracle's CTE
+# chain, so the cross-engine value-hash comparison runs textually
+# identical math. Hyperbolics are spelled exp/ln compositions because
+# DuckDB lacks sinh/cosh — and using the SAME spelling on the Spark
+# side keeps the two engines' floating-point paths aligned.
+
+F_WGS84 = 1.0 / 298.257223563  # WGS84 flattening
+K0_UTM = 0.9996
+FALSE_E_M = 500_000.0
+FALSE_N_SOUTH_M = 10_000_000.0
+
+
+def _kruger(n: float):
+    """Krüger FORWARD series to n⁴ plus the rectifying-radius factor
+    A/a = (1 + n²/4 + n⁴/64)/(1+n). Only the forward coefficients are
+    needed: the inverse is computed by fixed-point inversion of the
+    exact forward map (see utm_stages), so no independently-derived
+    β/δ inverse series can introduce its own truncation error."""
+    a1 = n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+    a2 = 13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+    a3 = 61 * n**3 / 240 - 103 * n**4 / 140
+    a4 = 49561 * n**4 / 161280
+    big_a = (1 + n**2 / 4 + n**4 / 64) / (1 + n)
+    return (a1, a2, a3, a4), big_a
+
+
+def _sh(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2)"
+
+
+def _ch(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2)"
+
+
+def _ath(x: str) -> str:
+    return f"(0.5 * ln((1 + ({x})) / (1 - ({x}))))"
+
+
+def _ash(x: str) -> str:
+    return f"ln(({x}) + sqrt(({x})*({x}) + 1))"
+
+
+def utm_stages(
+    a_m: float = R_MAJOR_M,
+    f: float = F_WGS84,
+    k0: float = K0_UTM,
+    carry: tuple[str, ...] = ("event_id",),
+) -> list[list[str]]:
+    """The full WGS84(µdeg) → UTM → WGS84(µdeg) round trip as a chain
+    of SELECT-expression stages over a frame with (x_u, y_u) plus the
+    `carry` columns. Stage k reads only stage k-1's aliases, so the
+    chain maps 1:1 onto Spark selectExpr calls AND a DuckDB CTE chain.
+    Output: carry + zone, south, e_m, n_m (integer meters), rt_x_u,
+    rt_y_u (round-trip micro-degrees)."""
+    n3 = f / (2.0 - f)
+    alphas, big_a = _kruger(n3)
+    (a1, a2, a3, a4) = alphas
+    e1 = math.sqrt(f * (2.0 - f))  # first eccentricity
+    k0a = repr(k0 * a_m * big_a)  # k0 · A (rectifying radius scaled)
+    c = list(carry)
+
+    # stage 1: zone, central meridian, geodetic inputs in radians
+    s1 = c + [
+        "CAST((CAST(floor((x_u / 1e6 + 180.0) / 6.0) AS BIGINT) % 60) + 1 AS INT) AS zone",
+        "CAST(y_u < 0 AS BOOLEAN) AS south",
+        "x_u AS _ox",
+        "y_u AS _oy",
+        "radians(y_u / 1e6) AS _phi",
+    ]
+    conf = _ath("sin(_phi)") + f" - {repr(e1)} * " + _ath(f"{repr(e1)} * sin(_phi)")
+    s2 = c + [
+        "zone",
+        "south",
+        "_ox",
+        "_oy",
+        "radians(_ox / 1e6 - (zone * 6 - 183)) AS _dl",
+        _sh(conf) + " AS _t",
+    ]
+    # stage 3: Gauss-Schreiber (conformal sphere) coordinates
+    s3 = c + [
+        "zone",
+        "south",
+        "_ox",
+        "_oy",
+        "atan2(_t, cos(_dl)) AS _xip",
+        f"{_ash('sin(_dl) / sqrt(_t * _t + cos(_dl) * cos(_dl))')} AS _etp",
+    ]
+    # stage 4: Krüger forward series → rectifying coordinates
+    fwd_xi = " + ".join(
+        f"{repr(cj)} * sin({2 * j} * _xip) * {_ch(f'{2 * j} * _etp')}"
+        for j, cj in ((1, a1), (2, a2), (3, a3), (4, a4))
+    )
+    fwd_et = " + ".join(
+        f"{repr(cj)} * cos({2 * j} * _xip) * {_sh(f'{2 * j} * _etp')}"
+        for j, cj in ((1, a1), (2, a2), (3, a3), (4, a4))
+    )
+    s4 = c + [
+        "zone",
+        "south",
+        "_ox",
+        "_oy",
+        f"_xip + {fwd_xi} AS _xi",
+        f"_etp + {fwd_et} AS _eta",
+    ]
+    # stage 5: easting/northing (meters, false origins applied)
+    s5 = c + [
+        "zone",
+        "south",
+        "_ox",
+        "_oy",
+        f"{repr(FALSE_E_M)} + {k0a} * _eta AS _e_raw",
+        (
+            f"{k0a} * _xi + (CASE WHEN south THEN {repr(FALSE_N_SOUTH_M)} "
+            "ELSE 0.0 END) AS _n_raw"
+        ),
+    ]
+    # stage 6: inverse — back to rectifying coordinates
+    s6 = c + [
+        "zone",
+        "south",
+        "CAST(round(_e_raw) AS BIGINT) AS e_m",
+        "CAST(round(_n_raw) AS BIGINT) AS n_m",
+        f"(_n_raw - (CASE WHEN south THEN {repr(FALSE_N_SOUTH_M)} ELSE 0.0 END)) / {k0a} AS _rxi",
+        f"(_e_raw - {repr(FALSE_E_M)}) / {k0a} AS _ret",
+    ]
+    stages = [s1, s2, s3, s4, s5, s6]
+
+    # stages 7.k: rectifying → Gauss-Schreiber by fixed-point inversion
+    # of the forward α-series itself (contraction ~2α1 ≈ 1.7e-3 per
+    # round: 3 unrolled rounds leave < 1e-11 rad — the inverse is the
+    # exact numerical inverse of the forward map, no β series)
+    def a_sin(xv: str, ev: str) -> str:
+        return " + ".join(
+            f"{repr(cj)} * sin({2 * j} * {xv}) * {_ch(f'{2 * j} * {ev}')}"
+            for j, cj in ((1, a1), (2, a2), (3, a3), (4, a4))
+        )
+
+    def a_cos(xv: str, ev: str) -> str:
+        return " + ".join(
+            f"{repr(cj)} * cos({2 * j} * {xv}) * {_sh(f'{2 * j} * {ev}')}"
+            for j, cj in ((1, a1), (2, a2), (3, a3), (4, a4))
+        )
+
+    keep = c + ["zone", "south", "e_m", "n_m", "_rxi", "_ret"]
+    xv, ev = "_rxi", "_ret"
+    for i in range(3):
+        stages.append(
+            keep
+            + [
+                f"_rxi - ({a_sin(xv, ev)}) AS _xp{i}",
+                f"_ret - ({a_cos(xv, ev)}) AS _ep{i}",
+            ]
+        )
+        xv, ev = f"_xp{i}", f"_ep{i}"
+
+    # stage 8: conformal latitude + longitude offset (asin clamped — the
+    # ratio can exceed 1 by one ulp at the pole-nearest fixture rows);
+    # carry tan(π/4 + χ/2) for the geodetic iteration
+    s8 = c + [
+        "zone",
+        "south",
+        "e_m",
+        "n_m",
+        f"asin(least(greatest(sin({xv}) / {_ch(ev)}, -1.0), 1.0)) AS _chi",
+        f"atan2({_sh(ev)}, cos({xv})) AS _dl2",
+    ]
+    stages.append(s8)
+    stages.append(
+        c
+        + [
+            "zone",
+            "south",
+            "e_m",
+            "n_m",
+            "_chi",
+            "_dl2",
+            f"tan({repr(math.pi / 4.0)} + _chi / 2) AS _tc",
+        ]
+    )
+
+    # stages 9.k: conformal → geodetic latitude by the classic fixed
+    # point φ = 2·atan(tan(π/4 + χ/2) · exp(e·atanh(e·sinφ))) − π/2
+    # (contraction ~e² ≈ 6.7e-3 per round; 5 unrolled rounds leave
+    # < 1e-13 rad) — again no independently-derived δ series
+    keep9 = c + ["zone", "south", "e_m", "n_m", "_dl2", "_tc"]
+    pv = "_chi"
+    for i in range(5):
+        fac = _ath(f"{repr(e1)} * sin({pv})")
+        stages.append(
+            keep9
+            + [
+                f"2 * atan(_tc * exp({repr(e1)} * {fac})) - {repr(math.pi / 2.0)} AS _ph{i}"
+            ]
+        )
+        pv = f"_ph{i}"
+
+    stages.append(
+        c
+        + [
+            "zone",
+            "south",
+            "e_m",
+            "n_m",
+            "CAST(round((degrees(_dl2) + (zone * 6 - 183)) * 1e6) AS BIGINT) AS rt_x_u",
+            f"CAST(round(degrees({pv}) * 1e6) AS BIGINT) AS rt_y_u",
+        ]
+    )
+    return stages
+
+
+def utm_roundtrip(df, **kw):
+    """Spark side: apply the stage chain with selectExpr — Catalyst
+    collapses the projections into ONE whole-stage-codegen projection
+    (no shuffle, no Python). Adds zone/south/e_m/n_m/rt_x_u/rt_y_u."""
+    out = df
+    for stage in utm_stages(**kw):
+        out = out.selectExpr(*stage)
+    return out
+
+
+def utm_roundtrip_sql(src_sql: str, cols: str = "*", **kw) -> str:
+    """DuckDB side: the SAME stage strings as a CTE chain. `src_sql` is
+    a FROM-able subquery/CTE name providing (carry…, x_u, y_u); `cols`
+    is the final projection."""
+    stages = utm_stages(**kw)
+    parts = []
+    prev = src_sql
+    for i, stage in enumerate(stages):
+        name = f"_utm{i + 1}"
+        parts.append(f"{name} AS (SELECT {', '.join(stage)} FROM {prev})")
+        prev = name
+    return ", ".join(parts) + f" SELECT {cols} FROM {prev}"

@@ -109,3 +109,106 @@ def test_reproject_feeds_custom_crs_index(spark, sf_dir):
     )
     mn, mx = cells.agg(F.min("c"), F.max("c")).first()
     assert 0 <= mn and mx < n_side * n_side
+
+
+# ------------------------------------------------------------- UTM
+
+
+def test_utm_published_anchor_and_symmetry(spark):
+    """The canonical UTM anchor: the equator point 3° west of a central
+    meridian (0°N 0°E in zone 31) has easting 166,021.44 m — the
+    published minimum easting of a full UTM zone — and northing 0.
+    Hemisphere symmetry: mirrored latitudes give E'=1e6-E (mirrored
+    about the CM? no — same |dlam|, so E equal) and N' = 1e7 - N."""
+    from geowave_spark.geom.transform import utm_roundtrip
+
+    rows = [(1, 0, 0), (2, 139_700_000, 35_650_000), (3, 139_700_000, -35_650_000)]
+    df = spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG")
+    out = {r["event_id"]: r for r in utm_roundtrip(df).collect()}
+    assert abs(out[1]["e_m"] - 166_021) <= 1 and out[1]["n_m"] == 0
+    # same longitude, mirrored latitude: same easting, complementary northing
+    assert out[2]["e_m"] == out[3]["e_m"]
+    assert abs(out[2]["n_m"] + out[3]["n_m"] - 10_000_000) <= 1
+    assert out[2]["south"] is False and out[3]["south"] is True
+
+
+def test_utm_central_meridian_matches_integrated_arc(spark):
+    """On the central meridian, northing = k0 × ellipsoidal meridian
+    arc length — computed here INDEPENDENTLY by numerical integration
+    of a(1-e²)(1-e²sin²t)^(-3/2), not by any series. Pins the forward
+    Krüger series + rectifying radius to 1 mm at 4 latitudes."""
+    import numpy as np
+
+    from geowave_spark.geom.transform import F_WGS84, K0_UTM, R_MAJOR_M, utm_roundtrip
+
+    e2 = F_WGS84 * (2 - F_WGS84)
+
+    def arc_m(lat_deg):
+        t = np.linspace(0.0, math.radians(lat_deg), 2_000_001)
+        integrand = (1 - e2 * np.sin(t) ** 2) ** -1.5
+        return R_MAJOR_M * (1 - e2) * np.trapz(integrand, t)
+
+    lats = [10.0, 45.0, 66.5, 84.0]
+    rows = [(i, 3_000_000, int(lat * 1e6)) for i, lat in enumerate(lats)]
+    df = spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG")
+    got = {r["event_id"]: r for r in utm_roundtrip(df).collect()}
+    for i, lat in enumerate(lats):
+        assert got[i]["e_m"] == 500_000  # exactly on the zone-31 CM
+        # n_m is rounded to integer meters; compare the arc at ±0.501 m
+        assert abs(got[i]["n_m"] - K0_UTM * arc_m(lat)) <= 0.501, lat
+
+
+def test_utm_sphere_limit_matches_closed_form(spark):
+    """With f=0 the Krüger machinery must collapse to the closed-form
+    spherical transverse Mercator E = FE + k0·R·atanh(cosφ·sinλ),
+    N = k0·R·atan(tanφ/cosλ) — an independent structural check of the
+    conformal construction (series coefficients all vanish at n=0)."""
+    from geowave_spark.geom.transform import (
+        FALSE_E_M,
+        K0_UTM,
+        R_MAJOR_M,
+        utm_roundtrip,
+    )
+
+    pts = [(1, 1_500_000, 40_000_000), (2, -74_000_000, -33_000_000), (3, 5_900_000, 84_000_000)]
+    df = spark.createDataFrame(pts, "event_id LONG, x_u LONG, y_u LONG")
+    got = {r["event_id"]: r for r in utm_roundtrip(df, f=0.0).collect()}
+    for eid, x_u, y_u in pts:
+        lam0 = (math.floor((x_u / 1e6 + 180) / 6) % 60) * 6 + 3 - 180
+        dl = math.radians(x_u / 1e6 - lam0)
+        phi = math.radians(y_u / 1e6)
+        e_ref = FALSE_E_M + K0_UTM * R_MAJOR_M * math.atanh(math.cos(phi) * math.sin(dl))
+        n_ref = K0_UTM * R_MAJOR_M * math.atan2(math.tan(phi), math.cos(dl))
+        if y_u < 0:
+            n_ref += 10_000_000.0
+        assert abs(got[eid]["e_m"] - e_ref) <= 0.501, eid
+        assert abs(got[eid]["n_m"] - n_ref) <= 0.501, eid
+
+
+def test_utm_round_trip_exact_full_fixture(spark, sf_dir):
+    """WGS84 → UTM → WGS84 over every fixture row recovers the exact
+    integer micro-degrees (the inverse is fixed-point inversion of the
+    forward map, so residuals are ~1e-11 rad — far inside the µdeg
+    rounding)."""
+    from geowave_spark.geom.transform import utm_roundtrip
+
+    pts = events_points(spark, sf_dir).select("event_id", "x_u", "y_u")
+    out = utm_roundtrip(pts)
+    bad = out.join(pts, "event_id").where(
+        (F.col("rt_x_u") != F.col("x_u")) | (F.col("rt_y_u") != F.col("y_u"))
+    ).count()
+    assert bad == 0
+    # zone sanity over the whole domain
+    mn, mx = out.agg(F.min("zone"), F.max("zone")).first()
+    assert 1 <= mn and mx <= 60
+
+
+def test_utm_duckdb_twin_is_textually_identical(spark):
+    """The oracle twin is the SAME stage strings — assert the chain
+    builder emits every stage expression verbatim."""
+    from geowave_spark.geom.transform import utm_roundtrip_sql, utm_stages
+
+    sql = utm_roundtrip_sql("pts")
+    for stage in utm_stages():
+        for expr in stage:
+            assert expr in sql
