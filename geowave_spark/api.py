@@ -366,6 +366,17 @@ class DataStore:
                 f"delete key column {key!r} is not unique over the matched rows "
                 f"({n_matched} rows, {n_keys} distinct) — pass a unique key="
             )
+        if name in self._ice:
+            # snapshot-store-backed type: make the delete DURABLE via
+            # the copy-on-write key delete — the session-view anti-join
+            # alone would be silently resurrected by the next snapshot
+            # refresh (and invisible to every other reader of the table)
+            deleted, _report = self._ice[name].delete_keys(keys, key)
+            keys.unpersist()
+            refreshed = self._ice[name].read(self.spark)
+            self._types[name] = refreshed
+            refreshed.createOrReplaceTempView(name)
+            return deleted
         remaining = df.join(keys, key, "leftanti")
         self._types[name] = remaining
         remaining.createOrReplaceTempView(name)

@@ -39,7 +39,6 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from geowave_spark import WORLD_X_U
 from geowave_spark.index.native import cell_col
 from geowave_spark.index.zorder import cell_of_point, morton_decode, morton_encode
 

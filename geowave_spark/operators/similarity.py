@@ -7,7 +7,12 @@ multi-probe, never a cross join against the full corpus.
 
 All arithmetic is double-precision sequential fold (F.aggregate over
 zip_with), which makes the scores bit-identical to the DuckDB oracle's
-``list_dot_product(a::DOUBLE[], b::DOUBLE[])``.
+``list_dot_product(a::DOUBLE[], b::DOUBLE[])``. ONE documented
+exception: nearest_centroid's >64-centroid Arrow path uses a BLAS
+matmul, whose blocked summation can reassociate the fold — ulp-level
+score differences that can flip an argmax only on a near-exact tie.
+Oracle-checked queries pin nlist ≤ 64 so their assignment stays on
+the sequential-fold codegen path (see nearest_centroid's docstring).
 """
 
 from __future__ import annotations
@@ -263,7 +268,13 @@ def nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     nlist dot folds — zero Python); beyond _NATIVE_NLIST_MAX the
     expression tree would blow up Catalyst codegen, so the assignment
     switches to ONE Arrow-batched matmul (V @ C.T argmax) — same
-    min-index tie rule (np.argmax returns the first maximum)."""
+    min-index tie rule (np.argmax returns the first maximum). Caveat:
+    BLAS reassociates the per-dot summation, so scores are NOT
+    bit-identical to the sequential fold — a vector whose top-2
+    centroids are within a few ulps can land in a different cluster
+    than the ≤64-centroid path (or a fold-based oracle) would give.
+    Harmless for IVF/semdedup recall, but oracle-checked fixtures pin
+    nlist ≤ 64 to stay on the exact path."""
     if len(centroids) <= _NATIVE_NLIST_MAX:
         return F.greatest(
             *[

@@ -169,6 +169,24 @@ def interval_bin_bounds(start, end, unit: str = "DAY"):
     return b_lo, b_hi
 
 
+def interval_query_bin_bounds(t_lo: str, t_hi: str) -> tuple[int, int]:
+    """Scalar (driver-side) twin of interval_bin_bounds for a query's
+    [t_lo, t_hi) ISO timestamps — MUST implement the same half-open
+    edge rule (end exactly at midnight belongs to the previous DAY
+    bin) or stored bins and query bins desynchronize and boundary rows
+    are silently missed. tests/test_interval_index.py pins the two in
+    lockstep over a boundary grid; change BOTH or neither."""
+    from datetime import datetime
+
+    epoch = datetime(1970, 1, 1)
+    b_lo = (datetime.fromisoformat(t_lo) - epoch).days
+    dt_hi = datetime.fromisoformat(t_hi)
+    b_hi = (dt_hi - epoch).days
+    if dt_hi.time() == datetime.min.time():
+        b_hi -= 1  # t_hi exclusive: midnight belongs to the previous bin
+    return b_lo, b_hi
+
+
 ST_IVAL_RES = 8
 
 
@@ -217,17 +235,10 @@ def st_interval_query(
     ts_end > t_lo); then DEDUPE — a row duplicated across k bins can
     match in several scanned bins, the read path must return it once
     (the reference's DedupeFilter stage after a bin-spanning scan)."""
-    from datetime import datetime
-
     from geowave_spark.index.zorder import bbox_ranges
     from geowave_spark.operators.spatial_query import cell_range_predicate
 
-    epoch = datetime(1970, 1, 1)
-    b_lo = (datetime.fromisoformat(t_lo) - epoch).days
-    dt_hi = datetime.fromisoformat(t_hi)
-    b_hi = (dt_hi - epoch).days
-    if dt_hi.time() == datetime.min.time():
-        b_hi -= 1  # t_hi exclusive: midnight belongs to the previous bin
+    b_lo, b_hi = interval_query_bin_bounds(t_lo, t_hi)
     ranges = bbox_ranges(x_lo, y_lo, x_hi, y_hi, res, max_ranges)
     coarse = F.col("bin").between(b_lo, b_hi) & cell_range_predicate(
         F.col("cell"), ranges

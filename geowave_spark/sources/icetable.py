@@ -644,6 +644,111 @@ class IceTable:
         report["deleted_rows"] = int(deleted)
         return int(deleted), report
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        key_col: str,
+        stats_cols: list[str] | None = None,
+    ) -> tuple[int, dict]:
+        """Row-level DELETE by an arbitrary matched-key set, copy-on-write
+        in ONE atomic snapshot — the durable form of query-then-delete
+        (polygon/DWITHIN deletes whose predicate the footer-stats
+        delete_where can't express; the reference's
+        BaseDataStore.delete(query) resolves the query to row ids and
+        deletes those — core/store/.../base/BaseDataStore.java).
+
+        Same scale shape as upsert's rewrite half: the key set's
+        [min, max] prunes the manifest (only files whose key stats
+        overlap any matched key are rewritten), survivors come from an
+        anti-join against the DISTINCT keys — no explicit broadcast, so
+        AQE picks broadcast vs shuffle from the key set's actual size
+        (a polygon delete can match millions of rows; forcing a
+        broadcast would be the 100 TB failure mode).
+
+        Returns (deleted_rows, report)."""
+        from pyspark.sql import functions as F
+
+        base_sid = self.current_snapshot_id()
+        files = self.files(base_sid)
+        spark = keys_df.sparkSession
+        keys = keys_df.select(F.col(key_col)).distinct().persist()
+        bounds = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        k_lo, k_hi = bounds["lo"], bounds["hi"]
+        touched, untouched = [], []
+        for fi in files:
+            st = fi["stats"].get(key_col)
+            if (
+                k_lo is None  # empty key set: nothing can match
+                or (st is not None and (st[0] > k_hi or st[1] < k_lo))
+            ):
+                untouched.append(fi)
+            else:
+                touched.append(fi)
+        report = {
+            "files_total": len(files),
+            "files_rewritten": len(touched),
+            "files_skipped": len(untouched),
+        }
+        if not touched:
+            keys.unpersist()
+            report["deleted_rows"] = 0
+            return 0, report
+
+        n_before = sum(f["rows"] for f in touched)
+        survivors = spark.read.parquet(*[f["path"] for f in touched]).join(
+            keys, key_col, "leftanti"
+        )
+        data_dir = os.path.join(self.root, "data", f"d-{uuid.uuid4().hex[:12]}")
+        survivors.write.mode("error").parquet(data_dir)
+        keys.unpersist()
+        if stats_cols is None:
+            cols = set()
+            for fi in touched:
+                cols.update(fi["stats"].keys())
+            stats_cols = sorted(cols) or None
+        new_files = [
+            _file_stats(os.path.join(data_dir, fn), stats_cols)
+            for fn in sorted(os.listdir(data_dir))
+            if fn.endswith(".parquet")
+        ]
+        n_after = sum(x["rows"] for x in new_files)
+        deleted = n_before - n_after
+        if deleted == 0:
+            for fn in os.listdir(data_dir):
+                os.unlink(os.path.join(data_dir, fn))
+            os.rmdir(data_dir)
+            report["deleted_rows"] = 0
+            return 0, report
+        with self._commit_lock():
+            meta = self._metadata()
+            if meta["current_snapshot_id"] != base_sid:
+                raise RuntimeError(
+                    "concurrent commit detected: table moved from snapshot "
+                    f"{base_sid} to {meta['current_snapshot_id']} during delete"
+                )
+            sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            manifest = untouched + new_files
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(manifest))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": base_sid,
+                    "ts": time.time(),
+                    "operation": "delete",
+                    "added_files": len(new_files),
+                    "added_rows": n_after,
+                    "added_paths": [x["path"] for x in new_files],
+                    "summary": {"deleted_rows": int(deleted), **report},
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
+        report["deleted_rows"] = int(deleted)
+        return int(deleted), report
+
     def upsert(
         self,
         df: DataFrame,

@@ -116,8 +116,9 @@ def events_points_sql(sf_dir: str) -> str:
 
 
 # interval (ranged-time) fixture: duration 1h..49h derived from the
-# key, so intervals span 1-3 DAY bins — exercises the bin-spanning
-# insertion of the interval index (TemporalBinningStrategy)
+# key, so intervals touch 1-4 DAY bins (a ~49h interval starting just
+# before midnight crosses three midnights) — exercises the
+# bin-spanning insertion of the interval index (TemporalBinningStrategy)
 IVAL_DUR_MIN_S = 3600
 IVAL_DUR_SPAN_S = 172_800
 

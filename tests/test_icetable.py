@@ -851,3 +851,65 @@ def test_commit_maintained_sketches_match_on_demand(spark, tmp_path):
     # a delete makes the fold incomplete (sketches cannot subtract)
     t.delete_where(spark, predicate="rid < 100")
     assert t.merged_field_sketches("uid")["complete"] is False
+
+
+def test_delete_keys_copy_on_write(spark, tmp_path):
+    """delete_keys (the durable query-then-delete form): key-range
+    manifest pruning, anti-join rewrite, one atomic delete snapshot,
+    time travel intact."""
+    t = IceTable(str(tmp_path / "delk"))
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id"), (F.col("id") * 2).alias("val"))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    s1 = t.commit_write(df, mode="overwrite", stats_cols=["id"])
+    keys = spark.createDataFrame([(60,), (61,), (70,)], "id LONG")
+    deleted, rep = t.delete_keys(keys, "id")
+    assert deleted == 3
+    assert rep["files_rewritten"] < rep["files_total"]  # range pruning
+    assert t.read(spark).count() == 397
+    assert t.read(spark).where("id IN (60, 61, 70)").count() == 0
+    assert t.read(spark, snapshot_id=s1).count() == 400
+    assert t.snapshots()[-1]["operation"] == "delete"
+    assert t.snapshots()[-1]["summary"]["deleted_rows"] == 3
+    # empty key set and non-matching key set commit nothing
+    n0 = len(t.snapshots())
+    assert t.delete_keys(spark.createDataFrame([], "id LONG"), "id")[0] == 0
+    assert t.delete_keys(spark.createDataFrame([(9999,)], "id LONG"), "id")[0] == 0
+    assert len(t.snapshots()) == n0
+
+
+def test_datastore_delete_durable_on_snapshot_type(spark, tmp_path):
+    """The resurrection bug: DataStore.delete on a snapshot-backed type
+    must write through to the store — a later snapshot refresh (e.g. a
+    GWQL DELETE) must NOT bring the rows back, and an independent
+    reader of the table must see them gone."""
+    from geowave_spark.api import DataStore
+    from geowave_spark.sources.testgeo import events_points
+
+    ds = DataStore(spark)
+    pts = events_points(spark, "/root/testdata/sf0.001")
+    t = IceTable(str(tmp_path / "evd"))
+    t.commit_write(pts, mode="overwrite", stats_cols=["event_id", "x_u", "y_u"])
+    ds.add_snapshot_type("evd", t)
+    total = pts.count()
+
+    box = (-10_000_000, -10_000_000, 10_000_000, 10_000_000)
+    n_box = ds.query("evd", bbox=box).count()
+    assert n_box > 0
+    deleted = ds.delete("evd", bbox=box, key="event_id")
+    assert deleted == n_box
+
+    # durable: a FRESH reader of the table sees the rows gone
+    assert t.read(spark).count() == total - n_box
+    # a later snapshot-routed GWQL DELETE refreshes the view from the
+    # store — the bbox-deleted rows must stay gone (no resurrection)
+    ds.gwql("DELETE FROM evd WHERE event_id = 1")
+    x0, y0, x1, y1 = box
+    still = ds.query("evd", bbox=box).count()
+    assert still == 0
+    assert ds.sql(
+        f"SELECT count(*) AS n FROM evd"
+    ).first()["n"] <= total - n_box

@@ -140,3 +140,36 @@ def test_interval_store_scan_is_sargable(spark, sf_dir):
     plan = buf.getvalue()
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "bin" in pushed[0] and "cell" in pushed[0]
+
+
+def test_scalar_and_column_bin_rules_lockstep(spark):
+    """interval_query_bin_bounds (driver scalar, query side) and
+    interval_bin_bounds (Column, write side) must implement the SAME
+    half-open midnight rule — evaluated here over a boundary grid
+    (exact midnights, one second each side, multi-day spans)."""
+    from geowave_spark.plans.store import (
+        interval_bin_bounds,
+        interval_query_bin_bounds,
+    )
+
+    cases = [
+        ("2024-03-01T00:00:00", "2024-03-02T00:00:00"),  # exact-midnight end
+        ("2024-03-01T00:00:00", "2024-03-02T00:00:01"),
+        ("2024-03-01T23:59:59", "2024-03-02T00:00:00"),
+        ("2024-03-01T12:00:00", "2024-03-04T00:00:00"),
+        ("2024-02-28T00:00:00", "2024-03-01T00:00:00"),  # leap-month edge
+        ("2024-03-01T00:00:01", "2024-03-01T23:59:59"),
+    ]
+    df = spark.createDataFrame(cases, "lo STRING, hi STRING").select(
+        "lo",
+        "hi",
+        F.col("lo").cast("timestamp").alias("ts_lo"),
+        F.col("hi").cast("timestamp").alias("ts_hi"),
+    )
+    b_lo, b_hi = interval_bin_bounds(F.col("ts_lo"), F.col("ts_hi"))
+    got = {
+        (r["lo"], r["hi"]): (r["blo"], r["bhi"])
+        for r in df.select("lo", "hi", b_lo.alias("blo"), b_hi.alias("bhi")).collect()
+    }
+    for lo, hi in cases:
+        assert got[(lo, hi)] == interval_query_bin_bounds(lo, hi), (lo, hi)
