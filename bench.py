@@ -192,6 +192,8 @@ def main():
         "gwql_delete",
         "stats_sketch_commit",
         "text_suffix_stored",
+        # WGS84->UTM->WGS84 over every event: one codegen projection
+        "utm_transform",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

@@ -183,3 +183,16 @@ def crs_bbox_query(
     return out.where(
         F.col(x_col).between(x_lo, x_hi) & F.col(y_col).between(y_lo, y_hi)
     )
+
+
+def utm_zone_crs(zone: int) -> CRS:
+    """A UTM zone as a custom-CRS index domain in integer METERS —
+    composes with geom/transform.utm_roundtrip: reproject, filter to
+    the zone, index (the reference's stance of indexing data in its
+    own CRS; SpatialDimensionalityTypeProvider accepts any bounded
+    planar CRS the same way). Easting bounds are the zone's official
+    coverage at the equator (~167 km .. ~833 km; the widest section),
+    northing the full hemisphere pair with southern false northing."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return CRS(f"UTM zone {zone} (meters)", 166_000, 834_000, 0, 10_000_000)

@@ -1,7 +1,7 @@
-"""WGS84 ↔ spherical Web-Mercator closed-form reprojection
+"""WGS84 ↔ Web-Mercator and WGS84 ↔ UTM reprojection
 (geom/transform.py) — the engine's stand-in for the reference's
 GeoTools crsTransform (core/geotime/.../util/GeometryUtils.java),
-scoped to the two CRSs the engine's stores index."""
+scoped to the projected-CRS families the engine's stores index."""
 
 from __future__ import annotations
 
@@ -118,8 +118,8 @@ def test_utm_published_anchor_and_symmetry(spark):
     """The canonical UTM anchor: the equator point 3° west of a central
     meridian (0°N 0°E in zone 31) has easting 166,021.44 m — the
     published minimum easting of a full UTM zone — and northing 0.
-    Hemisphere symmetry: mirrored latitudes give E'=1e6-E (mirrored
-    about the CM? no — same |dlam|, so E equal) and N' = 1e7 - N."""
+    Hemisphere symmetry: mirrored latitudes at the same longitude give
+    the same easting and complementary northing N' = 1e7 − N."""
     from geowave_spark.geom.transform import utm_roundtrip
 
     rows = [(1, 0, 0), (2, 139_700_000, 35_650_000), (3, 139_700_000, -35_650_000)]
@@ -212,3 +212,30 @@ def test_utm_duckdb_twin_is_textually_identical(spark):
     for stage in utm_stages():
         for expr in stage:
             assert expr in sql
+
+
+def test_utm_feeds_custom_crs_index(spark, sf_dir):
+    """Composition: reproject events to UTM, keep one zone, index the
+    zone-local (e_m, n_m) with the custom-CRS grid — cell ids valid and
+    consistent with the scalar grid transform (the reproject-then-index
+    ingest flow over the second projected-CRS family)."""
+    from geowave_spark.geom.transform import utm_roundtrip
+    from geowave_spark.index.crs import CRS_RES, cell_col_crs, grid_coord_crs, utm_zone_crs
+
+    utm = utm_roundtrip(events_points(spark, sf_dir).select("event_id", "x_u", "y_u"))
+    zone = utm.groupBy("zone").count().orderBy(F.desc("count")).first()["zone"]
+    dom = utm_zone_crs(zone)
+    z = utm.where(F.col("zone") == zone)
+    assert z.count() > 0
+    cells = z.select(
+        "e_m", "n_m", cell_col_crs(F.col("e_m"), F.col("n_m"), CRS_RES, dom).alias("c")
+    )
+    n_side = 1 << CRS_RES
+    rows = cells.limit(200).collect()
+    from geowave_spark.index.zorder import morton_encode
+
+    for r in rows:
+        assert 0 <= r["c"] < n_side * n_side
+        gx = grid_coord_crs(r["e_m"], CRS_RES, dom.x_lo, dom.x_span)
+        gy = grid_coord_crs(r["n_m"], CRS_RES, dom.y_lo, dom.y_span)
+        assert r["c"] == morton_encode(gx, gy)
