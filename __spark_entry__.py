@@ -1131,6 +1131,43 @@ def _q_st_interval_query(spark, sf):
     ).select("event_id")
 
 
+IVJ_MOD_A, IVJ_MOD_B = 11, 13  # interval_join side filters
+
+
+def _q_interval_join(spark, sf):
+    """Interval×interval OVERLAPS join — ranged-time fields on BOTH
+    sides: each side's [ts_start, ts_end) explodes into the DAY bins
+    it touches (TemporalBinningStrategy bin-spanning insertion,
+    core/geotime/.../dimension/TemporalBinningStrategy.java:36-43),
+    bins equi-join, and a pair is kept only in the FIRST bin the two
+    ranges share — exactly-once with no dedupe shuffle (the engine's
+    replacement for the reference's read-side DedupeFilter) — then
+    refined with the exact half-open overlap. Output: the pair ids +
+    overlap length in integer microseconds."""
+    from geowave_spark.operators.interval_join import (
+        interval_overlap_join,
+        overlap_micros,
+    )
+    from geowave_spark.sources.testgeo import events_intervals
+
+    iv = events_intervals(spark, sf)
+    a = iv.where(F.col("event_id") % IVJ_MOD_A == 0).select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts_start").alias("a_start"),
+        F.col("ts_end").alias("a_end"),
+    )
+    b = iv.where(F.col("event_id") % IVJ_MOD_B == 0).select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts_start").alias("b_start"),
+        F.col("ts_end").alias("b_end"),
+    )
+    return interval_overlap_join(a, b).select(
+        "a_id",
+        "b_id",
+        overlap_micros("a_start", "a_end", "b_start", "b_end").alias("ov_us"),
+    )
+
+
 NN_GEO_RADIUS_M = 300_000.0  # 300 km
 NN_GEO_MOD = 50  # event_id % 50 == 0 are the query rows
 NN_GEO_K = 5
@@ -2335,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_bbox": _q_crs_bbox,
         "crs_transform": _q_crs_transform,
         "utm_transform": _q_utm_transform,
+        "interval_join": _q_interval_join,
         "doc_repetition": _q_doc_repetition,
         "raster_overview": _q_raster_overview,
         "time_bin_week": _q_time_bin_week,
@@ -2847,6 +2885,14 @@ def _oracle_sql_geom() -> dict[str, str]:
         ),
         "crs_transform": _crs_transform_oracle(),
         "utm_transform": _utm_transform_oracle(),
+        "interval_join": f"WITH ivs AS {events_intervals_sql('')}, "
+        f"a AS (SELECT event_id AS a_id, ts_start AS a_s, ts_end AS a_e "
+        f"FROM ivs WHERE event_id % {IVJ_MOD_A} = 0), "
+        f"b AS (SELECT event_id AS b_id, ts_start AS b_s, ts_end AS b_e "
+        f"FROM ivs WHERE event_id % {IVJ_MOD_B} = 0) "
+        "SELECT a_id, b_id, epoch_us(least(a_e, b_e)) - "
+        "epoch_us(greatest(a_s, b_s)) AS ov_us "
+        "FROM a JOIN b ON a_s < b_e AND b_s < a_e",
         "crs_bbox": (
             "SELECT event_id FROM events WHERE "
             f"((event_id * {_K1_TG}) % {2 * MERC_MM}) - {MERC_MM} "

@@ -194,6 +194,9 @@ def main():
         "text_suffix_stored",
         # WGS84->UTM->WGS84 over every event: one codegen projection
         "utm_transform",
+        # interval x interval OVERLAPS join: bin-keyed equi-join,
+        # first-shared-bin exactly-once (no dedupe shuffle)
+        "interval_join",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
