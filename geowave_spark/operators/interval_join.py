@@ -52,14 +52,18 @@ def interval_overlap_join(
     disjoint column names (alias before calling); the result has all
     columns of both and each qualifying pair appears EXACTLY once.
 
-    `how` supports 'inner' and 'left_semi' ('left_semi' returns the
-    `a` rows that overlap at least one `b` row, each once; requires
-    `a_key`, a unique key of `a` — existence is resolved key-only, no
-    pair materialization or full-row distinct)."""
+    `how` supports 'inner', 'left_semi' and 'left_anti' (the semi/anti
+    forms return the `a` rows that overlap at least one / no `b` row,
+    each once; they require `a_key`, a unique key of `a` — existence
+    is resolved key-only, no pair materialization or full-row
+    distinct; 'left_anti' is the negative form, mirroring the
+    reference's negative distance-join output)."""
     from geowave_spark.plans.store import interval_bin_bounds
 
-    if how not in ("inner", "left_semi"):
-        raise ValueError(f"how must be 'inner' or 'left_semi', got {how!r}")
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left_semi' or 'left_anti', got {how!r}"
+        )
 
     a_lo, a_hi = interval_bin_bounds(F.col(a_start), F.col(a_end), unit)
     b_lo, b_hi = interval_bin_bounds(F.col(b_start), F.col(b_end), unit)
@@ -70,19 +74,19 @@ def interval_overlap_join(
         "_bin", F.explode(F.sequence(b_lo, b_hi))
     )
     exact = (F.col(a_start) < F.col(b_end)) & (F.col(b_start) < F.col(a_end))
-    if how == "left_semi":
+    if how in ("left_semi", "left_anti"):
         # existence only: b candidates ride the join slim (bin + the
         # two refine timestamps), matches collapse to a key column,
-        # and the outer LeftSemi absorbs both the explode duplicates
-        # and the many-b multiplicity — no distinct stage at all
+        # and the outer LeftSemi/LeftAnti absorbs both the explode
+        # duplicates and the many-b multiplicity — no distinct stage
         if a_key is None:
-            raise ValueError("left_semi requires a_key (a unique key of `a`)")
+            raise ValueError(f"{how} requires a_key (a unique key of `a`)")
         hit = (
             ae.join(be.select("_bin", b_start, b_end), "_bin")
             .where(exact)
             .select(a_key)
         )
-        return a.join(hit, a_key, "left_semi")
+        return a.join(hit, a_key, how)
     first_shared = F.col("_bin") == F.greatest(F.col("_a_blo"), F.col("_b_blo"))
     return (
         ae.join(be, "_bin")

@@ -115,6 +115,10 @@ def test_parity_with_bruteforce_cross_join(spark):
     assert sorted(r["a_id"] for r in semi.select("a_id").collect()) == sorted(
         {p[0] for p in want}
     )
+    anti = interval_overlap_join(a, b, how="left_anti", a_key="a_id")
+    assert sorted(r["a_id"] for r in anti.select("a_id").collect()) == sorted(
+        set(range(180)) - {p[0] for p in want}
+    )
 
 
 def test_inner_plan_has_no_dedupe_or_cartesian(spark):
