@@ -208,15 +208,16 @@ def nn_self_join_geodesic(
     key: str = "event_id",
     left_filter: Column | None = None,
     broadcast_candidates: bool = True,
+    explode_side: str = "auto",
 ) -> DataFrame:
     """All-pairs NN self-join with a radius in METERS — the geodesic
     twin of nn_join.nn_self_join, completing the orthodromic option
     across the NN surface (knn_geodesic / dwithin_geodesic_col / this).
 
-    Same one-shuffle shape as the planar join (query side keyed by its
-    own cell, candidate side exploded to a covering neighborhood,
-    equi-join, exact refine, per-query window top-k) with the two
-    geodesic corrections baked into the NEIGHBORHOOD: the resolution is
+    Same one-shuffle shape as the planar join (one side keyed by its
+    own cell, the other exploded to a covering neighborhood, equi-join,
+    exact refine, per-query window top-k) with the two geodesic
+    corrections baked into the NEIGHBORHOOD: the resolution is
     picked so one cell's LATITUDE span covers max_dist (±1 row of
     cells suffices vertically — meridians don't shrink), while the
     LONGITUDE half-width is PER-ROW: kx(φ) = floor(D / (R·cosφ_worst)
@@ -225,8 +226,17 @@ def nn_self_join_geodesic(
     so the ring widens exactly there instead of globally (the
     OrthodromicDistancePartitioner's latitude-aware neighborhood).
     Longitude neighbors WRAP across the antimeridian (pmod), latitude
-    clamps. A pair can match at most one join key (single query cell ×
-    array_distinct candidate cells), so no dedupe stage exists.
+    clamps. A pair can match at most one join key (single own cell ×
+    array_distinct neighborhood cells), so no dedupe stage exists.
+
+    `explode_side` picks which side carries the ring duplication:
+    φ_worst bounds EITHER endpoint's latitude (it widens the row's
+    |lat| by the full reach), so ring(q) ∋ cell(b) ⇔ ring(b) ∋ cell(q)
+    and the pair set is identical either way — duplication should ride
+    the SMALLER side. 'auto' explodes the filtered query side when
+    `left_filter` is set (it is the small side by construction:
+    ~|Q|·(2kx+3) built rows instead of ~|P|·(2kx+3)) and the candidate
+    side otherwise; 'left'/'right' force it.
 
     Returns (a_id, b_id, rank) — rank by (haversine, b_id); the float
     meters never leave the plan (integer-exact across engines)."""
@@ -247,20 +257,8 @@ def nn_self_join_geodesic(
     def clamp_y(g):
         return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
 
-    left = points
-    if left_filter is not None:
-        left = left.where(left_filter)
-    left = left.select(
-        F.col(key).alias("a_id"),
-        F.col("x_u").alias("ax"),
-        F.col("y_u").alias("ay"),
-        packed(
-            grid_coord_col(F.col("x_u"), res, LON_OFF_U),
-            grid_coord_col(F.col("y_u"), res, LAT_OFF_U),
-        ).alias("_cell"),
-    ).repartition("a_id")
-
-    # per-row longitude half-width in cells (latitude-corrected ring)
+    # per-row longitude half-width in cells (latitude-corrected ring);
+    # unresolved refs — bind against whichever side carries the explode
     phi_worst = F.least(
         F.abs(F.col("y_u")) / F.lit(1e6) + F.lit(dist_lat_deg), F.lit(89.9999)
     )
@@ -288,14 +286,48 @@ def nn_self_join_geodesic(
             )
         )
     )
+    own = packed(gx0, gy0)
+
+    side = explode_side
+    if side == "auto":
+        side = "left" if left_filter is not None else "right"
+    if side not in ("left", "right"):
+        raise ValueError(f"explode_side must be auto/left/right, got {side!r}")
+
+    q = points if left_filter is None else points.where(left_filter)
+    a_cell = F.explode(ring) if side == "left" else own
+    b_cell = own if side == "left" else F.explode(ring)
+    left = q.select(
+        F.col(key).alias("a_id"),
+        F.col("x_u").alias("ax"),
+        F.col("y_u").alias("ay"),
+        a_cell.alias("_cell"),
+    )
     right = points.select(
         F.col(key).alias("b_id"),
         F.col("x_u").alias("bx"),
         F.col("y_u").alias("by"),
-        F.explode(ring).alias("_cell"),
+        b_cell.alias("_cell"),
     )
-    if broadcast_candidates:
-        right = F.broadcast(right)
+    # spread the STREAM side across the cluster before the broadcast
+    # probe: a broadcast join inherits the stream side's partitioning,
+    # and a single parquet file lands in one input split — without this
+    # the whole probe + haversine refine runs as ONE task regardless of
+    # which side carries the ring duplication (same hazard the planar
+    # nn_self_join guards against at nn_join.py:143)
+    # the explicit count matters: the rows are narrow (id + 2 coords)
+    # so AQE's byte-targeted coalescing would fold the shuffle down to
+    # ~2 partitions, serializing the CPU-heavy haversine refine — a
+    # user-numbered repartition is exempt from coalescing
+    n_tasks = points.sparkSession.sparkContext.defaultParallelism
+    if side == "left":
+        right = right.repartition(n_tasks, "b_id")
+        if broadcast_candidates:
+            left = F.broadcast(left)
+    else:
+        left = left.repartition(n_tasks, "a_id")
+        if broadcast_candidates:
+            right = F.broadcast(right)
 
     hav = haversine_m(F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
     cand = (

@@ -192,3 +192,24 @@ def test_nn_join_geodesic_high_latitude_ring_widens(spark):
     got = {(r["a_id"], r["b_id"]) for r in out.collect()}
     assert (1, 2) in got and (2, 1) in got
     assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_nn_join_geodesic_explode_side_symmetric(spark, sf_dir):
+    """ring(q) ∋ cell(b) ⇔ ring(b) ∋ cell(q): φ_worst widens the ring
+    owner's |lat| by the full reach, so it bounds EITHER endpoint —
+    exploding the query side or the candidate side must yield the
+    identical ranked pair set (this is what lets `auto` put the ring
+    duplication on the smaller, filtered side)."""
+    from geowave_spark.operators.geodesic import nn_self_join_geodesic
+
+    pts = events_points(spark, sf_dir)
+    flt = F.col("event_id") % 25 == 0
+    kw = dict(max_dist_m=400_000.0, k=4, left_filter=flt)
+    lft = nn_self_join_geodesic(pts, explode_side="left", **kw)
+    rgt = nn_self_join_geodesic(pts, explode_side="right", **kw)
+    a = {tuple(r) for r in lft.collect()}
+    b = {tuple(r) for r in rgt.collect()}
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError):
+        nn_self_join_geodesic(pts, 1.0, 1, explode_side="both")
