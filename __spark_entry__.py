@@ -2306,23 +2306,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by-design `no_oracle` ANN checks, and the binary-image WMS render —
     all of which remain pytest-covered and stay in the full
     tools/check_oracle.py sweep.
+    Round-5 wave 8: IN = `crs_transform` + `utm_transform` (the
+    closed-form reprojection engine — WGS84↔Web-Mercator and
+    WGS84↔UTM Krüger-series, both round-trip-pinned; never had a gate
+    row) and `interval_join` (interval×interval OVERLAPS join with
+    first-shared-bin exactly-once emission; never had a gate row).
+    OUT, each multi-round green with the named in-window sibling:
+    `st_bbox_time` (green r1-r4; st_interval_query keeps the
+    spatial-temporal composite store path in-window, crs_bbox_stored
+    keeps stored cell-keyed scans), `raster_pyramid_ingest` (green r4;
+    raster_pyramid keeps buildPyramid/coarsen in-window, the resumable
+    write path stays pytest-covered in tests/test_tiling.py), and
+    `image_embed` (green r4; image_thumbs keeps the mapInPandas decode
+    path and xmodal_topk/caption_align re-derive the same embedding
+    tower inside their oracles).
     """
     return {
         # --- range-scan queries across every live index path
         "bbox": _q_bbox,
         "cql_filter": _q_cql_filter,
         "gwql_select": _q_gwql_select,
-        "st_bbox_time": _q_st_bbox_time,
         "st_interval_query": _q_st_interval_query,
         "ice_delete": _q_ice_delete,
         "gwql_delete": _q_gwql_delete,
         "attr_range": _q_attr_range,
         "crs_bbox_stored": _q_crs_bbox_stored,
+        "crs_transform": _q_crs_transform,
+        "utm_transform": _q_utm_transform,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
         "geom_crosses_join": _q_geom_crosses_join,
         "geom_dwithin_join": _q_geom_dwithin_join,
         "sql_spatial_mixed": _q_sql_spatial_mixed,
+        "interval_join": _q_interval_join,
         # --- the 8-CompareOperation exact-refinement surface
         "pred_contains": _q_pred_contains,
         # --- kNN family + clustering
@@ -2337,7 +2353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_histogram": _q_raster_histogram,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
         "raster_pyramid": _q_raster_pyramid,
-        "raster_pyramid_ingest": _q_raster_pyramid_ingest,
         "raster_multiband": _q_raster_multiband,
         "ice_image_tiles": _q_ice_image_tiles,
         # --- aggregations / statistics
@@ -2362,7 +2377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nn_join_geodesic": _q_nn_join_geodesic,
         "xmodal_topk": _q_xmodal_topk,
         "image_thumbs": _q_image_thumbs,
-        "image_embed": _q_image_embed,
         "caption_align": _q_caption_align,
         "aspect_batches": _q_aspect_batches,
         "image_validate": _q_image_validate,
@@ -2370,9 +2384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
-        "crs_transform": _q_crs_transform,
-        "utm_transform": _q_utm_transform,
-        "interval_join": _q_interval_join,
+        "st_bbox_time": _q_st_bbox_time,
+        "raster_pyramid_ingest": _q_raster_pyramid_ingest,
+        "image_embed": _q_image_embed,
         "doc_repetition": _q_doc_repetition,
         "raster_overview": _q_raster_overview,
         "time_bin_week": _q_time_bin_week,
