@@ -35,6 +35,8 @@ from geowave_spark.sources.testgeo import (
     events_intervals_sql,
     events_points,
     events_points_sql,
+    events_visible,
+    events_visible_sql,
     octagon_vertices_sql,
     supplier_octagons,
     supplier_octagons_sql,
@@ -166,6 +168,37 @@ def _q_cql_filter(spark, sf):
     from geowave_spark.plans.cql import cql_filter
 
     return cql_filter(events_points(spark, sf), CQL_TEXT).select("event_id")
+
+
+VIS_AUTHS = frozenset({"alpha", "gamma"})
+
+
+def _q_visibility_scan(spark, sf):
+    """Row visibility + query authorizations + field-level masking —
+    the reference's visibility subsystem (core/store/.../data/
+    visibility/VisibilityExpression.java grammar;
+    JsonFieldLevelVisibilityHandler field masking). Rows whose
+    visibility expression the auth set {alpha, gamma} does not satisfy
+    are dropped (distinct-expression reduction → a pushable
+    In(visibility, ...) scan filter), and the `value` field is nulled
+    per-row where the field_visibility JSON's (regex-keyed) expression
+    fails. The fixture's 'alpha|beta&omega' pins the grammar's
+    equal-precedence LEFT-ASSOCIATIVE fold: (alpha|beta)&omega is
+    FALSE here, where conventional precedence would let those rows
+    through — the oracle's hand-evaluated IN-list catches either
+    mistake."""
+    from geowave_spark.plans.visibility import mask_fields_json, where_authorized
+
+    df = events_visible(spark, sf)
+    out = mask_fields_json(
+        where_authorized(df, VIS_AUTHS),
+        VIS_AUTHS,
+        vis_col="field_visibility",
+        fields=["value"],
+    )
+    return out.select(
+        "event_id", "visibility", F.col("value").alias("value_vis")
+    )
 
 
 SUBS_RES = 7  # fixed-resolution subsampling grid (2^7 per dimension)
@@ -2320,6 +2353,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `image_embed` (green r4; image_thumbs keeps the mapInPandas decode
     path and xmodal_topk/caption_align re-derive the same embedding
     tower inside their oracles).
+    Round-5 wave 9: IN = `visibility_scan` (row visibility expressions
+    + query authorizations + JSON field-level masking — the reference's
+    visibility subsystem, new this round, never had a gate row; the
+    oracle's IN-list is hand-evaluated and pins the grammar's
+    left-associative equal precedence). OUT = `text_contains` (green
+    r1-r4; text_suffix_stored keeps component #16's stored text-index
+    layouts in-window, and the NGRAM store path stays pytest-covered
+    in tests/test_text_search.py).
     """
     return {
         # --- range-scan queries across every live index path
@@ -2359,8 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_plan": _q_split_plan,
         "stats_incremental": _q_stats_incremental,
         "stats_sketch_commit": _q_stats_sketch_commit,
-        # --- temporal + text predicates + GWQL scalar surface
-        "text_contains": _q_text_contains,
+        # --- visibility / authorizations + text predicates + GWQL scalars
+        "visibility_scan": _q_visibility_scan,
         "text_suffix_stored": _q_text_suffix_stored,
         "gwql_scalars": _q_gwql_scalars,
         "gwql_agg": _q_gwql_agg,
@@ -2384,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
+        "text_contains": _q_text_contains,
         "st_bbox_time": _q_st_bbox_time,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
         "image_embed": _q_image_embed,
@@ -3085,6 +3127,18 @@ def _oracle_sql_round2() -> dict[str, str]:
         "text_suffix": "SELECT doc_id FROM documents WHERE text LIKE '%row'",
         "text_suffix_stored": "SELECT doc_id FROM documents WHERE text LIKE '%row'",
         "text_contains": "SELECT doc_id FROM documents WHERE text LIKE '%spark join%'",
+        # visibility semantics hand-evaluated against auths {alpha, gamma}:
+        # the IN-list and the mod-3 mask are derived BY HAND from the
+        # fixture's expressions (testgeo.VIS_EXPRS / FIELD_VIS_JSON), never
+        # through the engine parser — 'alpha|beta&omega' is excluded
+        # because the reference grammar folds left-associatively.
+        "visibility_scan": (
+            f"WITH ev AS {events_visible_sql()} "
+            "SELECT event_id, visibility, "
+            "CASE WHEN event_id % 3 = 0 THEN value END AS value_vis "
+            "FROM ev WHERE visibility IN "
+            "('', 'alpha', 'alpha|beta', '(alpha&omega)|gamma')"
+        ),
         "bbox_dateline": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE (x_u >= {DL_X_LO} OR x_u <= {DL_X_HI}) "
         f"AND y_u BETWEEN {DL_Y_LO} AND {DL_Y_HI}",

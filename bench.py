@@ -197,6 +197,9 @@ def main():
         # interval x interval OVERLAPS join: bin-keyed equi-join,
         # first-shared-bin exactly-once (no dedupe shuffle)
         "interval_join",
+        # row visibility + authorizations + JSON field masking: one
+        # distinct agg, then a pushed In() filter + codegen CASE
+        "visibility_scan",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

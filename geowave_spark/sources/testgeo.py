@@ -115,6 +115,70 @@ def events_points_sql(sf_dir: str) -> str:
     )
 
 
+# visibility fixture: deterministic row-visibility expressions (key
+# mod 8) + a per-row field-visibility JSON (key mod 3) over events.
+# VIS_EXPRS[6] is the precedence trap: the reference's grammar folds
+# & and | LEFT-ASSOCIATIVELY with equal precedence
+# (VisibilityExpression.parseTokens), so 'alpha|beta&omega' means
+# '(alpha|beta)&omega' = FALSE under {alpha, gamma} — an engine using
+# conventional AND-binds-tighter precedence would wrongly return
+# those rows, and the hand-evaluated oracle IN-list catches it.
+VIS_EXPRS = [
+    "",
+    "alpha",
+    "omega",
+    "alpha&beta",
+    "alpha|beta",
+    "beta&(alpha|gamma)",
+    "alpha|beta&omega",
+    "(alpha&omega)|gamma",
+]
+FIELD_VIS_JSON = [
+    '{"value":"gamma"}',  # satisfied — value stays
+    '{"value":"omega"}',  # fails — value masked
+    '{"va.*":"beta&omega"}',  # regex field key, fails — value masked
+]
+
+
+def events_visible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events carrying a row `visibility` expression and a per-row
+    `field_visibility` JSON map — the engine's stand-in for a store
+    written through the reference's visibility handlers."""
+    vis = F.element_at(
+        F.array(*[F.lit(e) for e in VIS_EXPRS]),
+        (F.col("event_id") % 8 + 1).cast("int"),
+    )
+    fvis = F.element_at(
+        F.array(*[F.lit(j) for j in FIELD_VIS_JSON]),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "value",
+        vis.alias("visibility"),
+        fvis.alias("field_visibility"),
+    )
+
+
+def events_visible_sql() -> str:
+    """DuckDB FROM-clause twin of events_visible (same key-mod
+    derivation; the visibility SEMANTICS stay hand-evaluated in the
+    oracle query, never re-derived through the engine parser)."""
+    vis_cases = " ".join(
+        f"WHEN {i} THEN '{e}'" for i, e in enumerate(VIS_EXPRS)
+    )
+    fvis_cases = " ".join(
+        f"WHEN {i} THEN '{j.replace(chr(39), chr(39) * 2)}'"
+        for i, j in enumerate(FIELD_VIS_JSON)
+    )
+    return (
+        f"(SELECT event_id, value, "
+        f"CASE event_id % 8 {vis_cases} END AS visibility, "
+        f"CASE event_id % 3 {fvis_cases} END AS field_visibility "
+        f"FROM events)"
+    )
+
+
 # interval (ranged-time) fixture: duration 1h..49h derived from the
 # key, so intervals touch 1-4 DAY bins (a ~49h interval starting just
 # before midnight crosses three midnights) — exercises the
