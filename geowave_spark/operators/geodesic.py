@@ -209,6 +209,7 @@ def nn_self_join_geodesic(
     left_filter: Column | None = None,
     broadcast_candidates: bool = True,
     explode_side: str = "auto",
+    prune_offset: int | None = None,
 ) -> DataFrame:
     """All-pairs NN self-join with a radius in METERS — the geodesic
     twin of nn_join.nn_self_join, completing the orthodromic option
@@ -237,6 +238,16 @@ def nn_self_join_geodesic(
     `left_filter` is set (it is the small side by construction:
     ~|Q|·(2kx+3) built rows instead of ~|P|·(2kx+3)) and the candidate
     side otherwise; 'left'/'right' force it.
+
+    ``prune_offset`` exposes the planar join's dense-cell distance-bound
+    prune (see nn_join.nn_self_join) under the haversine metric. It
+    defaults OFF here, unlike the planar join: measured at sf0.1 (both
+    the uniform fixture and a planted 600 km hotspot holding the whole
+    corpus) the pre-pass never paid for itself, because the geodesic
+    join's cost is dominated by the haversine refine over the coarse
+    candidates — which the bound filter runs AFTER — not by the top-k
+    sort the prune shrinks. Pass 5 for workloads where a few cells hold
+    millions of rows each and the sort genuinely dominates.
 
     Returns (a_id, b_id, rank) — rank by (haversine, b_id); the float
     meters never leave the plan (integer-exact across engines)."""
@@ -337,6 +348,60 @@ def nn_self_join_geodesic(
         .where(F.col("_hav") <= F.lit(float(max_dist_m)))
         .select("a_id", "_hav", "b_id")
     )
+
+    if prune_offset:
+        # dense-cell distance-bound prune, the geodesic twin of
+        # nn_join.nn_self_join's pre-pass: join queries to candidates in
+        # a 3×3 neighborhood at a resolution ``prune_offset`` levels
+        # FINER and take the k-th smallest haversine found there as a
+        # per-query upper bound on the true k-th-NN distance. The bound
+        # is valid for ANY candidate subset (a subset's k-th smallest ≥
+        # the full set's), so the fine ring needs no radius coverage —
+        # the planar _ring_exploded (clamped, unwrapped) is reused
+        # as-is: clamping near the dateline only shrinks the subset,
+        # weakening but never invalidating the bound. Queries with < k
+        # fine candidates fall back to max_dist (no prune — exactly the
+        # sparse queries whose coarse candidate sets are small anyway).
+        from geowave_spark.operators.nn_join import _ring_exploded
+
+        fres = min(res + prune_offset, 30)
+        max_m = F.lit(float(max_dist_m))
+        fleft = q.select(
+            F.col(key).alias("a_id"),
+            F.col("x_u").alias("ax"),
+            F.col("y_u").alias("ay"),
+            cell_col(F.col("x_u"), F.col("y_u"), fres).alias("_fcell"),
+        ).repartition("a_id")
+        fright = _ring_exploded(points, fres, key).withColumnRenamed(
+            "_cell", "_fcell"
+        )
+        if broadcast_candidates:
+            fright = F.broadcast(fright)
+        bounds = (
+            fleft.join(fright, "_fcell")
+            .where(F.col("a_id") != F.col("b_id"))
+            .withColumn("_fhav", hav)
+            .where(F.col("_fhav") <= max_m)
+            .groupBy("a_id")
+            .agg(
+                F.coalesce(
+                    F.try_element_at(
+                        F.array_sort(F.collect_list("_fhav")), F.lit(k)
+                    ),
+                    max_m,
+                ).alias("_bound")
+            )
+        )
+        # one narrow row per query point — broadcast in the same size
+        # regime as the candidate side, shuffle-join beyond it
+        if broadcast_candidates:
+            bounds = F.broadcast(bounds)
+        cand = (
+            cand.join(bounds, "a_id", "left")
+            .where(F.col("_hav") <= F.coalesce(F.col("_bound"), max_m))
+            .select("a_id", "_hav", "b_id")
+        )
+
     w = Window.partitionBy("a_id").orderBy("_hav", "b_id")
     return (
         cand.withColumn("rank", F.row_number().over(w))

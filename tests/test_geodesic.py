@@ -213,3 +213,20 @@ def test_nn_join_geodesic_explode_side_symmetric(spark, sf_dir):
 
     with pytest.raises(ValueError):
         nn_self_join_geodesic(pts, 1.0, 1, explode_side="both")
+
+
+def test_nn_join_geodesic_prune_identical_output(spark, sf_dir):
+    """The fine-resolution distance-bound prune (prune_offset) may only
+    shrink the SORT input, never the answer: k-th smallest haversine
+    over the fine-ring subset upper-bounds the true k-th-NN distance,
+    so every true top-k row survives the bound filter. Pruned and
+    unpruned runs must produce the identical ranked pair set."""
+    from geowave_spark.operators.geodesic import nn_self_join_geodesic
+
+    pts = events_points(spark, sf_dir)
+    kw = dict(max_dist_m=400_000.0, k=4, left_filter=F.col("event_id") % 25 == 0)
+    pruned = nn_self_join_geodesic(pts, prune_offset=5, **kw)
+    full = nn_self_join_geodesic(pts, prune_offset=None, **kw)
+    a = {tuple(r) for r in pruned.collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b and len(a) > 0
