@@ -84,6 +84,17 @@ class _Value:
         return self.token
 
 
+def _child_str(node) -> str:
+    """Render a child for unparse. Operator children are ALWAYS
+    parenthesized (OperatorNode.buildExpression:168-186 wraps any
+    OperatorNode child in parens) — without this, Or(a, And(b, c))
+    would print as ``a|b&c``, which the equal-precedence
+    left-associative grammar re-parses as ``(a|b)&c``: different
+    semantics. The parens make unparse→parse an exact round trip."""
+    s = node.unparse()
+    return f"({s})" if isinstance(node, (_And, _Or)) else s
+
+
 @dataclass(frozen=True)
 class _And:
     left: object
@@ -93,7 +104,7 @@ class _And:
         return self.left.evaluate(auths) and self.right.evaluate(auths)
 
     def unparse(self) -> str:
-        return f"{self.left.unparse()}&{self.right.unparse()}"
+        return f"{_child_str(self.left)}&{_child_str(self.right)}"
 
 
 @dataclass(frozen=True)
@@ -105,7 +116,7 @@ class _Or:
         return self.left.evaluate(auths) or self.right.evaluate(auths)
 
     def unparse(self) -> str:
-        return f"{self.left.unparse()}|{self.right.unparse()}"
+        return f"{_child_str(self.left)}|{_child_str(self.right)}"
 
 
 @dataclass(frozen=True)
