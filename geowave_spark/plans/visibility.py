@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -135,10 +136,22 @@ def parse_visibility(expression: str):
     """Parse to an AST. Equal-precedence LEFT-ASSOCIATIVE fold over
     ``&``/``|`` with parenthesized groups — token-for-token the
     reference grammar (VisibilityExpression.parseTokens), not
-    conventional boolean precedence."""
+    conventional boolean precedence.
+
+    Parses are memoized on the whitespace-stripped expression, like
+    the reference's expressionCache (VisibilityExpression.java:34-36,
+    a size-50 LoadingCache keyed on the trimmed string) — visibility
+    labels are policy-sized, so the same handful of expressions is
+    parsed over and over. The AST is immutable (frozen dataclasses),
+    so sharing cached nodes is safe."""
     text = re.sub(r"\s+", "", expression)
     if not text:
         return _NoAuth()
+    return _parse_cached(text)
+
+
+@lru_cache(maxsize=256)
+def _parse_cached(text: str):
     tokens = _TOKEN_RE.findall(text)
     node, pos = _parse_run(tokens, 0, depth=0)
     if pos != len(tokens):

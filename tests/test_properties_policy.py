@@ -151,3 +151,29 @@ def test_bin_prune_is_sound_for_overlap_queries(a, b, c, d):
     bins_intersect = row_bins[0] <= query_bins[1] and query_bins[0] <= row_bins[1]
     if overlaps:
         assert bins_intersect
+
+
+# --- GWQL numeric-literal tokenizer ------------------------------------
+
+finite_nonneg = st.one_of(
+    st.integers(min_value=0, max_value=10**15),
+    st.floats(
+        min_value=0, allow_nan=False, allow_infinity=False, width=64
+    ),
+)
+
+
+@given(finite_nonneg)
+def test_gwql_number_literal_round_trips(x):
+    """Any non-negative finite numeric repr — including scientific
+    notation like '1e-05' (the round-4 advisory fix: the exponent part
+    must not require a preceding decimal point) — tokenizes as ONE
+    number token whose float value is exactly the input."""
+    from geowave_spark.plans.gwql import tokenize
+
+    text = repr(x)
+    toks = tokenize(text)
+    nums = [t for t in toks if t.kind == "number"]
+    assert len(nums) == 1 and nums[0].text == text
+    assert float(nums[0].text) == float(x)
+    assert all(t.kind in ("number", "eof") for t in toks)
