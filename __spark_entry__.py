@@ -1331,6 +1331,49 @@ def _q_ice_delete(spark, sf):
     return ice_bbox_query(spark, t, x0, y0, x1, y1).select("event_id")
 
 
+def _q_ice_delete_mor(spark, sf):
+    """Merge-on-read row DELETE on the snapshot table
+    (IceTable.delete_keys(mode='mor') — Iceberg v2 equality deletes):
+    the matched key set is committed as a delete FILE and ZERO data
+    files are rewritten; the same three-level-pruned bbox scan as
+    ice_delete then applies the delete at read time via a seq-gated
+    anti-join (_read_with_deletes), so the oracle sees rows identical
+    to a copy-on-write delete — MoR is purely a write-amplification
+    choice, which is exactly the contract (the reference's
+    BaseDataStore.delete rides the KV backend's tombstone markers the
+    compaction later folds — core/store/.../base/BaseDataStore.java).
+    The keys come from query-then-delete on the store itself (bbox
+    scan + value < 40), matching BaseDataStore.delete(query)'s
+    resolve-ids-then-delete shape. Idempotent via the snapshot log."""
+    import hashlib as _h
+    import os as _os
+
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.plans.store import CACHE_ROOT, ice_bbox_query
+    from geowave_spark.sources.icetable import IceTable
+
+    x0, y0, x1, y1 = BBOX
+    digest = _h.md5(f"ice_mor:{sf}:16".encode()).hexdigest()[:12]
+    t = IceTable(_os.path.join(CACHE_ROOT, f"ice_mor_{digest}"))
+    if t.current_snapshot_id() is None:
+        pts = events_points(spark, sf).withColumn(
+            "cell", cell_col(F.col("x_u"), F.col("y_u"), 16)
+        )
+        t.commit_write(
+            pts.repartitionByRange(8, "cell").sortWithinPartitions("cell"),
+            mode="overwrite",
+            stats_cols=["cell", "event_id"],
+        )
+    if t.snapshots()[-1]["operation"] != "delete":
+        keys = (
+            ice_bbox_query(spark, t, x0, y0, x1, y1)
+            .where(F.col("value") < 40)
+            .select("event_id")
+        )
+        t.delete_keys(keys, "event_id", mode="mor")
+    return ice_bbox_query(spark, t, x0, y0, x1, y1).select("event_id")
+
+
 def _q_stats_sketch_commit(spark, sf):
     """Commit-maintained field sketches read from METADATA ONLY: the
     3-append snapshot store records CMS cell counts, Bloom bit
@@ -2361,6 +2404,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r1-r4; text_suffix_stored keeps component #16's stored text-index
     layouts in-window, and the NGRAM store path stays pytest-covered
     in tests/test_text_search.py).
+    Round-5 wave 10: IN = `ice_delete_mor` (merge-on-read equality
+    deletes — delete_keys(mode='mor') commits a delete FILE with zero
+    data files rewritten and the scan applies it via a seq-gated
+    anti-join; new capability, never had a gate row). OUT = `nn_join`
+    (green r1-r4; `nn_join_geodesic` keeps component #24's all-pairs
+    NNMapReduce self-join in-window on the geodesic kernel, and the
+    planar kernel stays pytest-covered in tests/test_nn_join.py).
     """
     return {
         # --- range-scan queries across every live index path
@@ -2369,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwql_select": _q_gwql_select,
         "st_interval_query": _q_st_interval_query,
         "ice_delete": _q_ice_delete,
+        "ice_delete_mor": _q_ice_delete_mor,
         "gwql_delete": _q_gwql_delete,
         "attr_range": _q_attr_range,
         "crs_bbox_stored": _q_crs_bbox_stored,
@@ -2385,7 +2436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- kNN family + clustering
         "knn_bulk": _q_knn_bulk,
         "knn_geodesic": _q_knn_geodesic,
-        "nn_join": _q_nn_join,
         "dbscan_labels": _q_dbscan_labels,
         "kmeans_hulls": _q_kmeans_hulls,
         # --- raster / tiling / binning
@@ -2425,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
+        "nn_join": _q_nn_join,
         "text_contains": _q_text_contains,
         "st_bbox_time": _q_st_bbox_time,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
@@ -2837,6 +2888,12 @@ def _oracle_sql_geom() -> dict[str, str]:
         "ice_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         "AND NOT coalesce(value < 50, FALSE)",
+        # MoR equality delete: keys resolved by query-then-delete
+        # (bbox AND value<40) on unique event_id, so survivors inside
+        # the bbox are exactly NOT(value<40) with NULL-never-matches
+        "ice_delete_mor": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
+        "AND NOT coalesce(value < 40, FALSE)",
         "gwql_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         "AND NOT coalesce(value < 30, FALSE)",

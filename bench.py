@@ -169,6 +169,9 @@ def main():
         "source_quota",
         "pack_sequences",
         "ice_delete",
+        # merge-on-read twin: times the seq-gated anti-join read path
+        # over a live equality-delete file (write path warmed below)
+        "ice_delete_mor",
         "contamination",
         "pii_scan",
         # wave-6: token-window chunking (explode over closed-form
@@ -220,6 +223,7 @@ def main():
         "stats_incremental",  # multi-snapshot stats store commit (write path)
         "crs_bbox_stored",  # custom-CRS cell-sorted layout (write path)
         "ice_delete",  # snapshot commit + delete rewrite (write path)
+        "ice_delete_mor",  # snapshot commit + eq-delete file write (write path)
         "st_interval_query",  # bin-exploded interval layout (write path)
         "gwql_delete",  # snapshot commit + GWQL delete rewrite (write path)
         "stats_sketch_commit",  # 3-append sketch store commits (write path)

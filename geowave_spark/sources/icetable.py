@@ -25,6 +25,15 @@ Guarantees the engine uses:
   lists them — the file-skipping layer Iceberg adds on top of parquet
   row-group pruning. At 100 TB this is the difference between listing
   a few hundred files and a few hundred thousand.
+- **Row-level deletes, both Iceberg strategies**: copy-on-write
+  (`delete_where` / `delete_keys(mode='cow')` / `upsert` rewrite only
+  the stat-overlapping files) and merge-on-read
+  (`delete_keys(mode='mor')` commits an equality-delete key file in
+  O(keys) with zero data rewrite; readers anti-join it, sequence
+  numbers keep later re-inserts alive, and `apply_deletes()` /
+  `compact()` fold it in off the query path). At 100 TB a hot-path
+  delete must not synchronously rewrite terabytes — that is what
+  mode='mor' is for.
 
 Composes with sources/layout.py (SFC sort order inside files) and
 plans/checkpoint.py (per-partition lineage): sort by the index key at
@@ -231,10 +240,26 @@ class IceTable:
         return self._metadata()["current_snapshot_id"]
 
     def files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live DATA file entries of a snapshot. Merge-on-read equality
+        DELETE files also live in the manifest but are not data — see
+        delete_entries(); every pre-existing consumer of files() (split
+        planning, checkpoint lineage, stats folds) wants data files."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
             return []
-        return self._manifest(sid)
+        return [f for f in self._manifest(sid) if f.get("kind", "data") == "data"]
+
+    def delete_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live equality-delete file entries (Iceberg v2 merge-on-read,
+        spec 'equality delete files'): each carries its key column, the
+        parquet file of deleted key values, and the sequence number it
+        committed at. A delete applies to data files with a STRICTLY
+        SMALLER seq — a row re-inserted by a later upsert survives,
+        exactly the Iceberg sequence-number rule."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return []
+        return [f for f in self._manifest(sid) if f.get("kind") == "eq-delete"]
 
     # -------------------------------------------------------------- write
 
@@ -327,8 +352,13 @@ class IceTable:
         with self._commit_lock():
             meta = self._metadata()
             sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            for x in new_files:
+                x["seq"] = sid  # sequence number: orders rows vs eq-deletes
             manifest = list(new_files)
             if mode == "append" and meta["current_snapshot_id"] is not None:
+                # append carries the parent manifest verbatim — including
+                # any live eq-delete entries (they keep applying to the
+                # older files they postdate; never to this new batch)
                 manifest = self._manifest(meta["current_snapshot_id"]) + manifest
             with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
                 f.write(json.dumps(manifest))
@@ -358,9 +388,16 @@ class IceTable:
         every commit. Returns {"n_rows": int, "cols": {name: [min,
         max]}} (a column appears only when every live file has usable
         min/max for it — one stat-less file makes the merged range
-        unsound, so it is dropped, same stance as manifest pruning)."""
+        unsound, so it is dropped, same stance as manifest pruning).
+
+        With live merge-on-read deletes, footer counts are an UPPER
+        BOUND on live rows (deleted keys still sit in data files until
+        apply_deletes/compact folds them) — reported via
+        ``mor_pending``; callers needing the exact live count under
+        pending deletes must scan or fold first."""
         files = self.files()
         n_rows = sum(f["rows"] for f in files)
+        mor_pending = bool(self.delete_entries())
         merged: dict = {}
         dropped: set = set()
         for f in files:
@@ -380,7 +417,7 @@ class IceTable:
                     merged[name] = [mn, mx]
         for name in dropped:
             merged.pop(name, None)
-        return {"n_rows": n_rows, "cols": merged}
+        return {"n_rows": n_rows, "cols": merged, "mor_pending": mor_pending}
 
     def merged_occupancy(self) -> dict:
         """Fold the per-snapshot occupancy deltas along the lineage of
@@ -593,9 +630,13 @@ class IceTable:
         # NULL never matches a delete: keep the row unless cond is TRUE
         keep = ~F.coalesce(cond, F.lit(False))
 
-        cand = spark.read.parquet(*[f["path"] for f in touched])
+        live_dels = self.delete_entries(base_sid)
+        cand = self._read_with_deletes(spark, touched, live_dels)
         kept_df = cand.where(keep)
-        n_before = sum(f["rows"] for f in touched)
+        # with live eq-deletes the raw footer counts include rows
+        # already logically deleted; count the live base instead so the
+        # rewrite never resurrects them and the report stays exact
+        n_before = cand.count() if live_dels else sum(f["rows"] for f in touched)
         # rewritten files land outside the lock, invisible until publish
         data_dir = os.path.join(self.root, "data", f"d-{uuid.uuid4().hex[:12]}")
         kept_df.write.mode("error").parquet(data_dir)
@@ -624,7 +665,12 @@ class IceTable:
                     f"{base_sid} to {meta['current_snapshot_id']} during delete"
                 )
             sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
-            manifest = untouched + new_files
+            for x in new_files:
+                x["seq"] = sid
+            # live eq-delete entries carry forward: they still apply to
+            # the untouched (older-seq) files; the rewritten files get
+            # seq = sid > every delete seq, so re-applying is a no-op
+            manifest = untouched + new_files + self.delete_entries(base_sid)
             with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
                 f.write(json.dumps(manifest))
             meta["snapshots"].append(
@@ -649,15 +695,16 @@ class IceTable:
         keys_df: DataFrame,
         key_col: str,
         stats_cols: list[str] | None = None,
+        mode: str = "cow",
     ) -> tuple[int, dict]:
-        """Row-level DELETE by an arbitrary matched-key set, copy-on-write
-        in ONE atomic snapshot — the durable form of query-then-delete
+        """Row-level DELETE by an arbitrary matched-key set, in ONE
+        atomic snapshot — the durable form of query-then-delete
         (polygon/DWITHIN deletes whose predicate the footer-stats
         delete_where can't express; the reference's
         BaseDataStore.delete(query) resolves the query to row ids and
         deletes those — core/store/.../base/BaseDataStore.java).
 
-        Same scale shape as upsert's rewrite half: the key set's
+        ``mode='cow'`` (copy-on-write, Iceberg v1): the key set's
         [min, max] prunes the manifest (only files whose key stats
         overlap any matched key are rewritten), survivors come from an
         anti-join against the DISTINCT keys — no explicit broadcast, so
@@ -665,9 +712,23 @@ class IceTable:
         (a polygon delete can match millions of rows; forcing a
         broadcast would be the 100 TB failure mode).
 
+        ``mode='mor'`` (merge-on-read, Iceberg v2 equality deletes):
+        the key set is WRITTEN as a delete file and no data file is
+        touched — the delete costs O(keys), not O(overlapping files),
+        and readers anti-join it until apply_deletes()/compact() folds
+        it in. At 100 TB this is the difference between a delete that
+        rewrites terabytes synchronously and one that commits in
+        seconds with the rewrite deferred to maintenance. Write
+        amplification moves to the read path; the seq-number rule
+        keeps later re-inserts of the same key alive.
+
         Returns (deleted_rows, report)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(mode)
+        if mode == "mor":
+            return self._delete_keys_mor(keys_df, key_col)
         base_sid = self.current_snapshot_id()
         files = self.files(base_sid)
         spark = keys_df.sparkSession
@@ -696,10 +757,13 @@ class IceTable:
             report["deleted_rows"] = 0
             return 0, report
 
-        n_before = sum(f["rows"] for f in touched)
-        survivors = spark.read.parquet(*[f["path"] for f in touched]).join(
-            keys, key_col, "leftanti"
-        )
+        live_dels = self.delete_entries(base_sid)
+        base = self._read_with_deletes(spark, touched, live_dels)
+        # with live eq-deletes the raw footer row counts include rows
+        # already logically deleted — count the live base so the
+        # reported deleted_rows is THIS delete's effect only
+        n_before = base.count() if live_dels else sum(f["rows"] for f in touched)
+        survivors = base.join(keys, key_col, "leftanti")
         data_dir = os.path.join(self.root, "data", f"d-{uuid.uuid4().hex[:12]}")
         survivors.write.mode("error").parquet(data_dir)
         keys.unpersist()
@@ -729,7 +793,12 @@ class IceTable:
                     f"{base_sid} to {meta['current_snapshot_id']} during delete"
                 )
             sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
-            manifest = untouched + new_files
+            for x in new_files:
+                x["seq"] = sid
+            # live eq-delete entries carry forward: they still apply to
+            # the untouched (older-seq) files; the rewritten files get
+            # seq = sid > every delete seq, so re-applying is a no-op
+            manifest = untouched + new_files + self.delete_entries(base_sid)
             with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
                 f.write(json.dumps(manifest))
             meta["snapshots"].append(
@@ -748,6 +817,187 @@ class IceTable:
             self._commit_metadata(meta)
         report["deleted_rows"] = int(deleted)
         return int(deleted), report
+
+    def _delete_keys_mor(
+        self, keys_df: DataFrame, key_col: str
+    ) -> tuple[int, dict]:
+        """Merge-on-read half of delete_keys: write the DISTINCT key set
+        as an equality-delete parquet file and commit it as manifest
+        metadata — zero data files rewritten (Iceberg v2 equality
+        deletes; the reference's KV stores get the same effect from
+        tombstone mutations the compaction later folds —
+        core/store/.../base/BaseDataStore.java delete path riding the
+        backend's delete markers). One count job against the
+        stat-overlapping live files reports how many rows the delete
+        actually hits (also what flips the metadata-stat completeness
+        guards); the key file itself carries footer stats on the key
+        column so apply_deletes can prune which data files to rewrite."""
+        from pyspark.sql import functions as F
+
+        base_sid = self.current_snapshot_id()
+        files = self.files(base_sid)
+        if not files:
+            raise ValueError("empty table")
+        spark = keys_df.sparkSession
+        keys = keys_df.select(F.col(key_col)).distinct().persist()
+        bounds = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        k_lo, k_hi = bounds["lo"], bounds["hi"]
+        report = {
+            "files_total": len(files),
+            "files_rewritten": 0,
+            "files_skipped": len(files),
+            "mor": True,
+        }
+        if k_lo is None:  # empty key set
+            keys.unpersist()
+            report["deleted_rows"] = 0
+            return 0, report
+        touched = [
+            fi
+            for fi in files
+            if (st := fi["stats"].get(key_col)) is None
+            or not (st[0] > k_hi or st[1] < k_lo)
+        ]
+        deleted = 0
+        if touched:
+            live = self._read_with_deletes(
+                spark, touched, self.delete_entries(base_sid)
+            )
+            deleted = live.join(keys, key_col, "leftsemi").count()
+        if deleted == 0:
+            keys.unpersist()
+            report["deleted_rows"] = 0
+            return 0, report
+        data_dir = os.path.join(self.root, "data", f"del-{uuid.uuid4().hex[:12]}")
+        keys.write.mode("error").parquet(data_dir)
+        keys.unpersist()
+        del_files = [
+            _file_stats(os.path.join(data_dir, fn), [key_col])
+            for fn in sorted(os.listdir(data_dir))
+            if fn.endswith(".parquet")
+        ]
+        with self._commit_lock():
+            meta = self._metadata()
+            if meta["current_snapshot_id"] != base_sid:
+                raise RuntimeError(
+                    "concurrent commit detected: table moved from snapshot "
+                    f"{base_sid} to {meta['current_snapshot_id']} during delete"
+                )
+            sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            for x in del_files:
+                x.update(kind="eq-delete", key_col=key_col, seq=sid)
+            manifest = self._manifest(base_sid) + del_files
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(manifest))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": base_sid,
+                    "ts": time.time(),
+                    "operation": "delete",
+                    "added_files": 0,
+                    "added_rows": 0,
+                    "added_paths": [x["path"] for x in del_files],
+                    "summary": {
+                        "deleted_rows": int(deleted),
+                        "delete_files": len(del_files),
+                        **report,
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
+        report["deleted_rows"] = int(deleted)
+        return int(deleted), report
+
+    def apply_deletes(
+        self, spark: SparkSession, stats_cols: list[str] | None = None
+    ) -> tuple[int, dict]:
+        """Fold live equality-delete files into the data (minor
+        compaction — Iceberg's rewrite_data_files with
+        delete-file-threshold): rewrite ONLY the data files some delete
+        can hit (key-stat overlap AND seq < the delete's seq), carry
+        every other file untouched, and drop the delete entries from
+        the manifest. The deferred write amplification of mode='mor'
+        deletes is paid here, off the query path, file-pruned. No-op
+        returning (0, report) when no deletes are live. Returns
+        (folded_rows, report)."""
+        base_sid = self.current_snapshot_id()
+        dels = self.delete_entries(base_sid)
+        files = self.files(base_sid)
+        report = {"files_total": len(files), "delete_files": len(dels)}
+        if not dels:
+            report.update(files_rewritten=0, folded_rows=0)
+            return 0, report
+
+        def may_hit(fi: dict) -> bool:
+            for d in dels:
+                if int(d["seq"]) <= int(fi.get("seq", 0)):
+                    continue
+                st = fi["stats"].get(d["key_col"])
+                dst = d["stats"].get(d["key_col"])
+                if st is None or dst is None:
+                    return True  # no stats -> must assume a hit
+                if not (st[0] > dst[1] or st[1] < dst[0]):
+                    return True
+            return False
+
+        touched = [fi for fi in files if may_hit(fi)]
+        untouched = [fi for fi in files if not may_hit(fi)]
+        report["files_rewritten"] = len(touched)
+        new_files: list[dict] = []
+        n_before = sum(f["rows"] for f in touched)
+        n_after = 0
+        if touched:
+            survivors = self._read_with_deletes(spark, touched, dels)
+            data_dir = os.path.join(self.root, "data", f"a-{uuid.uuid4().hex[:12]}")
+            survivors.write.mode("error").parquet(data_dir)
+            if stats_cols is None:
+                cols: set = set()
+                for fi in touched:
+                    cols.update(fi["stats"].keys())
+                stats_cols = sorted(cols) or None
+            new_files = [
+                _file_stats(os.path.join(data_dir, fn), stats_cols)
+                for fn in sorted(os.listdir(data_dir))
+                if fn.endswith(".parquet")
+            ]
+            n_after = sum(x["rows"] for x in new_files)
+        folded = n_before - n_after
+        with self._commit_lock():
+            meta = self._metadata()
+            if meta["current_snapshot_id"] != base_sid:
+                raise RuntimeError(
+                    "concurrent commit detected: table moved from snapshot "
+                    f"{base_sid} to {meta['current_snapshot_id']} during "
+                    "apply_deletes"
+                )
+            sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+            for x in new_files:
+                x["seq"] = sid
+            manifest = untouched + new_files
+            with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
+                f.write(json.dumps(manifest))
+            meta["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": base_sid,
+                    "ts": time.time(),
+                    "operation": "rewrite-deletes",
+                    "added_files": len(new_files),
+                    "added_rows": n_after,
+                    "added_paths": [x["path"] for x in new_files],
+                    # data-identical to the parent's LOGICAL state: the
+                    # occupancy/sketch folds treat it like a compaction
+                    "summary": {"compaction": True, "folded_rows": int(folded)},
+                }
+            )
+            meta["current_snapshot_id"] = sid
+            self._commit_metadata(meta)
+        report["folded_rows"] = int(folded)
+        return int(folded), report
 
     def upsert(
         self,
@@ -794,14 +1044,15 @@ class IceTable:
             "files_skipped": len(untouched),
         }
         data_dir = os.path.join(self.root, "data", f"u-{uuid.uuid4().hex[:12]}")
+        live_dels = self.delete_entries(base_sid)
         n_before = sum(f["rows"] for f in touched)
         n_after = n_before
         new_files: list[dict] = []
         if touched:
-            survivors = (
-                spark.read.parquet(*[f["path"] for f in touched])
-                .join(F.broadcast(keys), key_col, "leftanti")
-            )
+            base = self._read_with_deletes(spark, touched, live_dels)
+            if live_dels:
+                n_before = base.count()
+            survivors = base.join(F.broadcast(keys), key_col, "leftanti")
             survivors.write.mode("error").parquet(data_dir)
             if stats_cols is None:
                 cols = set()
@@ -831,7 +1082,12 @@ class IceTable:
                     f"{base_sid} to {meta['current_snapshot_id']} during upsert"
                 )
             sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
-            manifest = untouched + new_files + batch_files
+            for x in new_files + batch_files:
+                x["seq"] = sid
+            # carried eq-deletes apply only to older-seq files; the
+            # fresh batch outranks them, so an upsert of a previously
+            # MoR-deleted key correctly resurrects it (Iceberg seq rule)
+            manifest = untouched + new_files + batch_files + self.delete_entries(base_sid)
             with open(os.path.join(self.meta_dir, f"manifest-{sid}.json"), "w") as f:
                 f.write(json.dumps(manifest))
             meta["snapshots"].append(
@@ -925,11 +1181,51 @@ class IceTable:
 
     # --------------------------------------------------------------- read
 
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        data_entries: list[dict],
+        delete_entries: list[dict],
+    ) -> DataFrame:
+        """Assemble a DataFrame over ``data_entries`` with equality
+        deletes applied MERGE-ON-READ: a delete entry (key_col K,
+        seq s) removes rows whose K value appears in its key file from
+        every data file with seq < s. Data files are grouped by seq —
+        one group per writing snapshot, so the number of groups is
+        bounded by commits since the last compaction, not by file
+        count — and each group is anti-joined against the union of the
+        delete files that postdate it, one anti-join per key column.
+        The anti-join's build side is the key set, small relative to
+        data, so AQE plans a broadcast hash anti-join; a huge delete
+        set degrades to a shuffled anti-join instead of an OOM. With no
+        live deletes this is exactly the old single parquet scan."""
+        if not delete_entries:
+            return spark.read.parquet(*[f["path"] for f in data_entries])
+        from pyspark.sql import functions as F
+
+        by_seq: dict[int, list[dict]] = {}
+        for fi in data_entries:
+            by_seq.setdefault(int(fi.get("seq", 0)), []).append(fi)
+        out = None
+        for seq, group in sorted(by_seq.items()):
+            df = spark.read.parquet(*[f["path"] for f in group])
+            by_key: dict[str, list[str]] = {}
+            for d in delete_entries:
+                if int(d["seq"]) > seq:
+                    by_key.setdefault(d["key_col"], []).append(d["path"])
+            for key_col, paths in sorted(by_key.items()):
+                keys = spark.read.parquet(*paths).select(F.col(key_col)).distinct()
+                df = df.join(keys, key_col, "leftanti")
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         files = self.files(snapshot_id)
         if not files:
             raise ValueError("empty table")
-        return spark.read.parquet(*[f["path"] for f in files])
+        return self._read_with_deletes(
+            spark, files, self.delete_entries(snapshot_id)
+        )
 
     def scan(
         self,
@@ -969,7 +1265,12 @@ class IceTable:
         if not kept:
             df = spark.read.parquet(files[0]["path"]).limit(0)
         else:
-            df = spark.read.parquet(*[f["path"] for f in kept])
+            # merge-on-read: live eq-deletes still apply to the kept
+            # files (a delete key can live anywhere, so the scan's
+            # range pruning never prunes delete files)
+            df = self._read_with_deletes(
+                spark, kept, self.delete_entries(snapshot_id)
+            )
         for col, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.where(df[col] >= lo)
