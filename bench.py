@@ -172,6 +172,11 @@ def main():
         # merge-on-read twin: times the seq-gated anti-join read path
         # over a live equality-delete file (write path warmed below)
         "ice_delete_mor",
+        # streamed snapshot table: pruned bbox read over micro-batch
+        # commits (stream write path warmed below); incremental append
+        # scan (one commit's files, no full-table rescan)
+        "ice_stream_ingest",
+        "ice_incremental",
         "contamination",
         "pii_scan",
         # wave-6: token-window chunking (explode over closed-form
@@ -224,6 +229,8 @@ def main():
         "crs_bbox_stored",  # custom-CRS cell-sorted layout (write path)
         "ice_delete",  # snapshot commit + delete rewrite (write path)
         "ice_delete_mor",  # snapshot commit + eq-delete file write (write path)
+        "ice_stream_ingest",  # streaming micro-batch commits (write path)
+        "ice_incremental",  # two-append store materialization (write path)
         "st_interval_query",  # bin-exploded interval layout (write path)
         "gwql_delete",  # snapshot commit + GWQL delete rewrite (write path)
         "stats_sketch_commit",  # 3-append sketch store commits (write path)

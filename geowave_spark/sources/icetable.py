@@ -1277,3 +1277,78 @@ class IceTable:
             if hi is not None:
                 df = df.where(df[col] <= hi)
         return df, report
+
+    def scan_appends(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Incremental APPEND scan (the Iceberg incremental-read
+        contract — spark reads with start-snapshot-id): return exactly
+        the rows appended AFTER ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default: current snapshot). Walks
+        the snapshot lineage reading only each append snapshot's added
+        files, so a downstream incremental job consumes one commit's
+        worth of data instead of rescanning the table — at 100 TB the
+        difference between a changelog read and a full-table scan per
+        consumer cycle. Compaction snapshots (compact / apply_deletes)
+        are data-identical rewrites and are skipped; their rewritten
+        files are NOT appends. Any row-level CHANGE in the range —
+        overwrite, delete, upsert, rollback — cannot be expressed as an
+        append-only changelog, so the scan raises ValueError (exactly
+        Iceberg's behavior for non-append snapshots in an incremental
+        read). Rows come back AS WRITTEN by their snapshot.
+
+        Returns (df, report) with report = {"snapshots": [ids read],
+        "files": n}. ``from_snapshot_id`` must be a live ancestor of
+        the end snapshot — an expired or divergent id raises."""
+        by_id = {s["id"]: s for s in self.snapshots()}
+        to_sid = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        if to_sid is None:
+            raise ValueError("empty table")
+        if from_snapshot_id not in by_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not in the snapshot log "
+                "(expired by expire_snapshots?)"
+            )
+        chain: list[dict] = []
+        sid = to_sid
+        while sid is not None and sid != from_snapshot_id:
+            s = by_id.get(sid)
+            if s is None:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    f"{to_sid}: lineage truncated at {sid}"
+                )
+            chain.append(s)
+            sid = s.get("parent")
+        if sid != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}"
+            )
+        paths: list[str] = []
+        snaps_read: list[int] = []
+        for s in reversed(chain):  # oldest → newest, changelog order
+            if (s.get("summary") or {}).get("compaction"):
+                continue  # data-identical rewrite: not an append
+            op = str(s.get("operation", ""))
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {s['id']} is {op!r}: the range "
+                    f"({from_snapshot_id}, {to_sid}] is not append-only, "
+                    "no incremental changelog exists for it"
+                )
+            snaps_read.append(int(s["id"]))
+            paths.extend(s.get("added_paths", []))
+        report = {"snapshots": snaps_read, "files": len(paths)}
+        if not paths:
+            base = self.files(to_sid)
+            if not base:
+                raise ValueError("empty table")
+            return spark.read.parquet(base[0]["path"]).limit(0), report
+        return spark.read.parquet(*paths), report
