@@ -1666,6 +1666,62 @@ def _q_gwql_agg(spark, sf):
     )
 
 
+def _q_gwql_stats_agg(spark, sf):
+    """Statistics-answered GWQL aggregation (BaseDataStore consulting
+    the statistics store before scanning — CountStatistic /
+    FieldMinMax / BoundingBoxStatistic): an unfiltered COUNT/MIN/MAX/
+    BBOX SELECT on a snapshot-backed type is answered from the
+    manifest's folded footer stats, NO data scan (plans/gwql.py
+    _stats_select; asserted taken — a silent fallback to the scan
+    path would make this row meaningless). The oracle recomputes all
+    five values from the raw events, so equality proves the
+    metadata fold IS the table aggregate. At 100 TB this is COUNT(*)
+    as a metadata read."""
+    import hashlib as _h
+    import os as _os
+
+    from geowave_spark.api import DataStore
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.plans.gwql import _stats_select, parse_statement
+    from geowave_spark.plans.store import CACHE_ROOT
+    from geowave_spark.sources.icetable import IceTable
+
+    digest = _h.md5(f"gwql_stats:{sf}:16".encode()).hexdigest()[:12]
+    t = IceTable(_os.path.join(CACHE_ROOT, f"gwql_stats_{digest}"))
+    if t.current_snapshot_id() is None:
+        pts = events_points(spark, sf).withColumn(
+            "cell", cell_col(F.col("x_u"), F.col("y_u"), 16)
+        )
+        # two appends: the metadata answer must fold across snapshots
+        t.commit_write(
+            pts.where(F.col("event_id") % 2 == 0),
+            mode="overwrite",
+            stats_cols=["cell", "x_u", "y_u", "value"],
+        )
+        t.commit_write(
+            pts.where(F.col("event_id") % 2 == 1),
+            mode="append",
+            stats_cols=["cell", "x_u", "y_u", "value"],
+        )
+    ds = DataStore(spark)
+    ds.add_snapshot_type("ev_stats", t)
+    q = (
+        "SELECT COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v, "
+        "BBOX(*) AS env FROM ev_stats"
+    )
+    out = _stats_select(ds, parse_statement(q))
+    assert out is not None, "stats-answered path not taken"
+    return out.select(
+        "n",
+        "min_v",
+        "max_v",
+        F.col("env.minx").alias("minx"),
+        F.col("env.miny").alias("miny"),
+        F.col("env.maxx").alias("maxx"),
+        F.col("env.maxy").alias("maxy"),
+    )
+
+
 def _q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
     argmax-centroid assignment, exact pairwise cosine within each
@@ -2570,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_bbox": _q_crs_bbox,
         "nn_join": _q_nn_join,
         "gwql_agg": _q_gwql_agg,
+        "gwql_stats_agg": _q_gwql_stats_agg,
         "ice_incremental": _q_ice_incremental,
         "text_contains": _q_text_contains,
         "st_bbox_time": _q_st_bbox_time,
@@ -2997,6 +3054,12 @@ def _oracle_sql_geom() -> dict[str, str]:
         # incremental append scan: exactly the second commit's rows
         "ice_incremental": "SELECT event_id FROM events "
         "WHERE event_id % 2 = 1",
+        # statistics-answered aggregation: the metadata fold must equal
+        # the full-table aggregate recomputed from raw events
+        "gwql_stats_agg": f"{pts} SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(value) AS min_v, MAX(value) AS max_v, "
+        "MIN(x_u) AS minx, MIN(y_u) AS miny, "
+        f"MAX(x_u) AS maxx, MAX(y_u) AS maxy FROM {EVENTS_PTS}",
         "gwql_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         "AND NOT coalesce(value < 30, FALSE)",

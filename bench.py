@@ -177,6 +177,9 @@ def main():
         # scan (one commit's files, no full-table rescan)
         "ice_stream_ingest",
         "ice_incremental",
+        # statistics-answered aggregation: COUNT/MIN/MAX/BBOX from the
+        # manifest metadata fold — no data scan (asserted in the query)
+        "gwql_stats_agg",
         "contamination",
         "pii_scan",
         # wave-6: token-window chunking (explode over closed-form
@@ -231,6 +234,7 @@ def main():
         "ice_delete_mor",  # snapshot commit + eq-delete file write (write path)
         "ice_stream_ingest",  # streaming micro-batch commits (write path)
         "ice_incremental",  # two-append store materialization (write path)
+        "gwql_stats_agg",  # two-append stats store commits (write path)
         "st_interval_query",  # bin-exploded interval layout (write path)
         "gwql_delete",  # snapshot commit + GWQL delete rewrite (write path)
         "stats_sketch_commit",  # 3-append sketch store commits (write path)

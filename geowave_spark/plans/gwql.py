@@ -741,6 +741,79 @@ def _agg_column(sel: Selector, x_col: str, y_col: str):
     return c.alias(sel.name)
 
 
+def _stats_select(
+    store, stmt: GWQLStatement, x_col: str = "x_u", y_col: str = "y_u"
+) -> DataFrame | None:
+    """Statistics-answered aggregation (BaseDataStore.aggregate
+    consulting the statistics store first — CountStatistic /
+    FieldMinMax / BoundingBoxStatistic, core/store/.../statistics/):
+    an unfiltered SELECT of only stats-covered aggregates on a
+    snapshot-backed type is answered from TABLE METADATA — the
+    manifest's folded footer stats — with no data scan. At 100 TB
+    `SELECT COUNT(*)` becomes a metadata read instead of a full scan,
+    exactly why the reference maintains statistics transactionally.
+
+    Soundness gates (any miss returns None → normal scan path):
+    - no WHERE (or INCLUDE): footer stats describe whole files only;
+    - no pending merge-on-read deletes (`mor_pending` — footer counts
+      would overcount until apply_deletes folds them);
+    - COUNT(*) only (COUNT(col) needs null counts footers don't carry);
+    - MIN/MAX only on NUMERIC columns with complete stats — parquet
+      writers may TRUNCATE binary (string) min/max statistics, so a
+      string answered from footers could be wrong; numeric stats are
+      exact by spec;
+    - BBOX needs complete stats on both bound coordinate columns.
+    Results are cast to the scan path's exact dtypes (same schema as
+    `execute`), so callers cannot tell which path answered — except by
+    the absence of a scan job."""
+    t = getattr(store, "_ice", {}).get(stmt.table)
+    if t is None or stmt.kind != "select":
+        return None
+    if stmt.where is not None and stmt.where != ("include",):
+        return None
+    sels = stmt.selectors
+    if not sels or any(s.agg_fn is None for s in sels):
+        return None
+    ms = t.merged_column_stats()
+    if ms.get("mor_pending"):
+        return None
+    df = store._types[stmt.table]
+    numeric = {
+        f.name: f.dataType
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    cols = []
+    for s in sels:
+        fn, arg = s.agg_fn, s.agg_arg
+        if fn == "COUNT" and arg == "*":
+            cols.append(F.lit(int(ms["n_rows"])).cast("long").alias(s.name))
+        elif fn in ("MIN", "MAX") and arg in ms["cols"] and arg in numeric:
+            v = ms["cols"][arg][0 if fn == "MIN" else 1]
+            cols.append(F.lit(v).cast(numeric[arg]).alias(s.name))
+        elif fn == "BBOX" and {x_col, y_col} <= set(ms["cols"]):
+            if arg not in ("*", "geom"):
+                return None  # unbound geometry: let _agg_column raise
+            xs, ys = ms["cols"][x_col], ms["cols"][y_col]
+            if x_col not in numeric or y_col not in numeric:
+                return None
+            cols.append(
+                F.struct(
+                    F.lit(xs[0]).cast(numeric[x_col]).alias("minx"),
+                    F.lit(ys[0]).cast(numeric[y_col]).alias("miny"),
+                    F.lit(xs[1]).cast(numeric[x_col]).alias("maxx"),
+                    F.lit(ys[1]).cast(numeric[y_col]).alias("maxy"),
+                ).alias(s.name)
+            )
+        else:
+            return None
+    out = df.sparkSession.range(1).select(*cols)
+    if stmt.limit is not None:
+        out = out.limit(stmt.limit)
+    return out
+
+
 def execute(
     df: DataFrame,
     stmt: GWQLStatement,
@@ -777,4 +850,9 @@ def gwql(store, statement: str) -> DataFrame | int:
             return store._delete_snapshot(stmt.table, stmt)
         matched = execute(store._types[stmt.table], stmt)
         return store._delete_matched(stmt.table, matched)
+    # snapshot-backed types answer stats-covered aggregations from
+    # metadata (BaseDataStore consults the statistics store first)
+    stat = _stats_select(store, stmt)
+    if stat is not None:
+        return stat
     return execute(store._types[stmt.table], stmt)
