@@ -170,6 +170,29 @@ def _q_cql_filter(spark, sf):
     return cql_filter(events_points(spark, sf), CQL_TEXT).select("event_id")
 
 
+# geodesic DWITHIN fixture: 2000 km around 20°E 70°N — high latitude,
+# where the planar µdeg circle and the great-circle disc disagree
+GEO_DW = (20_000_000, 70_000_000, 2_000_000)
+
+
+def _q_cql_dwithin_geodesic(spark, sf):
+    """ECQL DWITHIN with 'meters' units → GREAT-CIRCLE semantics
+    (plans/cql.py dwithin_geo): haversine refine + a sargable coarse
+    bbox whose longitude window is latitude-corrected (the inverted
+    safe_geo_radius_m bound — at 70°N the lon window is ~3× the lat
+    band, which a naive planar circle would miss). The reference's
+    geodesic distance contract (OrthodromicDistancePartitioner)
+    surfaced through the ECQL text surface; oracle = the same
+    closed-form haversine in DuckDB, unconstrained."""
+    from geowave_spark.plans.cql import cql_filter
+
+    px, py, r = GEO_DW
+    return cql_filter(
+        events_points(spark, sf),
+        f"DWITHIN(geom, POINT({px} {py}), {r}, 'meters')",
+    ).select("event_id")
+
+
 VIS_AUTHS = frozenset({"alpha", "gamma"})
 
 
@@ -2628,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gwql_agg": _q_gwql_agg,
         "gwql_stats_agg": _q_gwql_stats_agg,
         "ice_incremental": _q_ice_incremental,
+        "cql_dwithin_geodesic": _q_cql_dwithin_geodesic,
         "text_contains": _q_text_contains,
         "st_bbox_time": _q_st_bbox_time,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
@@ -2953,6 +2977,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_geom() -> dict[str, str]:
+    from geowave_spark.operators.geodesic import haversine_m_sql
     from geowave_spark.operators.packing import pack_sequences_sql
     from geowave_spark.operators.sampling import dataset_split_sql, source_quota_sql
     from geowave_spark.operators.text import BPE_SPLIT_PATTERN, chunk_tokens_sql
@@ -3060,6 +3085,11 @@ def _oracle_sql_geom() -> dict[str, str]:
         "MIN(value) AS min_v, MAX(value) AS max_v, "
         "MIN(x_u) AS minx, MIN(y_u) AS miny, "
         f"MAX(x_u) AS maxx, MAX(y_u) AS maxy FROM {EVENTS_PTS}",
+        # geodesic DWITHIN: same closed-form haversine, unconstrained —
+        # the engine's coarse bbox must never cut a true neighbor
+        "cql_dwithin_geodesic": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
+        f"WHERE {haversine_m_sql(str(GEO_DW[0]), str(GEO_DW[1]), 'x_u', 'y_u')}"
+        f" <= {GEO_DW[2]}",
         "gwql_delete": f"{pts} SELECT event_id FROM {EVENTS_PTS} "
         f"WHERE x_u BETWEEN {x0} AND {x1} AND y_u BETWEEN {y0} AND {y1} "
         "AND NOT coalesce(value < 30, FALSE)",

@@ -199,6 +199,9 @@ def main():
         # field-sketch fold; stored REVERSE suffix scan
         "knn_geodesic",
         "nn_join_geodesic",
+        # ECQL DWITHIN 'meters': haversine refine + latitude-corrected
+        # coarse bbox, one codegen projection
+        "cql_dwithin_geodesic",
         "st_interval_query",
         "gwql_delete",
         "stats_sketch_commit",

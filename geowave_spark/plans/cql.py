@@ -34,6 +34,7 @@ filter) raise rather than silently scanning.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -42,8 +43,12 @@ from pyspark.sql import functions as F
 
 from geowave_spark.geom.udfs import geom_from_wkt
 from geowave_spark.geom.wkb import wkb_loads
+from geowave_spark.operators.geodesic import EARTH_R_M, dwithin_geodesic_col
 from geowave_spark.operators.spatial_query import bbox_query, polygon_query
 from geowave_spark.plans.sql_rewrite import _mask, _split_conjuncts
+
+# meters per µdeg of latitude on the mean sphere (meridional arc)
+_M_PER_UDEG = EARTH_R_M * math.pi / 180.0 / 1e6
 
 # spatial ops the engine refines exactly (point-applicable subset)
 _SPATIAL_OPS = {"INTERSECTS": "intersects", "WITHIN": "within"}
@@ -80,6 +85,11 @@ class CQLPlan:
     time_col: str = "ts"
     # (px, py, dist, within?) — DWITHIN/BEYOND against a POINT, planar units
     dwithin: tuple[int, int, int, bool] | None = None
+    # (px, py, meters, within?) — DWITHIN/BEYOND with 'meters' units:
+    # great-circle semantics (haversine refine + latitude-corrected
+    # coarse bbox), the reference's OrthodromicDistancePartitioner
+    # distance contract surfaced through ECQL units
+    dwithin_geo: tuple[int, int, float, bool] | None = None
     residual: list[str] = field(default_factory=list)
 
 
@@ -152,10 +162,13 @@ def parse_cql(text: str) -> CQLPlan:
                 plan.geom_predicate = _SPATIAL_OPS[name]
                 continue
             if name in _DISTANCE_OPS:
-                # ECQL: DWITHIN(col, geom, distance, units); the units
-                # token is optional here — coordinates and distance are
-                # both planar storage units (µdeg), like the engine's
-                # distance joins
+                # ECQL: DWITHIN(col, geom, distance, units). Without a
+                # units token, coordinates and distance are both planar
+                # storage units (µdeg), like the engine's distance
+                # joins. 'meters'/'kilometers' switch to GREAT-CIRCLE
+                # semantics (the geodesic distance family,
+                # operators/geodesic.py); other ECQL units raise loudly
+                # rather than silently misinterpret a distance.
                 if len(args) not in (3, 4):
                     raise ValueError(f"{name} takes (col, POINT, dist): {c!r}")
                 pm = _POINT_RE.match(args[1])
@@ -163,14 +176,31 @@ def parse_cql(text: str) -> CQLPlan:
                     raise ValueError(
                         f"{name} supports POINT references only: {args[1]!r}"
                     )
-                if plan.dwithin is not None:
+                if plan.dwithin is not None or plan.dwithin_geo is not None:
                     raise ValueError("multiple distance constraints")
-                plan.dwithin = (
-                    int(pm.group(1)),
-                    int(pm.group(2)),
-                    int(args[2]),
-                    _DISTANCE_OPS[name],
-                )
+                units = None
+                if len(args) == 4:
+                    units = args[3].strip().strip("'\"").lower()
+                if units in (None, ""):
+                    plan.dwithin = (
+                        int(pm.group(1)),
+                        int(pm.group(2)),
+                        int(args[2]),
+                        _DISTANCE_OPS[name],
+                    )
+                elif units in ("meters", "kilometers"):
+                    scale = 1.0 if units == "meters" else 1000.0
+                    plan.dwithin_geo = (
+                        int(pm.group(1)),
+                        int(pm.group(2)),
+                        float(args[2]) * scale,
+                        _DISTANCE_OPS[name],
+                    )
+                else:
+                    raise ValueError(
+                        f"unsupported {name} units {units!r} (supported: "
+                        "meters, kilometers, or omit for planar µdeg)"
+                    )
                 continue
             if name in _SPATIAL_RESERVED:
                 raise ValueError(f"unsupported CQL spatial operator: {name}")
@@ -238,6 +268,41 @@ def apply_plan(
             )
         else:  # BEYOND — complement, no coarse constraint possible
             df = df.where(d2 > F.lit(int(dist) ** 2))
+    if plan.dwithin_geo is not None:
+        px, py, radius_m, within = plan.dwithin_geo
+        refine = dwithin_geodesic_col(
+            F.lit(px), F.lit(py), F.col(x_col), F.col(y_col), radius_m
+        )
+        if within:
+            # sargable coarse bbox first. Latitude: meridional distance
+            # between two latitudes never exceeds the great-circle
+            # distance, so |Δlat| ≤ radius/R always bounds candidates.
+            dy = int(math.ceil(radius_m / _M_PER_UDEG))
+            cond = F.col(y_col).between(py - dy, py + dy)
+            # Longitude: haversine ≥ 2R·asin(√(cosφ_q·cosφ_band)·
+            # sin(|Δλ|/2)) with φ_band the widest candidate latitude, so
+            # |Δλ| beyond the inverted bound is provably out of range —
+            # the latitude-corrected widening (safe_geo_radius_m's
+            # escape-route argument, inverted). Near a pole the cos
+            # product can dip below sin²(radius/2R): every longitude
+            # qualifies, so the lon constraint is dropped (correct,
+            # just unprunable — the documented pole-adjacent cost).
+            # Also dropped when the window would cross ±180° (a
+            # BETWEEN cannot express the wrap; refine stays exact).
+            phi_q = abs(py) / 1e6
+            phi_band = min(phi_q + dy / 1e6, 90.0)
+            cosprod = math.cos(math.radians(phi_q)) * math.cos(
+                math.radians(phi_band)
+            )
+            s = math.sin(radius_m / (2.0 * EARTH_R_M))
+            if cosprod > s * s:
+                dlam_deg = 2.0 * math.degrees(math.asin(s / math.sqrt(cosprod)))
+                dx = int(math.ceil(dlam_deg * 1e6))
+                if px - dx >= -180_000_000 and px + dx <= 180_000_000:
+                    cond = cond & F.col(x_col).between(px - dx, px + dx)
+            df = df.where(cond & refine)
+        else:  # BEYOND — complement, refine only
+            df = df.where(~refine)
     if plan.time is not None:
         lo, hi = plan.time
         tc = F.col(plan.time_col)

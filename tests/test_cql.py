@@ -176,8 +176,10 @@ def test_parse_cql_constraint_position_property(idxs, pos):
 def test_parse_dwithin_and_beyond():
     p = parse_cql("DWITHIN(geom, POINT(100 -200), 5000)")
     assert p.dwithin == (100, -200, 5000, True)
+    # a units token switches to GREAT-CIRCLE meters (round 5; the
+    # units used to be accepted-and-ignored, which misread distances)
     p = parse_cql("BEYOND(geom, POINT(-3 4), 10, meters)")
-    assert p.dwithin == (-3, 4, 10, False)
+    assert p.dwithin is None and p.dwithin_geo == (-3, 4, 10.0, False)
     with pytest.raises(ValueError, match="POINT references"):
         parse_cql(f"DWITHIN(geom, {PENTA}, 5000)")
 
@@ -198,3 +200,85 @@ def test_cql_dwithin_beyond_partition(spark, sf_dir):
         <= d * d
     ).count()
     assert n_in == brute
+
+
+# --------------------------------------- geodesic DWITHIN ('meters')
+
+
+def _brute_geo(spark, sf_dir, px, py, radius_m, within=True):
+    from geowave_spark.operators.geodesic import haversine_m
+
+    d = haversine_m(F.lit(px), F.lit(py), F.col("x_u"), F.col("y_u"))
+    cond = d <= F.lit(float(radius_m))
+    return events_points(spark, sf_dir).where(cond if within else ~cond)
+
+
+def test_parse_dwithin_units():
+    p = parse_cql("DWITHIN(geom, POINT(10 20), 5000, 'meters')")
+    assert p.dwithin is None and p.dwithin_geo == (10, 20, 5000.0, True)
+    # kilometers scale; bare-word units token also accepted
+    p2 = parse_cql("DWITHIN(geom, POINT(10 20), 5, kilometers)")
+    assert p2.dwithin_geo == (10, 20, 5000.0, True)
+    # no units: planar µdeg (unchanged semantics)
+    p3 = parse_cql("DWITHIN(geom, POINT(10 20), 5000)")
+    assert p3.dwithin == (10, 20, 5000, True) and p3.dwithin_geo is None
+    with pytest.raises(ValueError, match="units"):
+        parse_cql("DWITHIN(geom, POINT(10 20), 5000, 'feet')")
+
+
+def test_dwithin_meters_matches_brute_haversine(spark, sf_dir):
+    """Great-circle semantics, verified against the unconstrained
+    haversine filter — the coarse bbox (lat band + latitude-corrected
+    lon window) must never cut a true neighbor."""
+    px, py, r = 20_000_000, 70_000_000, 2_000_000  # 2000 km at 70°N
+    got = cql_filter(
+        events_points(spark, sf_dir),
+        f"DWITHIN(geom, POINT({px} {py}), {r}, 'meters')",
+    )
+    want = _brute_geo(spark, sf_dir, px, py, r)
+    g = {x["event_id"] for x in got.select("event_id").collect()}
+    w = {x["event_id"] for x in want.select("event_id").collect()}
+    assert g == w and len(g) > 0
+
+    # planar naive conversion (radius/m-per-µdeg circle) DIVERGES at
+    # this latitude: the geodesic disc spans ~3x more longitude
+    dy = int(r / 0.111)  # ~µdeg radius under the naive reading
+    naive = events_points(spark, sf_dir).where(
+        (F.col("x_u").between(px - dy, px + dy))
+        & (F.col("y_u").between(py - dy, py + dy))
+    )
+    n = {x["event_id"] for x in naive.select("event_id").collect()}
+    assert n != g
+
+
+def test_dwithin_meters_polar_and_antimeridian(spark, sf_dir):
+    """Both unprunable-lon branches: a pole-adjacent query (cos product
+    below sin²(r/2R)) and a window crossing ±180° — the lon constraint
+    drops, results stay haversine-exact."""
+    for px, py, r in (
+        (0, 89_500_000, 500_000),  # 89.5°N, 500 km: engulfs the pole
+        (179_500_000, 0, 1_000_000),  # 1000 km window crosses ±180°
+    ):
+        got = cql_filter(
+            events_points(spark, sf_dir),
+            f"DWITHIN(geom, POINT({px} {py}), {r}, 'meters')",
+        )
+        want = _brute_geo(spark, sf_dir, px, py, r)
+        g = {x["event_id"] for x in got.select("event_id").collect()}
+        w = {x["event_id"] for x in want.select("event_id").collect()}
+        assert g == w
+
+
+def test_beyond_meters_complement(spark, sf_dir):
+    px, py, r = 20_000_000, 70_000_000, 2_000_000
+    beyond = cql_filter(
+        events_points(spark, sf_dir),
+        f"BEYOND(geom, POINT({px} {py}), {r}, 'meters')",
+    )
+    within = cql_filter(
+        events_points(spark, sf_dir),
+        f"DWITHIN(geom, POINT({px} {py}), {r}, 'meters')",
+    )
+    total = events_points(spark, sf_dir).count()
+    assert beyond.count() + within.count() == total
+    assert beyond.join(within.select("event_id"), "event_id", "leftsemi").count() == 0
