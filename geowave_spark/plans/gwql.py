@@ -516,6 +516,29 @@ def _as_wkt(e: tuple, ctx: str) -> str:
     raise GWQLParseException(f"{ctx} expects a WKT literal")
 
 
+_GEO_UNITS = {"meters": 1.0, "kilometers": 1000.0}
+
+
+def _dwithin_units(args: list, name: str) -> float | None:
+    """Optional 4th DWITHIN/BEYOND argument: None = planar µdeg
+    distance (no units token); a meters scale factor otherwise.
+    Same contract as the ECQL side (plans/cql.py) — 'meters' /
+    'kilometers' switch to great-circle semantics, anything else
+    raises rather than silently misreading the distance."""
+    if len(args) == 3:
+        return None
+    u = args[3]
+    if u[0] != "str":
+        raise GWQLParseException(f"{name} units expects a string literal")
+    key = u[1].strip().lower()
+    if key in _GEO_UNITS:
+        return _GEO_UNITS[key]
+    raise GWQLParseException(
+        f"unsupported {name} units {u[1]!r} (supported: meters, "
+        "kilometers, or omit for planar µdeg)"
+    )
+
+
 
 
 def _temporal_literal(e: tuple) -> tuple[str, str | None]:
@@ -594,6 +617,17 @@ def _predfn_sql(name: str, args: list, x_col: str, y_col: str) -> str:
         if pm is None:
             raise GWQLParseException(f"{name} supports POINT references only")
         px, py = int(pm.group(1)), int(pm.group(2))
+        scale = _dwithin_units(args, name)
+        if scale is not None:
+            # great-circle meters: the haversine closed form renders to
+            # Spark SQL directly (radians/sin/cos/asin are all native
+            # codegen functions — the residual stays JVM-side)
+            from geowave_spark.operators.geodesic import haversine_m_sql
+
+            r_m = float(_as_num(args[2], name)) * scale
+            h = haversine_m_sql(str(px), str(py), x_col, y_col)
+            op = "<=" if name == "DWITHIN" else ">"
+            return f"({h} {op} {r_m!r})"
         d = int(_as_num(args[2], name))
         d2 = (f"((CAST({x_col} AS BIGINT) - {px}) * (CAST({x_col} AS BIGINT) - {px}) "
               f"+ (CAST({y_col} AS BIGINT) - {py}) * (CAST({y_col} AS BIGINT) - {py}))")
@@ -690,13 +724,27 @@ def compile_filter(f: tuple | None, x_col: str = "x_u", y_col: str = "y_u") -> C
                 plan.geometry = wkb_loads(geom_from_wkt(_as_wkt(args[1], name)))
                 plan.geom_predicate = name.lower()
                 continue
-            if name in ("DWITHIN", "BEYOND") and plan.dwithin is None:
+            if (
+                name in ("DWITHIN", "BEYOND")
+                and plan.dwithin is None
+                and plan.dwithin_geo is None
+            ):
                 pm = _POINT_RE.match(_as_wkt(args[1], name))
                 if pm is not None and len(args) in (3, 4):
-                    plan.dwithin = (
-                        int(pm.group(1)), int(pm.group(2)),
-                        int(_as_num(args[2], name)), name == "DWITHIN",
-                    )
+                    scale = _dwithin_units(args, name)
+                    if scale is not None:
+                        # units token → great-circle meters (same
+                        # geodesic plan field as the ECQL side)
+                        plan.dwithin_geo = (
+                            int(pm.group(1)), int(pm.group(2)),
+                            float(_as_num(args[2], name)) * scale,
+                            name == "DWITHIN",
+                        )
+                    else:
+                        plan.dwithin = (
+                            int(pm.group(1)), int(pm.group(2)),
+                            int(_as_num(args[2], name)), name == "DWITHIN",
+                        )
                     continue
         if c[0] == "opred" and c[1] == "DURING" and c[2][0] == "col" \
                 and plan.time is None:

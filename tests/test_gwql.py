@@ -576,3 +576,58 @@ def test_stats_answer_fallbacks(snap_store, spark, sf_dir):
     got = ds.gwql("SELECT COUNT(*) AS n FROM ev_snap").first()["n"]
     # the scan path applies the live equality delete
     assert got == pts.count() - deleted or got == pts.count()
+
+
+# --------------------------------------- geodesic DWITHIN ('meters')
+
+
+def test_gwql_dwithin_units_compile():
+    from geowave_spark.plans.gwql import compile_filter
+
+    s = parse_statement(
+        "SELECT * FROM t WHERE DWITHIN(geom, POINT(10 20), 5, 'kilometers')"
+    )
+    p = compile_filter(s.where)
+    assert p.dwithin is None and p.dwithin_geo == (10, 20, 5000.0, True)
+    with pytest.raises(GWQLParseException, match="units"):
+        compile_filter(
+            parse_statement(
+                "SELECT * FROM t WHERE DWITHIN(geom, POINT(10 20), 5, 'feet')"
+            ).where
+        )
+
+
+def test_gwql_dwithin_meters_matches_cql(store, spark, sf_dir):
+    px, py, r = 20_000_000, 70_000_000, 2_000_000
+    got = store.gwql(
+        f"SELECT event_id FROM events "
+        f"WHERE DWITHIN(geom, POINT({px} {py}), {r}, 'meters')"
+    )
+    from geowave_spark.plans.cql import cql_filter
+
+    want = cql_filter(
+        events_points(spark, sf_dir),
+        f"DWITHIN(geom, POINT({px} {py}), {r}, 'meters')",
+    ).select("event_id")
+    g = {x["event_id"] for x in got.collect()}
+    w = {x["event_id"] for x in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_gwql_dwithin_meters_residual_or(store, spark, sf_dir):
+    """A top-level OR degrades the whole filter to residual SQL — the
+    geodesic predicate must render to native Spark SQL (haversine text)
+    and match the brute union."""
+    from geowave_spark.operators.geodesic import haversine_m
+
+    px, py, r = 20_000_000, 70_000_000, 2_000_000
+    got = store.gwql(
+        f"SELECT event_id FROM events WHERE "
+        f"DWITHIN(geom, POINT({px} {py}), {r}, 'meters') OR value > 300"
+    )
+    pts = events_points(spark, sf_dir)
+    d = haversine_m(F.lit(px), F.lit(py), F.col("x_u"), F.col("y_u"))
+    want = pts.where((d <= F.lit(float(r))) | (F.col("value") > 300))
+    g = {x["event_id"] for x in got.collect()}
+    w = {x["event_id"] for x in want.select("event_id").collect()}
+    assert g == w and len(g) > 0
