@@ -1179,6 +1179,46 @@ class IceTable:
         self._commit_metadata(meta)
         return {"removed_snapshots": removed, "removed_files": removed_files}
 
+    def remove_orphans(self, older_than_s: float = 3600.0) -> dict:
+        """Delete data directories no retained snapshot references
+        (Iceberg's remove_orphan_files): a writer that crashed between
+        its parquet write and the metadata publish leaves an invisible
+        orphan dir that expire_snapshots never sees (it walks manifests;
+        an uncommitted dir is in none). Orphans are harmless to
+        correctness — commits are the only visibility point — but at
+        100 TB they are real storage; this is the maintenance sweep
+        that reclaims them.
+
+        ``older_than_s`` is the safety grace period (Iceberg's default
+        is 3 days): a dir younger than it may belong to an IN-FLIGHT
+        write whose commit hasn't published yet, so it is never
+        touched — the lock only guards metadata, data lands outside it.
+        Runs under the commit lock so the live-path set is a consistent
+        snapshot of the log."""
+        import shutil
+
+        data_root = os.path.join(self.root, "data")
+        removed_dirs = 0
+        removed_bytes = 0
+        with self._commit_lock():
+            live_dirs: set[str] = set()
+            for s in self.snapshots():
+                for f in self._manifest(s["id"]):
+                    live_dirs.add(os.path.dirname(f["path"]))
+            now = time.time()
+            for name in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+                d = os.path.join(data_root, name)
+                if not os.path.isdir(d) or d in live_dirs:
+                    continue
+                if now - os.path.getmtime(d) < older_than_s:
+                    continue  # possibly an in-flight write: keep
+                removed_bytes += sum(
+                    os.path.getsize(os.path.join(d, fn)) for fn in os.listdir(d)
+                )
+                shutil.rmtree(d)
+                removed_dirs += 1
+        return {"removed_dirs": removed_dirs, "removed_bytes": removed_bytes}
+
     # --------------------------------------------------------------- read
 
     def _read_with_deletes(

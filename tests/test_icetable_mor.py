@@ -168,3 +168,33 @@ def test_mor_flips_occupancy_completeness(spark, tmp_path):
     # removed rows stay counted in the ancestor occupancy delta -> the
     # fold must not present itself as the table state
     assert t.merged_occupancy()["complete"] is False
+
+
+def test_remove_orphans(spark, tmp_path):
+    """A crashed write (parquet dir, no commit) is invisible to reads
+    and to expire_snapshots; remove_orphans reclaims it after the
+    grace period — and never touches live dirs or young dirs."""
+    import os
+
+    from geowave_spark.sources.icetable import IceTable
+    from geowave_spark.sources.testgeo import events_points
+
+    t = IceTable(str(tmp_path / "tbl"))
+    pts = events_points(spark, "/root/testdata/sf0.001")
+    t.commit_write(pts, mode="overwrite", stats_cols=["event_id"])
+    n = t.read(spark).count()
+
+    # simulate the crash: data written, metadata never published
+    orphan = os.path.join(str(tmp_path / "tbl"), "data", "w-crashed0001")
+    pts.limit(10).write.parquet(orphan)
+    assert t.read(spark).count() == n  # invisible to reads
+
+    # young dir: protected by the grace period
+    rep = t.remove_orphans(older_than_s=3600)
+    assert rep["removed_dirs"] == 0 and os.path.isdir(orphan)
+
+    # past the grace period: reclaimed, live data untouched
+    rep = t.remove_orphans(older_than_s=0)
+    assert rep["removed_dirs"] == 1 and rep["removed_bytes"] > 0
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == n
