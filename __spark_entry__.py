@@ -2581,8 +2581,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SELECT/constraint split, gwql_scalars for the scalar surface,
     gwql_delete for DELETE routing — and the aggregate selectors stay
     pytest-covered in tests/test_gwql.py + in the full sweep).
-    `ice_incremental` (scan_appends changelog read) sits in the tail,
-    oracle-checked in the full sweep.
+    Round-5 wave 12 (closing): IN = the three late round-5 additions
+    that had no gate row yet — `gwql_stats_agg` (GWQL aggregations
+    answered METADATA-ONLY from commit-maintained statistics, asserted
+    scan-free), `ice_incremental` (scan_appends changelog read between
+    two snapshot ids), and `cql_dwithin_geodesic` (ECQL DWITHIN with
+    meters units → latitude-corrected coarse bbox + haversine refine).
+    OUT, each green r4 with in-window siblings: `stats_incremental`
+    (stats_sketch_commit keeps commit-maintained statistics in-window
+    and gwql_stats_agg reads the same count/minmax/bbox fold through
+    the GWQL surface), `image_validate` (image_thumbs keeps the
+    mapInPandas decode path; the validation rules stay pytest-covered
+    in tests/test_multimodal.py), and `xmodal_topk` (caption_align
+    keeps the dual-tower embedding plumbing + exact ranking in-window;
+    the per-query top-k window form stays in the full sweep).
     """
     return {
         # --- range-scan queries across every live index path
@@ -2620,13 +2632,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_image_tiles": _q_ice_image_tiles,
         # --- aggregations / statistics
         "split_plan": _q_split_plan,
-        "stats_incremental": _q_stats_incremental,
+        "gwql_stats_agg": _q_gwql_stats_agg,
         "stats_sketch_commit": _q_stats_sketch_commit,
         # --- visibility / authorizations + text predicates + GWQL scalars
         "visibility_scan": _q_visibility_scan,
         "text_suffix_stored": _q_text_suffix_stored,
         "gwql_scalars": _q_gwql_scalars,
         "ice_stream_ingest": _q_ice_stream_ingest,
+        "ice_incremental": _q_ice_incremental,
+        "cql_dwithin_geodesic": _q_cql_dwithin_geodesic,
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "dedup_groups": _q_dedup_groups,
         "semdedup": _q_semdedup,
@@ -2638,20 +2652,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "pii_scan": _q_pii_scan,
         "nn_join_geodesic": _q_nn_join_geodesic,
-        "xmodal_topk": _q_xmodal_topk,
         "image_thumbs": _q_image_thumbs,
         "caption_align": _q_caption_align,
         "aspect_batches": _q_aspect_batches,
-        "image_validate": _q_image_validate,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
         "crs_bbox": _q_crs_bbox,
         "nn_join": _q_nn_join,
         "gwql_agg": _q_gwql_agg,
-        "gwql_stats_agg": _q_gwql_stats_agg,
-        "ice_incremental": _q_ice_incremental,
-        "cql_dwithin_geodesic": _q_cql_dwithin_geodesic,
+        "stats_incremental": _q_stats_incremental,
+        "image_validate": _q_image_validate,
+        "xmodal_topk": _q_xmodal_topk,
         "text_contains": _q_text_contains,
         "st_bbox_time": _q_st_bbox_time,
         "raster_pyramid_ingest": _q_raster_pyramid_ingest,
