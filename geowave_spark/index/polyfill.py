@@ -95,8 +95,69 @@ def _segs_hit_rects(
     return (bb & ~(pos | neg)).any(axis=0)
 
 
+_DOM_X = LON_OFF_U / X_SCALE  # grid domain half-width, degrees (both axes:
+_DOM_Y = LAT_OFF_U / X_SCALE  # the y axis shares the 360° span, §zorder)
+
+
+def _clamp_chain_to_domain(chain: np.ndarray) -> np.ndarray:
+    """Exact clamp image of a polyline into the grid domain: subdivide
+    every segment at its crossings of the four domain lines, THEN clip
+    vertices. Within each resulting piece both coordinates are affine
+    and either in-domain (identity) or past one edge (constant after
+    clipping), so vertex clipping of the subdivided chain reproduces
+    the true per-point clamp image — the path that slides ALONG the
+    domain edge while the original runs outside it. Vertex-only
+    clipping of the raw chain would replace that edge-sliding run with
+    a chord and under-cover edge cells."""
+    pts = [chain[0]]
+    for i in range(len(chain) - 1):
+        a, b = chain[i], chain[i + 1]
+        ts = []
+        for c, lim in ((0, _DOM_X), (1, _DOM_Y)):
+            for bound in (-lim, lim):
+                fa, fb = a[c] - bound, b[c] - bound
+                if (fa < 0 < fb) or (fb < 0 < fa):
+                    ts.append(fa / (fa - fb))
+        for t in sorted(ts):
+            pts.append(a + t * (b - a))
+        pts.append(b)
+    out = np.asarray(pts, dtype=np.float64)
+    out[:, 0] = np.clip(out[:, 0], -_DOM_X, _DOM_X)
+    out[:, 1] = np.clip(out[:, 1], -_DOM_Y, _DOM_Y)
+    return out
+
+
+def _domain_clamped(geom: Geometry) -> Geometry:
+    """Clamp a geometry into the grid domain for COVER purposes,
+    matching grid_coord's per-point clamp convention. Candidate
+    completeness requires it: a point p of the geometry beyond ±180°
+    keys (via grid_coord) into the edge cell, so the cover must include
+    the cells of clamp(p) — enumerating cells over the clamped bbox but
+    trimming against the UNCLAMPED geometry silently dropped exactly
+    those edge cells (found by the sf0.1 full-registry oracle sweep:
+    12/1.4M pairs missing from geom_crosses_join on tracks crossing
+    +180°). In-domain geometries return unchanged (no copy)."""
+    needs = any(
+        p[:, 0].min() < -_DOM_X or p[:, 0].max() > _DOM_X
+        or p[:, 1].min() < -_DOM_Y or p[:, 1].max() > _DOM_Y
+        for p in geom.parts
+    )
+    if not needs:
+        return geom
+    if geom.gtype in ("Point", "MultiPoint"):
+        p = geom.parts[0].copy()
+        p[:, 0] = np.clip(p[:, 0], -_DOM_X, _DOM_X)
+        p[:, 1] = np.clip(p[:, 1], -_DOM_Y, _DOM_Y)
+        return Geometry(geom.gtype, [p], geom.poly_ring_counts)
+    parts = [_clamp_chain_to_domain(p) for p in geom.parts]
+    return Geometry(geom.gtype, parts, geom.poly_ring_counts)
+
+
 def polyfill(geom: Geometry, res: int, exact_trim: bool = True) -> list[int]:
-    """Cells at ``res`` whose rect intersects ``geom`` (degree coords).
+    """Cells at ``res`` whose rect intersects the CLAMP IMAGE of
+    ``geom`` in the grid domain (degree coords) — the clamp matches
+    grid_coord's point convention, so covers stay candidate-complete
+    for geometry extending past ±180° (see _domain_clamped).
 
     ``exact_trim=False`` returns the bbox cover (cheaper; still a
     superset). With trim, candidate cell rects are tested against the
@@ -105,6 +166,7 @@ def polyfill(geom: Geometry, res: int, exact_trim: bool = True) -> list[int]:
     pass per chain over the whole candidate grid (plus one batched
     center-in-polygon call for interior cells), not per cell.
     """
+    geom = _domain_clamped(geom)
     x0, y0, x1, y1 = geom.bounds
     gx0 = int(grid_coord(round(x0 * X_SCALE), res))
     gx1 = int(grid_coord(round(x1 * X_SCALE), res))

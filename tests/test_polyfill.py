@@ -49,3 +49,53 @@ def test_cells_for_wkb_cached():
     assert r1 == r2
     info = cells_for_wkb_cached.cache_info()
     assert info.hits >= 1
+
+
+def test_polyfill_covers_out_of_domain_geometry():
+    """Regression (found by the sf0.1 full-registry oracle sweep): a
+    staircase track crossing +180° lost its out-of-domain run — cells
+    were enumerated over the CLAMPED bbox but trimmed against the
+    UNCLAMPED geometry, so the edge-column cells of the clamped image
+    never survived the trim and geom_crosses_join silently missed
+    12/1.4M true pairs. The cover must include the clamp image's cells
+    (grid_coord's point convention), here the edge-column rows the
+    vertical run slides through."""
+    import numpy as np
+
+    from geowave_spark.geom.wkb import Geometry
+    from geowave_spark.index.zorder import morton_decode
+
+    track = Geometry(
+        "LineString",
+        [np.array(
+            [[178.949112, -17.519352], [180.198224, -17.519352],
+             [180.198224, -15.738704], [182.313288, -15.738704]]
+        )],
+        [],
+    )
+    cover = {morton_decode(c) for c in polyfill(track, 9, exact_trim=True)}
+    # the clamped vertical run slides along x=+180 (last column, gx=511)
+    # from the first segment's row up to the top segment's row
+    assert (511, 232) in cover and (511, 233) in cover
+    assert (510, 231) in cover  # the in-domain start is still covered
+
+
+def test_polyfill_fully_out_of_domain_degenerates_to_edge():
+    import numpy as np
+
+    from geowave_spark.geom.wkb import Geometry
+    from geowave_spark.index.zorder import morton_decode
+
+    g = Geometry("LineString", [np.array([[183.0, -17.0], [185.0, -12.0]])], [])
+    cover = sorted(morton_decode(c) for c in polyfill(g, 8, exact_trim=True))
+    assert cover and all(gx == 255 for gx, _ in cover)  # edge column only
+    gys = [gy for _, gy in cover]
+    assert gys == list(range(min(gys), max(gys) + 1))  # contiguous rows
+
+
+def test_polyfill_in_domain_unchanged_by_clamp():
+    g = box(10, 10, 20, 20)
+    assert polyfill(g, 6, exact_trim=True) == polyfill(g, 6, exact_trim=True)
+    from geowave_spark.index.polyfill import _domain_clamped
+
+    assert _domain_clamped(g) is g  # no copy for in-domain geometry
