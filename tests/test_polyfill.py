@@ -99,3 +99,36 @@ def test_polyfill_in_domain_unchanged_by_clamp():
     from geowave_spark.index.polyfill import _domain_clamped
 
     assert _domain_clamped(g) is g  # no copy for in-domain geometry
+
+
+def test_clamp_chain_is_exact_pointwise():
+    """Property: for random chains and random points p on them, the
+    per-point clamp of p lies ON the clamped chain (the subdivision at
+    domain-line crossings makes vertex clipping reproduce the exact
+    clamp image — a vertex-only clip would miss edge-sliding runs)."""
+    import numpy as np
+
+    from geowave_spark.index.polyfill import _clamp_chain_to_domain
+
+    rng = np.random.default_rng(7)
+
+    def dist_to_polyline(q, chain):
+        a, b = chain[:-1], chain[1:]
+        d = b - a
+        L2 = (d * d).sum(axis=1)
+        t = np.clip(((q - a) * d).sum(axis=1) / np.where(L2 == 0, 1, L2), 0, 1)
+        proj = a + t[:, None] * d
+        return np.sqrt(((proj - q) ** 2).sum(axis=1)).min()
+
+    for _ in range(50):
+        n = rng.integers(2, 6)
+        # chains spanning well past the domain on both axes
+        chain = rng.uniform(-250, 250, size=(n, 2))
+        clamped = _clamp_chain_to_domain(chain)
+        assert np.abs(clamped).max() <= 180.0 + 1e-12
+        for _ in range(20):
+            i = rng.integers(0, n - 1)
+            t = rng.uniform()
+            p = chain[i] + t * (chain[i + 1] - chain[i])
+            cp = np.clip(p, -180.0, 180.0)
+            assert dist_to_polyline(cp, clamped) < 1e-6, (chain, p)
