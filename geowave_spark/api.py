@@ -320,7 +320,14 @@ class DataStore:
         from geowave_spark.plans.gwql import GWQLParseException, compile_filter
 
         plan = compile_filter(stmt.where, x_col="x_u", y_col="y_u")
-        if plan.geometry is not None or plan.dwithin is not None:
+        if (
+            plan.geometry is not None
+            or plan.dwithin is not None
+            or plan.dwithin_geo is not None  # meters/km units form:
+            # compile_filter consumes it OUT of the residual, so missing
+            # this field here would silently drop the distance constraint
+            # and over-delete every row the remaining ranges match
+        ):
             raise GWQLParseException(
                 "snapshot-store DELETE supports BBOX + attribute/temporal "
                 "predicates; polygon/DWITHIN deletes need the query-then-"

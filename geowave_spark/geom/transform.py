@@ -199,7 +199,14 @@ def utm_stages(
         "south",
         "_ox",
         "_oy",
-        "radians(_ox / 1e6 - (zone * 6 - 183)) AS _dl",
+        # Δλ wrapped into [-180, 180): the zone number is taken mod 60,
+        # so lon = +180° lands in zone 1 (central meridian -177°) and the
+        # RAW difference would be +357° — far outside the |Δλ| ≤ 3°
+        # validity of the truncated Krüger series. The floor-wrap is
+        # portable SQL (no pmod in DuckDB) and is the identity for every
+        # in-validity input.
+        "radians((_ox / 1e6 - (zone * 6 - 183)) - 360.0 * "
+        "floor(((_ox / 1e6 - (zone * 6 - 183)) + 180.0) / 360.0)) AS _dl",
         _sh(conf) + " AS _t",
     ]
     # stage 3: Gauss-Schreiber (conformal sphere) coordinates

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geowave_spark.index.native import cell_col
-from geowave_spark.index.zorder import cell_of_point, morton_decode, morton_encode
+from geowave_spark.index.zorder import cell_of_point
 
 EARTH_R_M = 6371008.8  # IUGG mean earth radius, meters
 
@@ -80,20 +80,13 @@ def dwithin_geodesic_col(
 def kring_wrap(cell: int, res: int, ring: int) -> list[int]:
     """Cells within Chebyshev ``ring`` of ``cell`` — longitude WRAPS
     across the antimeridian (cyclic gx), latitude clamps at the domain
-    edge. The geodesic twin of zorder.kring: a great-circle neighbor
-    may sit across ±180°, which the planar ring (clamped both axes)
-    would miss."""
-    gx, gy = morton_decode(int(cell))
-    n = 1 << res
-    out = []
-    for dy in range(-ring, ring + 1):
-        yy = int(gy) + dy
-        if yy < 0 or yy >= n:
-            continue
-        for dx in range(-ring, ring + 1):
-            xx = (int(gx) + dx) % n
-            out.append(int(morton_encode(xx, yy)))
-    return sorted(set(out))
+    edge: a great-circle neighbor may sit across ±180°, which the
+    planar ring (clamped both axes) would miss. Delegates to the one
+    ring enumerator (zorder.kring with wrap_x) so the two neighborhood
+    shapes cannot drift apart."""
+    from geowave_spark.index.zorder import kring
+
+    return kring(cell, res, ring, wrap_x=True)
 
 
 def safe_geo_radius_m(lat_q_deg: float, ring: int, res: int) -> float:

@@ -903,4 +903,19 @@ def gwql(store, statement: str) -> DataFrame | int:
     stat = _stats_select(store, stmt)
     if stat is not None:
         return stat
+    if stmt.table in getattr(store, "_ice", {}):
+        # snapshot-backed types read the CURRENT snapshot (the
+        # add_snapshot_type contract): refresh the registered frame
+        # before a row scan, otherwise a commit made after
+        # registration (stream ingest, a direct commit_write) would be
+        # visible to the metadata-answered stats path above but NOT to
+        # the scan of the frame frozen at registration. Done here —
+        # after the stats path declines — so stats-covered answers
+        # stay purely metadata (constructing the frame resolves
+        # parquet schemas, which the no-scan contract must not do).
+        store.add_type(
+            stmt.table,
+            store._ice[stmt.table].read(store.spark),
+            indexed=False,
+        )
     return execute(store._types[stmt.table], stmt)

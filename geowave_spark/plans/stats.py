@@ -118,6 +118,11 @@ def field_sketches(
     metrics store and use `cms.estimate(v)` for frequency hints (e.g.
     hot-key salting decisions) and `bf.might_contain(v)` for membership
     pruning at plan time."""
+    # NULLs are not sketch elements — without the filter their NULL md5
+    # rides into a NULL bucket/position row (and the commit-maintained
+    # twin, icetable._sketch_delta, would crash on int(None)); both
+    # paths filter identically so their sketches stay bit-identical
+    df = df.where(F.col(col).isNotNull())
     c = F.col(col).cast("string")
 
     def h(d: int, prefix: str) -> "F.Column":

@@ -122,6 +122,12 @@ def _sketch_delta(batch, col: str) -> dict:
     md5-prefix draw, computable identically by the DuckDB oracle."""
     from pyspark.sql import functions as F
 
+    # NULLs are not sketch elements (the reference tracks null counts as
+    # a separate statistic): md5(concat(prefix, NULL)) is NULL, which
+    # would otherwise ride through pmod into int(None) on the driver and
+    # abort the commit. plans/stats.field_sketches filters identically,
+    # keeping the two paths bit-identical.
+    batch = batch.where(F.col(col).isNotNull())
     c = F.col(col).cast("string")
 
     def h(prefix: str):
@@ -944,8 +950,9 @@ class IceTable:
                     return True
             return False
 
-        touched = [fi for fi in files if may_hit(fi)]
-        untouched = [fi for fi in files if not may_hit(fi)]
+        touched, untouched = [], []
+        for fi in files:
+            (touched if may_hit(fi) else untouched).append(fi)
         report["files_rewritten"] = len(touched)
         new_files: list[dict] = []
         n_before = sum(f["rows"] for f in touched)

@@ -631,3 +631,41 @@ def test_gwql_dwithin_meters_residual_or(store, spark, sf_dir):
     g = {x["event_id"] for x in got.collect()}
     w = {x["event_id"] for x in want.select("event_id").collect()}
     assert g == w and len(g) > 0
+
+
+def test_delete_snapshot_rejects_geodesic_dwithin(snap_store, spark):
+    """Regression: DWITHIN with a units token compiles into
+    plan.dwithin_geo (consumed OUT of the residual), so the snapshot
+    DELETE guard must reject it like the planar form — missing the
+    field silently dropped the distance constraint and deleted every
+    row the remaining ranges matched."""
+    ds, t = snap_store
+    before = t.read(spark).count()
+    with pytest.raises(GWQLParseException, match="snapshot-store DELETE"):
+        ds.gwql(
+            "DELETE FROM ev_snap WHERE "
+            "DWITHIN(geom, POINT(0 0), 2000, 'meters')"
+        )
+    # nothing was deleted and no snapshot was committed
+    assert t.read(spark).count() == before
+    assert t.snapshots()[-1]["operation"] != "delete"
+
+
+def test_gwql_sees_post_registration_commits(snap_store, spark, sf_dir):
+    """Regression: the registered frame was frozen at
+    add_snapshot_type while _stats_select read LIVE metadata, so a
+    commit made after registration (stream ingest, direct
+    commit_write) was visible to the metadata-answered COUNT but not
+    to a row scan. gwql() now refreshes snapshot-backed frames, so
+    both paths answer from the current snapshot."""
+    from pyspark.sql import functions as F
+
+    ds, t = snap_store
+    n0 = ds.gwql("SELECT COUNT(*) AS n FROM ev_snap").first()["n"]
+    extra = events_points(spark, sf_dir).limit(7).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    t.commit_write(extra, mode="append", stats_cols=["x_u", "y_u", "value", "event_id"])
+    # stats path (metadata) and scan path agree on the NEW snapshot
+    assert ds.gwql("SELECT COUNT(*) AS n FROM ev_snap").first()["n"] == n0 + 7
+    assert ds.gwql("SELECT event_id FROM ev_snap").count() == n0 + 7

@@ -913,3 +913,40 @@ def test_datastore_delete_durable_on_snapshot_type(spark, tmp_path):
     assert ds.sql(
         f"SELECT count(*) AS n FROM evd"
     ).first()["n"] <= total - n_box
+
+
+def test_sketch_columns_tolerate_nulls(spark, tmp_path):
+    """Regression: a NULL in a sketch column hashed to a NULL bucket
+    (md5(concat(p, NULL)) is NULL) and the driver-side int(None)
+    aborted the whole commit — through the streaming sink that killed
+    the query on the first null-bearing micro-batch. NULLs are not
+    sketch elements: both the commit-maintained path and the on-demand
+    twin skip them, and their sketches stay bit-identical."""
+    from geowave_spark.plans.stats import field_sketches
+    from geowave_spark.sources.icetable import (
+        BF_K,
+        BF_M,
+        CMS_DEPTH,
+        CMS_WIDTH,
+        IceTable,
+    )
+
+    def batch(lo, hi):
+        # every 5th uid NULL
+        return spark.range(lo, hi).select(
+            F.col("id").alias("rid"),
+            F.when(F.col("id") % 5 != 0, F.col("id") % 37).alias("uid"),
+        )
+
+    t = IceTable(str(tmp_path / "t"))
+    t.commit_write(batch(0, 300), mode="append", sketch_cols=["uid"])
+    t.commit_write(batch(300, 600), mode="append", sketch_cols=["uid"])
+
+    m = t.merged_field_sketches("uid")
+    assert m["complete"] is True
+    cms, bf = field_sketches(
+        batch(0, 600), "uid", width=CMS_WIDTH, depth=CMS_DEPTH, m=BF_M, k=BF_K
+    )
+    assert m["cms"] == cms._t
+    assert m["bloom"] == bf._bits
+    assert None not in bf._bits

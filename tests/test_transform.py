@@ -239,3 +239,26 @@ def test_utm_feeds_custom_crs_index(spark, sf_dir):
         gx = grid_coord_crs(r["e_m"], CRS_RES, dom.x_lo, dom.x_span)
         gy = grid_coord_crs(r["n_m"], CRS_RES, dom.y_lo, dom.y_span)
         assert r["c"] == morton_encode(gx, gy)
+
+
+def test_utm_antimeridian_wraps_into_zone_1(spark):
+    """Regression: lon = +180° takes zone 1 (mod-60 wrap of the zone
+    NUMBER) but the raw Δλ to zone 1's central meridian (-177°) is
+    +357° — far outside the Krüger series' |Δλ| ≤ 3° validity. The
+    stage-2 floor-wrap brings it to -3°, making +180° exactly
+    equivalent to -180°: identical easting/northing/zone, and the
+    round trip returns the -180° representation of the meridian."""
+    from geowave_spark.geom.transform import utm_roundtrip
+
+    rows = [(1, 180_000_000, 20_000_000), (2, -180_000_000, 20_000_000)]
+    df = spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG")
+    out = {r["event_id"]: r for r in utm_roundtrip(df).collect()}
+    assert out[1]["zone"] == out[2]["zone"] == 1
+    assert out[1]["e_m"] == out[2]["e_m"]
+    assert out[1]["n_m"] == out[2]["n_m"]
+    # Δλ = -3° from zone 1's central meridian: easting near the zone's
+    # published western limit (~167k m at this latitude), NOT the
+    # meaningless value the unwrapped 357° series produced
+    assert 150_000 < out[1]["e_m"] < 300_000
+    assert out[1]["rt_x_u"] == out[2]["rt_x_u"] == -180_000_000
+    assert out[1]["rt_y_u"] == 20_000_000
