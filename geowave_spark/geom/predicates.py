@@ -541,25 +541,37 @@ def _point_seg_dist2(px, py, x1, y1, x2, y2):
 
 def distance(a: Geometry, b: Geometry) -> float:
     """Planar euclidean distance (reference GeomDistance semantics:
-    analytics/spark/.../udf/GeomDistance.java — JTS planar distance)."""
+    analytics/spark/.../udf/GeomDistance.java — JTS planar distance).
+
+    Chain-ness is decided by GTYPE, not part length: a MultiPoint part
+    is an (N, 2) array of N independent points, and treating it as a
+    polyline would measure distance to phantom segments between its
+    members (JTS measures to the points themselves)."""
     if intersects(a, b):
         return 0.0
+    a_chain = a.gtype not in ("Point", "MultiPoint")
+    b_chain = b.gtype not in ("Point", "MultiPoint")
     best = np.inf
     for pa in a.parts:
         for pb in b.parts:
-            if len(pb) > 1:
+            pb_segs = b_chain and len(pb) > 1
+            pa_segs = a_chain and len(pa) > 1
+            if pb_segs:
                 d2 = _point_seg_dist2(
                     pa[:, 0], pa[:, 1], pb[:-1, 0], pb[:-1, 1], pb[1:, 0], pb[1:, 1]
                 )
                 best = min(best, float(d2.min()))
-            if len(pa) > 1:
+            if pa_segs:
                 d2 = _point_seg_dist2(
                     pb[:, 0], pb[:, 1], pa[:-1, 0], pa[:-1, 1], pa[1:, 0], pa[1:, 1]
                 )
                 best = min(best, float(d2.min()))
-            if len(pa) == 1 and len(pb) == 1:
-                d2 = (pa[0, 0] - pb[0, 0]) ** 2 + (pa[0, 1] - pb[0, 1]) ** 2
-                best = min(best, float(d2))
+            if not pa_segs and not pb_segs:
+                # both sides pointal here: all-pairs point distance
+                d2 = (pa[:, None, 0] - pb[None, :, 0]) ** 2 + (
+                    pa[:, None, 1] - pb[None, :, 1]
+                ) ** 2
+                best = min(best, float(d2.min()))
     return float(np.sqrt(best))
 
 
@@ -749,15 +761,19 @@ def points_distance_to_geom(xs, ys, g: Geometry) -> np.ndarray:
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     best = np.full(len(xs), np.inf)
+    g_chain = g.gtype not in ("Point", "MultiPoint")  # see distance()
     for part in g.parts:
-        if len(part) > 1:
+        if g_chain and len(part) > 1:
             d2 = _point_seg_dist2(
                 xs, ys, part[:-1, 0], part[:-1, 1], part[1:, 0], part[1:, 1]
             )
             best = np.minimum(best, d2.min(axis=1))
         else:
-            d2 = (xs - part[0, 0]) ** 2 + (ys - part[0, 1]) ** 2
-            best = np.minimum(best, d2)
+            # pointal part: min distance to its member points
+            d2 = (xs[:, None] - part[None, :, 0]) ** 2 + (
+                ys[:, None] - part[None, :, 1]
+            ) ** 2
+            best = np.minimum(best, d2.min(axis=1))
     out = np.sqrt(best)
     if _areal(g):
         out[points_in_polygon(xs, ys, g)] = 0.0

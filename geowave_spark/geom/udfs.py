@@ -300,9 +300,28 @@ def _point_group_eval(
     raise ValueError(name)
 
 
+def _null_mask(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Rows where either WKB input is NULL — excluded from every group
+    (SQL semantics: the result is NULL, applied by the caller). Without
+    the mask a grouped-side null silently kept the output initializer
+    (GeomDistance(a, NULL) = 0.0!) and a varying-side null crashed the
+    task on bytes(None)."""
+    return pd.isnull(a.to_numpy()) | pd.isnull(b.to_numpy())
+
+
+def _apply_null_mask(out: np.ndarray, mask: np.ndarray) -> pd.Series:
+    res = pd.Series(out)
+    if mask.any():
+        res = res.astype(object)
+        res[mask] = None
+    return res
+
+
 def _grouped(a: pd.Series, b: pd.Series):
     """Yield (g, idx, varying_vals, point_first) groups, grouping on the
-    side with fewer distinct WKB values."""
+    side with fewer distinct WKB values. Rows with a NULL on either
+    side are never yielded (factorize drops grouped-side nulls; the
+    varying side is filtered explicitly) — callers overlay _null_mask."""
     av, bv = a.to_numpy(), b.to_numpy()
     codes_a, uniq_a = pd.factorize(a)
     codes_b, uniq_b = pd.factorize(b)
@@ -314,6 +333,8 @@ def _grouped(a: pd.Series, b: pd.Series):
     bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
     for u_i in range(len(uniq)):
         idx = order[bounds[u_i] : bounds[u_i + 1]]
+        if len(idx):
+            idx = idx[~pd.isnull(varying[idx])]
         if not len(idx):
             continue
         yield parse_cached(bytes(uniq[u_i])), idx, varying, point_first
@@ -341,7 +362,7 @@ def pair_pred_batch(name: str, fn) -> "pd.Series":
                     out[i] = _line_box_eval(name, other.parts[0], gb, point_first)
                 else:
                     out[i] = fn(other, g) if point_first else fn(g, other)
-        return pd.Series(out)
+        return _apply_null_mask(out, _null_mask(a, b))
 
     return run
 
@@ -404,7 +425,7 @@ def register_geom_functions(spark: SparkSession) -> None:
             else:
                 for i in idx:
                     out[i] = P.distance(parse_cached(bytes(varying[i])), g)
-        return pd.Series(out)
+        return _apply_null_mask(out, _null_mask(a, b))
 
     spark.udf.register("GeomDistance", F.pandas_udf(dist, DoubleType()))
 
@@ -420,7 +441,7 @@ def register_geom_functions(spark: SparkSession) -> None:
                     out[i] = (
                         P.distance(parse_cached(bytes(varying[i])), g) <= rv[i]
                     )
-        return pd.Series(out)
+        return _apply_null_mask(out, _null_mask(a, b))
 
     spark.udf.register("GeomWithinDistance", F.pandas_udf(within_distance, BooleanType()))
 

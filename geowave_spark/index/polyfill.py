@@ -25,44 +25,6 @@ from geowave_spark.index.zorder import (
 )
 
 
-def cell_rect_deg(gx: int, gy: int, res: int) -> tuple[float, float, float, float]:
-    n = 1 << res
-    x_lo = gx * WORLD_X_U / n - LON_OFF_U
-    x_hi = (gx + 1) * WORLD_X_U / n - LON_OFF_U
-    y_lo = gy * WORLD_X_U / n - LAT_OFF_U
-    y_hi = (gy + 1) * WORLD_X_U / n - LAT_OFF_U
-    return x_lo / X_SCALE, y_lo / X_SCALE, x_hi / X_SCALE, y_hi / X_SCALE
-
-
-def _geom_box_intersects(geom: Geometry, rect) -> bool:
-    """geometry × axis-aligned rect intersection — chains via one
-    vectorized Liang-Barsky pass each (line_box_relate), plus the two
-    containment-without-edge-contact cases. ~10× cheaper than building
-    a box Geometry and running the generic chain×chain test per cell."""
-    from geowave_spark.geom.predicates import (
-        line_box_relate,
-        points_in_polygon,
-    )
-
-    x0, y0, x1, y1 = rect
-    if geom.gtype in ("Point", "MultiPoint"):
-        p = geom.parts[0]
-        return bool(
-            ((p[:, 0] >= x0) & (p[:, 0] <= x1) & (p[:, 1] >= y0) & (p[:, 1] <= y1)).any()
-        )
-    for chain in geom.parts:
-        if line_box_relate(chain, rect)[0]:
-            return True
-    if geom.gtype in ("Polygon", "MultiPolygon"):
-        # rect fully inside the polygon (no edge contact)
-        return bool(
-            points_in_polygon(
-                np.array([(x0 + x1) / 2]), np.array([(y0 + y1) / 2]), geom
-            )[0]
-        )
-    return False
-
-
 def _segs_hit_rects(
     chain: np.ndarray,
     X0: np.ndarray,

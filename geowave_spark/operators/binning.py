@@ -20,7 +20,7 @@ from geowave_spark.index.native import cell_col, grid_coord_col
 from geowave_spark import LAT_OFF_U, LON_OFF_U
 
 
-def bin_by_cell(points: DataFrame, res: int, aggs: list, keep_xy: bool = True) -> DataFrame:
+def bin_by_cell(points: DataFrame, res: int, aggs: list) -> DataFrame:
     """Spatial binning: group by grid cell at ``res``. Emits (gx, gy) so
     results stay engine-portable (Morton id = interleave(gx, gy))."""
     df = points.withColumn("gx", grid_coord_col(F.col("x_u"), res, LON_OFF_U)).withColumn(

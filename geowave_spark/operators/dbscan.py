@@ -40,11 +40,10 @@ def eps_pairs(
     equi-join (AQE skew-split applies) for corpora beyond broadcast
     size — mirrors nn_self_join's flag so DBSCAN has the same
     escape hatch instead of a guaranteed driver/executor OOM."""
-    from geowave_spark import LAT_OFF_U, LON_OFF_U
-    from geowave_spark.index.native import _spread_col, cell_col, grid_coord_col
+    from geowave_spark.index.native import cell_col
+    from geowave_spark.operators.nn_join import _ring_exploded
 
     res = res_for_distance(eps_u)
-    n_side = 1 << res
     left = points.select(
         F.col(key).alias("a_id"),
         F.col("x_u").alias("ax"),
@@ -52,32 +51,11 @@ def eps_pairs(
         cell_col(F.col("x_u"), F.col("y_u"), res).alias("_cell"),
     ).repartition("a_id")
 
-    gx0 = grid_coord_col(F.col("x_u"), res, LON_OFF_U)
-    gy0 = grid_coord_col(F.col("y_u"), res, LAT_OFF_U)
-
-    def clamp(g):
-        return F.least(F.greatest(g, F.lit(0)), F.lit(n_side - 1))
-
-    spread = points.select(
-        F.col(key).alias("b_id"),
-        F.col("x_u").alias("bx"),
-        F.col("y_u").alias("by"),
-        *[_spread_col(clamp(gx0 + d)).alias(f"_sx{i}") for i, d in enumerate((-1, 0, 1))],
-        *[
-            F.shiftleft(_spread_col(clamp(gy0 + d)), 1).alias(f"_sy{i}")
-            for i, d in enumerate((-1, 0, 1))
-        ],
-    )
-    cells = F.array_distinct(
-        F.array(
-            *[
-                F.col(f"_sx{i}").bitwiseOR(F.col(f"_sy{j}"))
-                for i in range(3)
-                for j in range(3)
-            ]
-        )
-    )
-    right = spread.select("b_id", "bx", "by", F.explode(cells).alias("_cell"))
+    # candidate side = the ONE 3×3 ring-explode implementation (shared
+    # with nn_self_join — including its two-step spread projection that
+    # keeps codegen inside the JIT limit); duplicating it here let the
+    # two copies drift as that workaround was re-tuned
+    right = _ring_exploded(points, res, key)
     if broadcast_candidates:
         right = F.broadcast(right)
     dx = F.col("ax") - F.col("bx")
@@ -111,7 +89,14 @@ def dbscan(
 
     deg = pairs.groupBy("a_id").agg(F.count("*").alias("_deg"))
     core = (
-        deg.where(F.col("_deg") >= min_pts - 1)  # neighbors excl. self
+        # left join from ALL points (not just pair members): an
+        # isolated point has no pair rows, so deriving cores from the
+        # pair list alone would miss it — with min_pts=1 (neighbor
+        # count inclusive of self) every point is a core point of its
+        # own singleton cluster, not noise
+        points.select(F.col(key).alias("a_id"))
+        .join(deg, "a_id", "left")
+        .where(F.coalesce(F.col("_deg"), F.lit(0)) >= min_pts - 1)
         .select(F.col("a_id").alias("id"))
         .persist()
     )

@@ -79,6 +79,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH, verified with the
     exact shingle-set Jaccard. Returns (doc_a, doc_b, jaccard_x1000)."""
+    if num_hashes % bands != 0:
+        # truncating silently would compute (and pay for) trailing
+        # signature hashes that no band ever consults, and the LSH
+        # recall curve would differ from the configured (bands, rows)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # cached, not checkpointed, and deliberately not unpersisted: the
     # cache manager keys entries by logical plan, so every band branch

@@ -190,6 +190,10 @@ def knn_geodesic(
                 .where(F.col("rank") <= k)
                 .select("query_id", point_key, "rank")
             )
+            # materialize the small result, then release the keyed
+            # table (same leak-avoidance as planar knn / knn_join)
+            out = out.localCheckpoint(eager=True)
+            pts.unpersist()
             return out
         ring *= 2
 

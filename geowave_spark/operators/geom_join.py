@@ -367,9 +367,18 @@ def _box_pair_native_pred(predicate: str, distance_u: float | None) -> Column | 
     lx0, ly0, lx1, ly1 = (F.col(c) for c in ("_lbx0", "_lby0", "_lbx1", "_lby1"))
     rx0, ry0, rx1, ry1 = (F.col(c) for c in ("_rbx0", "_rby0", "_rbx1", "_rby1"))
     if distance_u is not None:
-        gx = F.greatest(lx0 - rx1, rx0 - lx1, F.lit(0)).cast("double")
-        gy = F.greatest(ly0 - ry1, ry0 - ly1, F.lit(0)).cast("double")
-        return gx * gx + gy * gy <= float(distance_u) ** 2
+        # BIGINT-exact gap arithmetic: gaps are ≤ 3.6e8 µdeg, so the
+        # squared sum tops out at ~2.6e17 — comfortably inside long —
+        # while the former double path rounded above 2^53 and could
+        # flip a pair sitting exactly on a large radius. An integral
+        # radius compares against an exact integer literal; a
+        # fractional one (inherently approximate) falls back to double.
+        gx = F.greatest(lx0 - rx1, rx0 - lx1, F.lit(0)).cast("long")
+        gy = F.greatest(ly0 - ry1, ry0 - ly1, F.lit(0)).cast("long")
+        d2 = gx * gx + gy * gy
+        if float(distance_u).is_integer():
+            return d2 <= F.lit(int(distance_u) ** 2)
+        return d2.cast("double") <= float(distance_u) ** 2
     closed = (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
     interior = (lx0 < rx1) & (rx0 < lx1) & (ly0 < ry1) & (ry0 < ly1)
     l_in_r = (lx0 >= rx0) & (lx1 <= rx1) & (ly0 >= ry0) & (ly1 <= ry1)

@@ -92,11 +92,18 @@ def knn(
         }
         if all(counts.get(q[0], 0) >= k for q in queries) or ring >= max_ring:
             w = Window.partitionBy("query_id").orderBy("dist2", point_key)
-            return (
+            out = (
                 cand.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", point_key, "dist2", "rank")
             )
+            # materialize the (≤ queries×k rows) result, then release
+            # the keyed table — without this every knn() call leaked a
+            # persisted copy of the point table into the cache manager
+            # for the session's lifetime (knn_join's pattern)
+            out = out.localCheckpoint(eager=True)
+            pts.unpersist()
+            return out
         ring *= 2
 
 
@@ -228,11 +235,22 @@ def knn_join(
             .where(F.col("_n") >= k)
             .select("query_id")
         )
-        hit = (
-            ranked.join(F.broadcast(resolved), "query_id")
-            .where(F.col("rank") <= k)
-            .select("query_id", point_key, "dist2", "rank")
-        )
+        if res_r == 0:
+            # final round: the single res-0 cell holds EVERY point, so
+            # the window rank already IS the exact global rank — emit
+            # best-effort top-k for every still-unresolved query
+            # (matching knn()'s max_ring exit: k > corpus size, or a
+            # k-th neighbor farther than a world span, must yield the
+            # available neighbors, not zero rows)
+            hit = ranked.where(F.col("rank") <= k).select(
+                "query_id", point_key, "dist2", "rank"
+            )
+        else:
+            hit = (
+                ranked.join(F.broadcast(resolved), "query_id")
+                .where(F.col("rank") <= k)
+                .select("query_id", point_key, "dist2", "rank")
+            )
         out = hit if out is None else out.unionByName(hit)
         remaining = remaining.join(resolved, "query_id", "leftanti").persist()
         round_frames.append(remaining)

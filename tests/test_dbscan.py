@@ -71,3 +71,20 @@ def test_dbscan_matches_reference(spark, sf_dir):
     n_clusters = len({c for c, _ in want.values() if c is not None})
     n_noise = sum(1 for c, _ in want.values() if c is None)
     assert n_clusters >= 1 and n_noise >= 1
+
+
+def test_min_pts_1_isolated_point_is_singleton_cluster(spark):
+    """Regression: cores were derived from the pair list, so an
+    isolated point (no pairs) could never test its degree and came
+    back as noise — standard DBSCAN with min_pts=1 (neighbor count
+    inclusive of self) makes every point a core of its own cluster."""
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 100_000_000, 0), (3, 100_001_000, 0)],
+        "event_id LONG, x_u LONG, y_u LONG",
+    )
+    out = {r["event_id"]: r for r in dbscan(pts, eps_u=10_000, min_pts=1).collect()}
+    assert out[1]["is_core"] and out[1]["cluster"] == 1  # isolated singleton
+    assert out[2]["cluster"] == out[3]["cluster"] == 2  # nearby pair merges
+    # min_pts=2: the isolated point is noise again
+    out2 = {r["event_id"]: r for r in dbscan(pts, eps_u=10_000, min_pts=2).collect()}
+    assert out2[1]["cluster"] is None and not out2[1]["is_core"]

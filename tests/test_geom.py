@@ -126,3 +126,32 @@ def test_distance():
 def test_dwithin():
     assert dwithin(point(0, 0), point(3, 4), 5.0)
     assert not dwithin(point(0, 0), point(3, 4), 4.99)
+
+
+def test_multipoint_distance_measures_points_not_segments():
+    """Regression: a MultiPoint's coordinate array was treated as a
+    polyline, measuring distance to phantom segments between its
+    members — Point(5,3) vs MultiPoint[(0,0),(10,0)] returned 3.0
+    (distance to the nonexistent connecting segment) instead of
+    sqrt(34), so dwithin(.., 4.0) wrongly matched."""
+    import math
+
+    import numpy as np
+
+    from geowave_spark.geom.predicates import (
+        distance,
+        dwithin,
+        points_distance_to_geom,
+    )
+    from geowave_spark.geom.wkb import Geometry
+
+    pt = Geometry("Point", [np.array([[5.0, 3.0]])], [])
+    mp = Geometry("MultiPoint", [np.array([[0.0, 0.0], [10.0, 0.0]])], [])
+    want = math.hypot(5, 3)
+    assert abs(distance(pt, mp) - want) < 1e-12
+    assert abs(distance(mp, pt) - want) < 1e-12
+    assert not dwithin(pt, mp, 4.0) and dwithin(pt, mp, 6.0)
+    assert abs(points_distance_to_geom([5.0], [3.0], mp)[0] - want) < 1e-12
+    # chains unchanged: the same coords AS a linestring do measure the segment
+    line = Geometry("LineString", [np.array([[0.0, 0.0], [10.0, 0.0]])], [])
+    assert abs(distance(pt, line) - 3.0) < 1e-12

@@ -82,3 +82,33 @@ def test_knn_join_releases_round_frames(spark):
     # this density if leaking)
     assert after1 - base <= 3
     assert after2 - after1 <= 3
+
+
+def test_knn_join_best_effort_when_k_exceeds_corpus(spark):
+    """Regression: a query that can never satisfy the resolution gate
+    (k > corpus size, or the k-th neighbor farther than a world span)
+    previously produced ZERO rows from knn_join while knn() returned
+    the available neighbors. The res-0 round now emits best-effort
+    top-k for every unresolved query — and at res 0 the single cell
+    holds every point, so those rows are the exact global ranks."""
+    from geowave_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame(
+        [(i, i * 1_000_000, 0) for i in range(5)], "event_id LONG, x_u LONG, y_u LONG"
+    )
+    qdf = spark.createDataFrame(
+        [(1, 0, 0), (2, 170_000_000, -80_000_000)], "query_id LONG, qx LONG, qy LONG"
+    )
+    out = knn_join(pts, qdf, k=10).toPandas()  # k > 5 points
+    assert sorted(out["query_id"].unique()) == [1, 2]
+    # every query gets ALL 5 available neighbors, exact ranks
+    for q in (1, 2):
+        sub = out[out["query_id"] == q].sort_values("rank")
+        assert list(sub["rank"]) == [1, 2, 3, 4, 5]
+        assert list(sub["dist2"]) == sorted(sub["dist2"])
+    exp = knn(spark, pts, [(1, 0, 0), (2, 170_000_000, -80_000_000)], 10).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        out.sort_values(key).reset_index(drop=True)[["query_id", "event_id", "dist2"]]
+        .equals(exp.sort_values(key).reset_index(drop=True)[["query_id", "event_id", "dist2"]])
+    )

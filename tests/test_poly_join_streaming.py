@@ -238,3 +238,33 @@ def test_stateful_user_stats_across_microbatches(spark, sf_dir, tmp_path):
         assert abs(g.sum_value - e.sum_value) < 1e-6
         assert g.n_cells == e.n_cells
         assert g.last_ts == e.last_ts
+
+
+def test_geom_udfs_null_inputs_yield_null(spark):
+    """Regression: a NULL on the GROUPED side of the Geom* pandas UDFs
+    kept the zeros() initializer (GeomDistance(g, NULL) = 0.0, so a
+    <= r filter matched every null row as coincident) and a NULL on
+    the varying side crashed the task on bytes(None). SQL semantics:
+    a null input yields a NULL result (falsy in WHERE)."""
+    register_all(spark)
+    from geowave_spark.geom.wkb import point, polygon, wkb_dumps
+
+    poly = wkb_dumps(polygon([[0, 0], [10, 0], [10, 10], [0, 10]]))
+    pt = wkb_dumps(point(5, 5))
+    df = spark.createDataFrame(
+        [(1, pt, poly), (2, None, poly), (3, pt, None), (4, None, None)],
+        "id int, g binary, p binary",
+    )
+    df.createOrReplaceTempView("t_geom_null")
+    rows = spark.sql(
+        "SELECT id, GeomDistance(g, p) AS d, GeomIntersects(g, p) AS i, "
+        "GeomWithinDistance(g, p, 1.0) AS w FROM t_geom_null ORDER BY id"
+    ).collect()
+    assert rows[0]["d"] == 0.0 and rows[0]["i"] is True and rows[0]["w"] is True
+    for r in rows[1:]:
+        assert r["d"] is None and r["i"] is None and r["w"] is None
+    # null rows are filtered out of WHERE, not matched
+    kept = spark.sql(
+        "SELECT id FROM t_geom_null WHERE GeomWithinDistance(g, p, 1.0)"
+    ).collect()
+    assert [r.id for r in kept] == [1]
