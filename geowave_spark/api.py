@@ -50,6 +50,7 @@ class DataStore:
         self.res = res
         self._types: dict[str, DataFrame] = {}
         self._ice: dict[str, object] = {}  # name -> IceTable handle
+        self._ice_sids: dict[str, int] = {}  # registered snapshot ids
         register_all(spark)
 
     # ------------------------------------------------------------ types
@@ -64,6 +65,25 @@ class DataStore:
         df.createOrReplaceTempView(name)
 
     def type(self, name: str) -> DataFrame:
+        return self._frame(name)
+
+    def _frame(self, name: str) -> DataFrame:
+        """Registered frame for ``name``, refreshed to the CURRENT
+        snapshot for snapshot-store-backed types (the add_snapshot_type
+        contract: queries read the current snapshot — without this, a
+        commit made after registration, e.g. a streaming micro-batch,
+        was invisible to query/cql/aggregate/delete while the
+        metadata-answered GWQL paths saw it). Gated on the snapshot id
+        (one tiny metadata-file read) so an unchanged table costs no
+        re-read."""
+        t = self._ice.get(name)
+        if t is not None:
+            sid = t.current_snapshot_id()
+            if self._ice_sids.get(name) != sid:
+                df = t.read(self.spark)
+                self._types[name] = df
+                df.createOrReplaceTempView(name)
+                self._ice_sids[name] = sid
         return self._types[name]
 
     def add_snapshot_type(self, name: str, table) -> None:
@@ -75,6 +95,7 @@ class DataStore:
         (rows removed durably, old snapshots still time-travel)."""
         self._ice[name] = table
         self.add_type(name, table.read(self.spark), indexed=False)
+        self._ice_sids[name] = table.current_snapshot_id()
 
     # ---------------------------------------------------------- queries
 
@@ -90,7 +111,7 @@ class DataStore:
         constraint + exact refinement, then residual attribute
         predicate — the OptimalCQLQuery split (geometry/time → index,
         leftover → filter)."""
-        df = self._types[name]
+        df = self._frame(name)
         if bbox is not None:
             x0, y0, x1, y1 = bbox
             df = bbox_query_dateline(df, x0, y0, x1, y1)
@@ -115,7 +136,7 @@ class DataStore:
         post-filter (plans/cql.py)."""
         from geowave_spark.plans.cql import cql_filter
 
-        return cql_filter(self._types[name], filter_text)
+        return cql_filter(self._frame(name), filter_text)
 
     def gwql(self, statement: str):
         """GWQL statement surface (GWQLParser.parseStatement,
@@ -170,7 +191,7 @@ class DataStore:
         self, points_name: str, extents_name: str, how: str = "inner", **kw
     ) -> DataFrame:
         return box_point_join(
-            self._types[points_name], self._types[extents_name], how=how, **kw
+            self._frame(points_name), self._frame(extents_name), how=how, **kw
         )
 
     def geom_join(
@@ -188,7 +209,7 @@ class DataStore:
         from geowave_spark.operators.geom_join import geom_geom_join
 
         return geom_geom_join(
-            self._types[left_name], self._types[right_name], predicate, how=how, **kw
+            self._frame(left_name), self._frame(right_name), predicate, how=how, **kw
         )
 
     def knn(self, name: str, queries: list, k: int, **kw) -> DataFrame:
@@ -196,10 +217,10 @@ class DataStore:
         automatically (operators.knn.knn_auto cutover)."""
         from geowave_spark.operators.knn import knn_auto
 
-        return knn_auto(self.spark, self._types[name], queries, k, **kw)
+        return knn_auto(self.spark, self._frame(name), queries, k, **kw)
 
     def nn_join(self, name: str, max_dist_u: int, k: int, **kw) -> DataFrame:
-        return nn_self_join(self._types[name], max_dist_u, k, **kw)
+        return nn_self_join(self._frame(name), max_dist_u, k, **kw)
 
     def xz_join(
         self, points_name: str, extents_name: str, how: str = "inner", **kw
@@ -209,7 +230,7 @@ class DataStore:
         from geowave_spark.index.xz import xz_box_point_join
 
         return xz_box_point_join(
-            self._types[points_name], self._types[extents_name], how=how, **kw
+            self._frame(points_name), self._frame(extents_name), how=how, **kw
         )
 
     def extent_query(
@@ -219,7 +240,7 @@ class DataStore:
         from geowave_spark.index.xz import xz_extent_query
 
         x0, y0, x1, y1 = bbox
-        return xz_extent_query(self._types[name], x0, y0, x1, y1, **kw)
+        return xz_extent_query(self._frame(name), x0, y0, x1, y1, **kw)
 
     def render(
         self,
@@ -235,7 +256,7 @@ class DataStore:
 
         x0, y0, x1, y1 = bbox
         return render_mosaic(
-            self._types[tiles_name], x0, y0, x1, y1, level, out_w, out_h, **kw
+            self._frame(tiles_name), x0, y0, x1, y1, level, out_w, out_h, **kw
         )
 
     # ------------------------------------------------------------ delete
@@ -259,14 +280,14 @@ class DataStore:
         resample → re-encode in one mapInPandas pass)."""
         from geowave_spark.operators.multimodal import image_thumbnails
 
-        return image_thumbnails(self._types[name], out_w, out_h, interpolation)
+        return image_thumbnails(self._frame(name), out_w, out_h, interpolation)
 
     def image_embeddings(self, name: str, kernel: str = "highpass") -> DataFrame:
         """Deterministic image embeddings feeding the similarity
         operators (brute/LSH/IVF ANN, cosine near-dup)."""
         from geowave_spark.operators.multimodal import image_embed
 
-        return image_embed(self._types[name], kernel)
+        return image_embed(self._frame(name), kernel)
 
     def build_pyramid(
         self,
@@ -352,6 +373,7 @@ class DataStore:
         refreshed = self._ice[name].read(self.spark)
         self._types[name] = refreshed
         refreshed.createOrReplaceTempView(name)
+        self._ice_sids[name] = self._ice[name].current_snapshot_id()
         return deleted
 
     def _delete_matched(
@@ -361,17 +383,36 @@ class DataStore:
         by delete() and the GWQL DELETE statement, plans/gwql.py)."""
         df = self._types[name]
         key = key or df.columns[0]
-        keys = matched.select(key).persist()
+        # eagerly checkpoint the (single-column) key set instead of
+        # persist(): three actions read it (validation agg, whole-table
+        # hit count, the anti-join), and a persist pinned the blocks for
+        # the session's lifetime because the surviving view references
+        # them lazily — the checkpointed key column is bounded by the
+        # matched-row count, not the table
+        keys = matched.select(key).localCheckpoint(eager=True)
         n_keys, n_matched = (
             keys.agg(
                 F.count_distinct(F.col(key)).alias("d"), F.count("*").alias("n")
             ).first()
         )
         if n_keys != n_matched:
-            keys.unpersist()
             raise ValueError(
                 f"delete key column {key!r} is not unique over the matched rows "
                 f"({n_matched} rows, {n_keys} distinct) — pass a unique key="
+            )
+        # the anti-join / delete_keys below remove by key equality
+        # against the WHOLE table, so uniqueness over the matched rows
+        # alone is not enough: a key value shared with an UNMATCHED row
+        # would silently delete that row too and the returned count
+        # would disagree with rows removed. Validate that the key set
+        # hits exactly the matched rows.
+        n_hit = df.join(keys, key, "leftsemi").count()
+        if n_hit != n_matched:
+            raise ValueError(
+                f"delete key column {key!r} is not unique over the table: the "
+                f"{n_matched} matched key values identify {n_hit} rows — "
+                "deleting by this key would remove rows the query did not "
+                "match; pass a unique key="
             )
         if name in self._ice:
             # snapshot-store-backed type: make the delete DURABLE via
@@ -379,10 +420,10 @@ class DataStore:
             # alone would be silently resurrected by the next snapshot
             # refresh (and invisible to every other reader of the table)
             deleted, _report = self._ice[name].delete_keys(keys, key)
-            keys.unpersist()
             refreshed = self._ice[name].read(self.spark)
             self._types[name] = refreshed
             refreshed.createOrReplaceTempView(name)
+            self._ice_sids[name] = self._ice[name].current_snapshot_id()
             return deleted
         remaining = df.join(keys, key, "leftanti")
         self._types[name] = remaining

@@ -56,6 +56,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -456,7 +458,10 @@ def geom_geom_join(
             "disjoint join = leftanti on the positive predicate "
             "(cell candidates only see bounds-overlapping pairs)"
         )
-    buffer_u = int(distance_u) if distance_u else 0
+    # ceil, not trunc: the buffer must be ≥ the radius for cover
+    # completeness — flooring a fractional radius could under-buffer by
+    # up to 1 µdeg and miss a pair sitting exactly on the boundary
+    buffer_u = int(math.ceil(distance_u)) if distance_u else 0
     spark = left.sparkSession
     _widen_arrow_batches(spark)
     par = spark.sparkContext.defaultParallelism

@@ -142,11 +142,16 @@ class IceStageStore:
                 continue
             t0 = time.time()
             df = make_partition(k).withColumn("part_key", F.lit(k))
+            # summary as a CALLABLE: commit_write evaluates it after
+            # the parquet write has executed the lazy partition frame,
+            # so wall_ms records the partition's real cost — an eager
+            # dict here froze the clock before any work ran and every
+            # lineage row read ~0 ms
             t.commit_write(
                 df,
                 mode="append",
                 stats_cols=stats_cols,
-                summary={
+                summary=lambda k=k, t0=t0: {
                     "part_key": k,
                     "fingerprint": fingerprint,
                     "wall_ms": int((time.time() - t0) * 1000),

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from geowave_spark.geom.udfs import geom_from_wkt
 from geowave_spark.geom.wkb import wkb_loads
 from geowave_spark.operators.geodesic import EARTH_R_M, dwithin_geodesic_col
-from geowave_spark.operators.spatial_query import bbox_query, polygon_query
+from geowave_spark.operators.spatial_query import bbox_query_dateline, polygon_query
 from geowave_spark.plans.sql_rewrite import _mask, _split_conjuncts
 
 # meters per µdeg of latitude on the mean sphere (meridional arc)
@@ -245,7 +245,11 @@ def apply_plan(
     df = points
     if plan.bbox is not None:
         x0, y0, x1, y1 = plan.bbox
-        df = bbox_query(df, x0, y0, x1, y1, x_col=x_col, y_col=y_col)
+        # dateline-aware: x0 > x1 means the box crosses ±180° and must
+        # split into two sargable sub-ranges (DataStore.query already
+        # did this; the ECQL/GWQL constraint path silently returned
+        # zero rows for a wrapped box)
+        df = bbox_query_dateline(df, x0, y0, x1, y1, x_col=x_col, y_col=y_col)
     if plan.geometry is not None:
         df = polygon_query(
             df, plan.geometry, x_col=x_col, y_col=y_col,

@@ -463,7 +463,11 @@ def parse_statement(text: str) -> GWQLStatement:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    # backslashes must be doubled too: Spark's default parser
+    # (escapedStringLiterals=false) treats \ in a string literal as an
+    # escape, so an unescaped 'a\b' would parse back as a DIFFERENT
+    # string and the re-rendered residual would silently mis-compare
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _expr_sql(e: tuple) -> str:
@@ -913,9 +917,5 @@ def gwql(store, statement: str) -> DataFrame | int:
         # after the stats path declines — so stats-covered answers
         # stay purely metadata (constructing the frame resolves
         # parquet schemas, which the no-scan contract must not do).
-        store.add_type(
-            stmt.table,
-            store._ice[stmt.table].read(store.spark),
-            indexed=False,
-        )
+        store._frame(stmt.table)
     return execute(store._types[stmt.table], stmt)

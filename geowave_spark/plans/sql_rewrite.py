@@ -395,11 +395,21 @@ def try_rewrite_spatial_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         right_key="__rg",
         left_geom="__lg",
         right_geom="__rg",
-        distance_u=int(distance_u) if distance_u is not None else None,
+        # float passthrough: geom_geom_join ceil-buffers the cover and
+        # refines against the exact radius, so truncating here silently
+        # dropped pairs in (int(r), r] vs the unrouted plan
+        distance_u=float(distance_u) if distance_u is not None else None,
     )
     pairs.createOrReplaceTempView("__gw_pairs")
+    select_list = clauses["select"]
+    if select_list.strip() == "*":
+        # a bare * over the rewritten FROM would also expand
+        # __gw_pairs' internal __lg/__rg WKB columns and change the
+        # column order vs the unrouted plan — expand to the two view
+        # stars explicitly
+        select_list = f"{a1}.*, {a2}.*"
     rewritten = (
-        f"SELECT {clauses['select']} FROM __gw_pairs __wp "
+        f"SELECT {select_list} FROM __gw_pairs __wp "
         f"JOIN {v1} {a1} ON {a1}.{g1} = __wp.__lg "
         f"JOIN {v2} {a2} ON {a2}.{g2} = __wp.__rg"
     )

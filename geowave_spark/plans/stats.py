@@ -120,29 +120,44 @@ def field_sketches(
     pruning at plan time."""
     # NULLs are not sketch elements — without the filter their NULL md5
     # rides into a NULL bucket/position row (and the commit-maintained
-    # twin, icetable._sketch_delta, would crash on int(None)); both
-    # paths filter identically so their sketches stay bit-identical
+    cms_table, positions = sketch_bucket_rows(df, col, width, depth, m, k)
+    return CountMinSketch(width, depth, cms_table), BloomFilter(m, k, positions)
+
+
+def sketch_hash_col(c, prefix: str):
+    """The md5-prefix hash draw every sketch shares (exact integer
+    arithmetic, computable identically by the DuckDB oracle)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sketch_bucket_rows(df: DataFrame, col: str, width: int, depth: int, m: int, k: int):
+    """THE single CMS/Bloom bucket pipeline — shared by the on-demand
+    field_sketches above and the commit-maintained
+    sources/icetable._sketch_delta, so bit-identity between the two
+    paths is structural rather than a promise two copies must keep.
+    NULLs are not sketch elements (a NULL md5 would otherwise ride into
+    a NULL bucket). Returns (cms_rows [(d, bucket, n) Rows], sorted
+    distinct bloom positions)."""
     df = df.where(F.col(col).isNotNull())
     c = F.col(col).cast("string")
 
-    def h(d: int, prefix: str) -> "F.Column":
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{prefix}{d}:"), c)), 1, 15), 16, 10
-        ).cast("long")
-
     cms_rows = None
     for d in range(depth):
-        part = df.select(F.lit(d).alias("d"), F.pmod(h(d, "cms"), F.lit(width)).alias("bucket"))
+        part = df.select(
+            F.lit(d).alias("d"),
+            F.pmod(sketch_hash_col(c, f"cms{d}:"), F.lit(width)).alias("bucket"),
+        )
         cms_rows = part if cms_rows is None else cms_rows.unionByName(part)
     cms_table = cms_rows.groupBy("d", "bucket").agg(F.count("*").alias("n")).collect()
 
     bf_rows = None
     for d in range(k):
-        part = df.select(F.pmod(h(d, "bf"), F.lit(m)).alias("p"))
+        part = df.select(F.pmod(sketch_hash_col(c, f"bf{d}:"), F.lit(m)).alias("p"))
         bf_rows = part if bf_rows is None else bf_rows.unionByName(part)
-    positions = [r["p"] for r in bf_rows.distinct().collect()]
-
-    return CountMinSketch(width, depth, cms_table), BloomFilter(m, k, positions)
+    positions = sorted(int(r["p"]) for r in bf_rows.distinct().collect())
+    return cms_table, positions
 
 
 def explode_salts(df: DataFrame, hot: DataFrame, n_salts: int) -> DataFrame:

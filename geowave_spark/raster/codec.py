@@ -107,8 +107,12 @@ def resample_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
-    wy = np.clip(sy - y0, 0.0, 1.0)[:, None]
-    wx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+    # weight shapes carry trailing singleton dims so multiband (H, W, C)
+    # inputs broadcast like grayscale (nearest and bicubic both handle
+    # band dims; bilinear previously raised on them)
+    tail = (1,) * (img.ndim - 2)
+    wy = np.clip(sy - y0, 0.0, 1.0).reshape((out_h, 1) + tail)
+    wx = np.clip(sx - x0, 0.0, 1.0).reshape((1, out_w) + tail)
     p = img.astype(np.float64)
     top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
     bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx

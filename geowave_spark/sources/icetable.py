@@ -122,38 +122,21 @@ def _sketch_delta(batch, col: str) -> dict:
     md5-prefix draw, computable identically by the DuckDB oracle."""
     from pyspark.sql import functions as F
 
-    # NULLs are not sketch elements (the reference tracks null counts as
-    # a separate statistic): md5(concat(prefix, NULL)) is NULL, which
-    # would otherwise ride through pmod into int(None) on the driver and
-    # abort the commit. plans/stats.field_sketches filters identically,
-    # keeping the two paths bit-identical.
+    from geowave_spark.plans.stats import sketch_bucket_rows, sketch_hash_col
+
+    # CMS + Bloom ride THE shared pipeline (plans/stats) — on-demand and
+    # commit-maintained sketches are bit-identical structurally, not by
+    # keeping two copies in sync. NULLs are not sketch elements (the
+    # reference tracks null counts as a separate statistic; a NULL md5
+    # would ride into int(None) on the driver and abort the commit).
+    cms_rows, bloom = sketch_bucket_rows(
+        batch, col, CMS_WIDTH, CMS_DEPTH, BF_M, BF_K
+    )
+    cms = [[int(r["d"]), int(r["bucket"]), int(r["n"])] for r in cms_rows]
+
     batch = batch.where(F.col(col).isNotNull())
     c = F.col(col).cast("string")
-
-    def h(prefix: str):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 15), 16, 10
-        ).cast("long")
-
-    cms_rows = None
-    for d in range(CMS_DEPTH):
-        part = batch.select(
-            F.lit(d).alias("d"),
-            F.pmod(h(f"cms{d}:"), F.lit(CMS_WIDTH)).alias("b"),
-        )
-        cms_rows = part if cms_rows is None else cms_rows.unionByName(part)
-    cms = [
-        [int(r["d"]), int(r["b"]), int(r["n"])]
-        for r in cms_rows.groupBy("d", "b").agg(F.count("*").alias("n")).collect()
-    ]
-
-    bf_rows = None
-    for d in range(BF_K):
-        part = batch.select(F.pmod(h(f"bf{d}:"), F.lit(BF_M)).alias("p"))
-        bf_rows = part if bf_rows is None else bf_rows.unionByName(part)
-    bloom = sorted(int(r["p"]) for r in bf_rows.distinct().collect())
-
-    hv = h("hll:")
+    hv = sketch_hash_col(c, "hll:")
     w = F.call_function("div", hv, F.lit(HLL_M))
     rho = F.when(w > 0, F.lit(53) - F.length(F.bin(w))).otherwise(F.lit(53))
     hll = [
@@ -377,7 +360,12 @@ class IceTable:
                     "added_files": len(new_files),
                     "added_rows": sum(x["rows"] for x in new_files),
                     "added_paths": [x["path"] for x in new_files],
-                    "summary": summary or {},
+                    # a callable summary is evaluated HERE — after the
+                    # data write has executed the (lazy) input frame —
+                    # so wall-clock metrics in it measure the real cost
+                    # (plans/checkpoint.IceStageStore lineage rows)
+                    "summary": (summary() if callable(summary) else summary)
+                    or {},
                     **({"occupancy": occ_entry} if occ_entry is not None else {}),
                     **({"sketches": sk_entry} if sk_entry is not None else {}),
                 }

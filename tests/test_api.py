@@ -149,3 +149,78 @@ def test_datastore_round3_surfaces(spark):
     pyr = ds.build_pyramid(tiles, level, level - 2, 32)
     levels = {r.level for r in pyr.select("level").distinct().collect()}
     assert levels == {level, level - 1, level - 2}
+
+
+def test_delete_rejects_key_shared_with_unmatched_rows(spark):
+    """Regression: key uniqueness was validated over the MATCHED rows
+    only, but the anti-join deletes by key equality against the whole
+    table — a key value shared with an unmatched row silently deleted
+    that row too and the returned count was wrong. Now it raises and
+    removes nothing."""
+    import pytest as _pytest
+
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    rows = [(1, 0, 0, "in"), (1, 150_000_000, 0, "out"), (2, 1000, 0, "in")]
+    df = spark.createDataFrame(rows, "id LONG, x_u LONG, y_u LONG, tag STRING")
+    ds.add_type("dup_del", df)
+    with _pytest.raises(ValueError, match="not unique over the table"):
+        ds.delete("dup_del", bbox=(-1_000_000, -1_000_000, 2_000_000, 1_000_000), key="id")
+    assert ds.type("dup_del").count() == 3  # nothing removed
+
+
+def test_snapshot_type_queries_follow_new_commits(spark, sf_dir, tmp_path):
+    """Regression: query/cql/aggregate on a snapshot-backed type read
+    the frame frozen at add_snapshot_type and missed every commit made
+    after registration (while gwql's metadata path saw them). _frame
+    now refreshes on snapshot-id change."""
+    from pyspark.sql import functions as F
+
+    from geowave_spark.api import DataStore
+    from geowave_spark.sources.icetable import IceTable
+    from geowave_spark.sources.testgeo import events_points
+
+    t = IceTable(str(tmp_path / "ev"))
+    pts = events_points(spark, sf_dir)
+    t.commit_write(pts, mode="overwrite", stats_cols=["x_u", "y_u"])
+    ds = DataStore(spark)
+    ds.add_snapshot_type("ev_live", t)
+    n0 = ds.query("ev_live").count()
+    extra = pts.limit(5).withColumn("event_id", F.col("event_id") + F.lit(99_000_000))
+    t.commit_write(extra, mode="append", stats_cols=["x_u", "y_u"])
+    assert ds.query("ev_live").count() == n0 + 5
+    assert ds.cql("ev_live", "value >= 0 OR value < 0").count() == n0 + 5
+    assert ds.type("ev_live").count() == n0 + 5
+
+
+def test_cql_bbox_crosses_dateline(spark):
+    """Regression: the ECQL/GWQL BBOX constraint path used the plain
+    BETWEEN range, so a dateline-crossing box (x0 > x1) silently
+    matched zero rows; it now splits into the two sargable sub-ranges
+    like DataStore.query always did."""
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    rows = [
+        (1, 175_000_000, 0),    # in the +180 strip
+        (2, -175_000_000, 0),   # in the -180 strip
+        (3, 0, 0),              # outside the wrapped box
+    ]
+    ds.add_type("dl_pts", spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG"))
+    got = sorted(
+        r["event_id"]
+        for r in ds.cql(
+            "dl_pts",
+            "BBOX(geom, 170000000, -10000000, -170000000, 10000000)",
+        ).collect()
+    )
+    assert got == [1, 2]
+    got2 = sorted(
+        r["event_id"]
+        for r in ds.gwql(
+            "SELECT event_id FROM dl_pts "
+            "WHERE BBOX(geom, 170000000, -10000000, -170000000, 10000000)"
+        ).collect()
+    )
+    assert got2 == [1, 2]

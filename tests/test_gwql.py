@@ -669,3 +669,20 @@ def test_gwql_sees_post_registration_commits(snap_store, spark, sf_dir):
     # stats path (metadata) and scan path agree on the NEW snapshot
     assert ds.gwql("SELECT COUNT(*) AS n FROM ev_snap").first()["n"] == n0 + 7
     assert ds.gwql("SELECT event_id FROM ev_snap").count() == n0 + 7
+
+
+def test_string_literal_with_backslash_round_trips(spark):
+    """Regression: _sql_str escaped quotes but not backslashes, so a
+    residual literal like 'C:\\temp' re-rendered into Spark SQL text
+    where the parser consumed the backslash as an escape and the
+    comparison ran against a different string."""
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    rows = [(1, "C:\\temp", 0, 0), (2, "C:/temp", 0, 0)]
+    ds.add_type(
+        "bs_docs",
+        spark.createDataFrame(rows, "id LONG, path STRING, x_u LONG, y_u LONG"),
+    )
+    got = ds.gwql("SELECT id FROM bs_docs WHERE path = 'C:\\temp'").collect()
+    assert [r["id"] for r in got] == [1]

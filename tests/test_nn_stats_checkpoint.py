@@ -172,3 +172,36 @@ def test_split_plan_balanced(spark, sf_dir):
     for r in sorted(plan, key=lambda r: (r.gx, r.gy)):
         assert r.split_id == cum // target
         cum += r.n
+
+
+def test_ice_stage_store_records_real_wall_ms(spark, tmp_path):
+    """Regression: IceStageStore evaluated wall_ms while BUILDING the
+    commit_write argument — before the lazy partition frame ever ran —
+    so lineage rows recorded ~0 ms for arbitrarily expensive
+    partitions. The summary is now a callable evaluated after the data
+    write executes the frame."""
+    import time as _time
+
+    from geowave_spark.plans.checkpoint import IceStageStore
+
+    store = IceStageStore(str(tmp_path / "stages"))
+
+    def make_partition(k):
+        # a frame whose EXECUTION visibly costs time (driver-side sleep
+        # inside a pandas UDF would be flaky; a fat cross-range keeps
+        # the cost on the executors and deterministic enough: >100 ms)
+        df = spark.range(0, 2_000_000).selectExpr(
+            "id", "md5(concat('x', cast(id AS STRING))) AS h"
+        )
+        return df.where("substring(h, 1, 1) != 'z'")
+
+    t0 = _time.time()
+    store.run_stage(spark, "wall", [0], make_partition, "fp1")
+    elapsed_ms = (_time.time() - t0) * 1000
+    m = store.metrics("wall")
+    assert len(m) == 1
+    wall = m[0]["wall_ms"]
+    # the recorded wall must be a real measurement: nonzero and within
+    # the observed elapsed envelope
+    assert 0 < wall <= elapsed_ms + 1
+    assert wall > 20  # a 2M-row md5 projection cannot run in ~0 ms

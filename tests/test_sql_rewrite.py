@@ -248,3 +248,35 @@ def test_split_conjuncts_between_case_unit():
         "(a BETWEEN 1 AND 5)",
         "b",
     ]
+
+
+def test_rewrite_fractional_radius_matches_unrouted(spark, store):
+    """Regression: the rewrite truncated GeomWithinDistance's radius
+    with int(), silently dropping pairs at distance in (int(r), r]
+    vs the unrouted plan; the float now passes through (the join
+    ceil-buffers its cover and refines against the exact radius)."""
+    sql = (
+        "SELECT t.p_partkey, o.s_suppkey FROM tracks_v t, lshapes_v o "
+        "WHERE GeomWithinDistance(t.geom, o.geom, 2000000.7)"
+    )
+    routed = store.sql(sql)
+    _no_cartesian(routed)
+    unrouted = store.sql(sql, rewrite=False)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, unrouted.collect())
+    )
+
+
+def test_rewrite_select_star_hides_internal_columns(spark, store):
+    """Regression: SELECT * over the rewritten FROM also expanded
+    __gw_pairs' internal __lg/__rg WKB columns; the star now expands
+    to the two view stars, matching the unrouted schema."""
+    sql = (
+        "SELECT * FROM tracks_v t, lshapes_v o "
+        "WHERE GeomIntersects(t.geom, o.geom)"
+    )
+    routed = store.sql(sql)
+    unrouted = store.sql(sql, rewrite=False)
+    assert routed.columns == unrouted.columns
+    assert not any(c.startswith("__") for c in routed.columns)
+    assert routed.count() == unrouted.count()
