@@ -2386,6 +2386,175 @@ def _q_raster_retile_bicubic(spark, sf):
     ).select("level", "tx", "ty")
 
 
+# ------------------------------------------------------------------
+# Ingest-format plugins (extensions/formats/* — sources/formats.py).
+# Raw GDELT/T-Drive/GeoLife/GPX/Twitter files are generated
+# deterministically from `events` (same micro-degree scatter as every
+# spatial operator), parsed back through the Spark-native readers, and
+# the oracle reconstructs the expected parse output from `events` with
+# pure SQL arithmetic — so a wrong skip rule, column index, window
+# order, or timestamp format shows up as a hash mismatch. DuckDB
+# independently re-parses the raw CSV files in tests/test_formats.py.
+
+
+def _formats_root(sf):
+    from geowave_spark.sources.formats import formats_fixture_dir
+
+    return formats_fixture_dir(sf)
+
+
+def _q_gdelt_ingest(spark, sf):
+    """GDELT 57/58-column TSV parse (GDELTIngestPlugin.java:161-300):
+    every skip rule (geoType 0, empty lat/lon, 57-column no-URL lines)
+    and empty→null text-field semantics, hash-checked per row."""
+    from geowave_spark.sources.formats import read_gdelt
+
+    df = read_gdelt(spark, _formats_root(sf) + "/gdelt")
+    return df.select(
+        F.col("eventid").alias("eventid"),
+        F.unix_timestamp("Timestamp").alias("ts_day"),
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
+        F.col("actor1Name").alias("actor1"),
+        F.col("countryCode").alias("cc"),
+        F.col("sourceUrl").alias("url"),
+        F.col("numMentions").alias("mentions"),
+        F.col("avgTone").alias("tone"),
+    )
+
+
+def _q_tdrive_points(spark, sf):
+    """T-Drive trajectory CSV parse (TdriveIngestPlugin.java:90-115):
+    per-taxi 0-based pointinstance via a trajectory-partitioned
+    window — the per-file sequential counter, distributed."""
+    from geowave_spark.sources.formats import read_tdrive
+
+    df = read_tdrive(spark, _formats_root(sf) + "/tdrive")
+    return df.select(
+        "taxiid",
+        "pointinstance",
+        F.unix_timestamp("Timestamp").alias("ts_s"),
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
+    )
+
+
+def _q_geolife_points(spark, sf):
+    """GeoLife PLT parse (GeoLifeIngestPlugin.java:147-196): header
+    rejection, file-name trackid, date+time timestamp assembly, raw
+    feet elevation, per-track 0-based pointinstance."""
+    from geowave_spark.sources.formats import read_geolife_points
+
+    df = read_geolife_points(spark, _formats_root(sf) + "/geolife")
+    return df.select(
+        "trackid",
+        "pointinstance",
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
+        F.col("Elevation").alias("elev"),
+        F.unix_timestamp("Timestamp").alias("ts_s"),
+    )
+
+
+def _q_geolife_tracks(spark, sf):
+    """GeoLife per-file track feature (GeoLifeIngestPlugin.java:198-211):
+    Start/End/Duration(ms)/NumberPoints aggregated from the point
+    parse (geometry LineString checked in tests/test_formats.py)."""
+    from geowave_spark.sources.formats import read_geolife_tracks
+
+    df = read_geolife_tracks(spark, _formats_root(sf) + "/geolife")
+    return df.select(
+        F.col("TrackId").alias("track_id"),
+        F.unix_timestamp("StartTimeStamp").alias("start_s"),
+        F.unix_timestamp("EndTimeStamp").alias("end_s"),
+        F.col("Duration").alias("duration_ms"),
+        F.col("NumberPoints").alias("n"),
+    )
+
+
+def _q_gpx_waypoints(spark, sf):
+    """GPX <wpt> parse (GPXConsumer wpt handling, GpxUtils waypoint
+    type): lat/lon attributes, optional ele/name/cmt/sym children."""
+    from geowave_spark.sources.formats import read_gpx_waypoints
+
+    df = read_gpx_waypoints(spark, _formats_root(sf) + "/gpx")
+    return df.select(
+        "file",
+        F.col("Name").alias("name"),
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
+        F.col("Elevation").alias("elev"),
+        F.col("Comment").alias("cmt"),
+        F.col("Symbol").alias("sym"),
+    )
+
+
+def _q_gpx_tracks(spark, sf):
+    """GPX <trk> aggregate features (GPXConsumer.java:548-600):
+    NumberPoints counts all trkpts; Start/End/Duration fold only the
+    timed ones and stay null on untimed tracks — the whole XML parse
+    runs in one Arrow-batched mapInPandas per file."""
+    from geowave_spark.sources.formats import read_gpx_tracks
+
+    df = read_gpx_tracks(spark, _formats_root(sf) + "/gpx")
+    return df.select(
+        "file",
+        F.col("Name").alias("name"),
+        F.unix_timestamp("StartTimeStamp").alias("start_s"),
+        F.unix_timestamp("EndTimeStamp").alias("end_s"),
+        F.col("Duration").alias("duration_ms"),
+        F.col("NumberPoints").alias("n"),
+    )
+
+
+def _q_twitter_points(spark, sf):
+    """Twitter JSON-per-line parse (TwitterIngestPlugin.java:150-250):
+    coordinate/date-required skips, SimpleDateFormat-style created_at
+    (weekday+offset), null→empty-string reply/lang defaults."""
+    from geowave_spark.sources.formats import read_twitter
+
+    df = read_twitter(spark, _formats_root(sf) + "/twitter")
+    return df.select(
+        "tweet_id",
+        "user_id",
+        "user_name",
+        "text",
+        F.col("in_reply_to_user_id").alias("in_reply"),
+        "retweet_count",
+        "lang",
+        F.unix_timestamp("dtg").alias("dtg_s"),
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
+    )
+
+
+def _q_geotiff_scan(spark, sf):
+    """GeoTIFF ingest (geotools-raster/GDAL analog): the from-scratch
+    TIFF 6.0 + GeoTIFF 1.1 strip decoder (raster/geotiff.py) over a
+    mixed deflate/uncompressed fixture — geo transform, CRS geokey,
+    compression tag, and the FULL pixel content (px_sum) hash-checked;
+    the oracle regenerates every pixel with generate_series."""
+    from geowave_spark.sources.formats import read_geotiff
+
+    df = read_geotiff(spark, _formats_root(sf) + "/geotiff")
+    return df.select(
+        "file", "w", "h", "bands", "x0", "y0", "sx", "sy",
+        "crs", "compression", "px_sum",
+    )
+
+
+def _q_ingest_plugins(spark, sf):
+    """Directory-walk plugin routing (core/ingest LocalFileIngestDriver
+    + per-plugin validate()): every file in the mixed fixture tree must
+    reach exactly its own format's reader — per-format parsed row
+    counts, including T-Drive's first-line content sniff."""
+    from geowave_spark.sources.formats import ingest_directory
+
+    ing = ingest_directory(spark, _formats_root(sf))
+    rows = [(name, df.count()) for name, df in sorted(ing.items())]
+    return spark.createDataFrame(rows, "fmt string, n long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries, ordered for the correctness gate.
 
@@ -2595,6 +2764,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in tests/test_multimodal.py), and `xmodal_topk` (caption_align
     keeps the dual-tower embedding plumbing + exact ranking in-window;
     the per-query top-k window form stays in the full sweep).
+    Round-5 wave 13: IN = the six ingest-format plugin rows — the
+    extensions/formats/* surface (GDELT / T-Drive / GeoLife / GPX /
+    Twitter raw-file parsers, sources/formats.py) had NO engine
+    equivalent before this wave: `gdelt_ingest` (58-column TSV with
+    every reference skip rule), `tdrive_points` (trajectory CSV,
+    windowed per-taxi pointinstance), `geolife_points` (PLT header
+    rejection + date/time assembly), `gpx_tracks` (XML track
+    aggregates via Arrow-batched mapInPandas), `twitter_points`
+    (schema'd JSON scan with SimpleDateFormat created_at + empty-string
+    defaults), and `ingest_plugins` (directory walk + per-plugin
+    validate routing — LocalFileIngestDriver). Each oracle reconstructs
+    the expected parse output from `events` arithmetic (the raw files
+    are a deterministic function of the same rows), and DuckDB
+    independently re-parses the raw CSVs in tests/test_formats.py.
+    OUT, each green r4 (knn_bulk green r1-r4) with in-window siblings:
+    `knn_bulk` (knn_geodesic keeps the ring-ladder kNN core),
+    `subsample_px` (raster_histogram/raster_multiband/raster_pyramid/
+    ice_image_tiles keep the raster family on four rows),
+    `image_thumbs` (caption_align keeps the mapInPandas image decode +
+    embed path), `pii_scan` (doc_tokens_bpe + dataset_split keep the
+    native text/codegen projection family), `source_quota`
+    (dataset_split keeps operators/sampling.py in-window), and
+    `chunk_docs` (doc_tokens_bpe + pack_sequences keep the token
+    pipeline in-window); `gpx_waypoints` + `geolife_tracks` land in
+    the tail with full-sweep oracles. Also wave 13: IN =
+    `geotiff_scan` (the geotools-raster/GDAL ingest analog — a
+    from-scratch TIFF 6.0 + GeoTIFF 1.1 strip codec, raster/geotiff.py;
+    geo transform + CRS geokey + full pixel content hash-checked, the
+    oracle regenerates every pixel via generate_series) for OUT =
+    `kde` (green r1-r4; raster_histogram keeps binned pixel
+    aggregation in-window, and the KDE cell-keying path stays in the
+    full sweep via kde + kde_pyramid).
     """
     return {
         # --- range-scan queries across every live index path
@@ -2609,6 +2810,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crs_bbox_stored": _q_crs_bbox_stored,
         "crs_transform": _q_crs_transform,
         "utm_transform": _q_utm_transform,
+        # --- ingest-format plugins (extensions/formats/* — round-5 wave 2)
+        "gdelt_ingest": _q_gdelt_ingest,
+        "tdrive_points": _q_tdrive_points,
+        "geolife_points": _q_geolife_points,
+        "gpx_tracks": _q_gpx_tracks,
+        "twitter_points": _q_twitter_points,
+        "ingest_plugins": _q_ingest_plugins,
+        "geotiff_scan": _q_geotiff_scan,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
         "geom_crosses_join": _q_geom_crosses_join,
@@ -2618,13 +2827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- the 8-CompareOperation exact-refinement surface
         "pred_contains": _q_pred_contains,
         # --- kNN family + clustering
-        "knn_bulk": _q_knn_bulk,
         "knn_geodesic": _q_knn_geodesic,
         "dbscan_labels": _q_dbscan_labels,
         "kmeans_hulls": _q_kmeans_hulls,
         # --- raster / tiling / binning
-        "subsample_px": _q_subsample_px,
-        "kde": _q_kde,
         "raster_histogram": _q_raster_histogram,
         "raster_retile_bicubic": _q_raster_retile_bicubic,
         "raster_pyramid": _q_raster_pyramid,
@@ -2644,20 +2850,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline dedup / similarity / docs / multimodal
         "dedup_groups": _q_dedup_groups,
         "semdedup": _q_semdedup,
-        "source_quota": _q_source_quota,
         "dataset_split": _q_dataset_split,
-        "chunk_docs": _q_chunk_docs,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
-        "pii_scan": _q_pii_scan,
         "nn_join_geodesic": _q_nn_join_geodesic,
-        "image_thumbs": _q_image_thumbs,
         "caption_align": _q_caption_align,
         "aspect_batches": _q_aspect_batches,
         # ---- entries below are OUTSIDE the driver gate's 50-query window:
         # derived-path twins (green rounds 1+2), no-oracle ANN checks, and
         # the binary render — all pytest-covered (see docstring).
+        "knn_bulk": _q_knn_bulk,
+        "subsample_px": _q_subsample_px,
+        "source_quota": _q_source_quota,
+        "chunk_docs": _q_chunk_docs,
+        "pii_scan": _q_pii_scan,
+        "image_thumbs": _q_image_thumbs,
+        "kde": _q_kde,
+        "gpx_waypoints": _q_gpx_waypoints,
+        "geolife_tracks": _q_geolife_tracks,
         "crs_bbox": _q_crs_bbox,
         "nn_join": _q_nn_join,
         "gwql_agg": _q_gwql_agg,
@@ -2989,6 +3200,11 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _oracle_sql_geom() -> dict[str, str]:
+    fmt_ev = (
+        "WITH ev AS (SELECT event_id AS e, user_id AS u, "
+        "date_trunc('second', ts) AS ts, x_u, y_u FROM "
+        + events_points_sql("") + ") "
+    )
     from geowave_spark.operators.geodesic import haversine_m_sql
     from geowave_spark.operators.packing import pack_sequences_sql
     from geowave_spark.operators.sampling import dataset_split_sql, source_quota_sql
@@ -3145,6 +3361,91 @@ def _oracle_sql_geom() -> dict[str, str]:
             + dataset_split_sql("documents", select_cols="doc_id, source")
             + ") GROUP BY source, split"
         ),
+        # --- ingest-format plugins: expected parse output reconstructed
+        # from `events` with pure SQL arithmetic (the raw files are a
+        # deterministic function of the same rows — sources/formats.py)
+        "gdelt_ingest": fmt_ev
+        + "SELECT CAST(e AS INT) AS eventid, "
+        "CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ts_day, "
+        "CAST(y_u AS DOUBLE)/1000000 AS lat, CAST(x_u AS DOUBLE)/1000000 AS lon, "
+        "CASE WHEN e % 7 = 0 THEN NULL ELSE 'ACTOR' || CAST(u % 50 AS VARCHAR) END AS actor1, "
+        "CASE WHEN e % 13 = 0 THEN NULL ELSE 'C' || CAST(u % 26 AS VARCHAR) END AS cc, "
+        "CASE WHEN e % 5 = 0 THEN NULL ELSE 'http://example.com/' || CAST(e AS VARCHAR) END AS url, "
+        "CAST(e % 100 AS INT) AS mentions, CAST(e % 200 AS DOUBLE) + 0.5 AS tone "
+        "FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0",
+        "tdrive_points": fmt_ev
+        + ", t AS (SELECT CAST(u % 200 AS DOUBLE) AS taxiid, ts, "
+        "CAST(x_u AS DOUBLE)/1000000 AS lon, CAST(y_u AS DOUBLE)/1000000 AS lat FROM ev) "
+        "SELECT taxiid, CAST(row_number() OVER (PARTITION BY taxiid "
+        "ORDER BY ts, lon, lat) - 1 AS DOUBLE) AS pointinstance, "
+        "CAST(epoch(ts) AS BIGINT) AS ts_s, lat, lon FROM t",
+        "geolife_points": fmt_ev
+        + ", g AS (SELECT 'trk' || CAST((u*8+e) % 64 AS VARCHAR) || '.plt' AS trackid, "
+        "ts, CAST(y_u AS DOUBLE)/1000000 AS lat, CAST(x_u AS DOUBLE)/1000000 AS lon, "
+        "CAST(e % 5000 AS DOUBLE) AS elev FROM ev WHERE e % 3 = 0) "
+        "SELECT trackid, CAST(row_number() OVER (PARTITION BY trackid "
+        "ORDER BY ts, lat, lon, elev) - 1 AS INT) AS pointinstance, "
+        "lat, lon, elev, CAST(epoch(ts) AS BIGINT) AS ts_s FROM g",
+        "geolife_tracks": fmt_ev
+        + ", g AS (SELECT 'trk' || CAST((u*8+e) % 64 AS VARCHAR) || '.plt' AS trackid, ts "
+        "FROM ev WHERE e % 3 = 0) "
+        "SELECT trackid AS track_id, CAST(epoch(min(ts)) AS BIGINT) AS start_s, "
+        "CAST(epoch(max(ts)) AS BIGINT) AS end_s, "
+        "CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms, "
+        "count(*) AS n FROM g GROUP BY trackid",
+        "gpx_waypoints": fmt_ev
+        + "SELECT 'route' || CAST(e % 16 AS VARCHAR) || '.gpx' AS file, "
+        "'WP' || CAST(e AS VARCHAR) AS name, CAST(y_u AS DOUBLE)/1000000 AS lat, CAST(x_u AS DOUBLE)/1000000 AS lon, "
+        "CASE WHEN e % 20 = 1 THEN CAST(e % 900 AS DOUBLE) END AS elev, "
+        "'c' || CAST(e % 9 AS VARCHAR) AS cmt, 'S' || CAST(e % 4 AS VARCHAR) AS sym "
+        "FROM ev WHERE e % 10 = 1",
+        "gpx_tracks": fmt_ev
+        + ", g5 AS (SELECT e, ts, e % 16 AS g FROM ev WHERE e % 5 = 1), "
+        "pts AS (SELECT g, ts, (e % 15 <> 2) AS timed FROM g5 WHERE e % 10 <> 1), "
+        "agg AS (SELECT g, count(*) AS n, min(ts) FILTER (WHERE timed) AS tmin, "
+        "max(ts) FILTER (WHERE timed) AS tmax FROM pts GROUP BY g), "
+        "files AS (SELECT DISTINCT g FROM g5) "
+        "SELECT 'route' || CAST(f.g AS VARCHAR) || '.gpx' AS file, "
+        "'TRK' || CAST(f.g AS VARCHAR) AS name, "
+        "CAST(epoch(a.tmin) AS BIGINT) AS start_s, "
+        "CAST(epoch(a.tmax) AS BIGINT) AS end_s, "
+        "CAST(epoch_ms(a.tmax) - epoch_ms(a.tmin) AS BIGINT) AS duration_ms, "
+        "CAST(COALESCE(a.n, 0) AS BIGINT) AS n "
+        "FROM files f LEFT JOIN agg a ON f.g = a.g",
+        "twitter_points": fmt_ev
+        + ", tw AS (SELECT e, u, ts, x_u, y_u FROM ev "
+        "WHERE e % 2 = 1 AND e % 23 <> 0 AND e % 29 <> 0) "
+        "SELECT CAST(e AS VARCHAR) AS tweet_id, CAST(u AS VARCHAR) AS user_id, "
+        "'user' || CAST(u AS VARCHAR) AS user_name, "
+        "'tweet ' || CAST(e AS VARCHAR) || ' \"quoted\" #tag' || CAST(e % 50 AS VARCHAR) AS text, "
+        "CASE WHEN e % 3 = 0 THEN CAST(u + 1 AS VARCHAR) ELSE '' END AS in_reply, "
+        "CAST(e % 1000 AS INT) AS retweet_count, "
+        "CASE WHEN e % 19 = 0 THEN '' ELSE CASE u % 5 WHEN 0 THEN 'en' "
+        "WHEN 1 THEN 'es' WHEN 2 THEN 'fr' WHEN 3 THEN 'de' ELSE 'ja' END END AS lang, "
+        "CAST(epoch(ts) AS BIGINT) AS dtg_s, CAST(y_u AS DOUBLE)/1000000 AS lat, CAST(x_u AS DOUBLE)/1000000 AS lon FROM tw",
+        "geotiff_scan": fmt_ev
+        + ", gt AS (SELECT e, x_u, y_u, 16 + e % 17 AS w, 16 + e % 13 AS h "
+        "FROM ev WHERE e % 19 = 0), "
+        "rws AS (SELECT e, w, unnest(generate_series(0, h - 1)) AS r FROM gt), "
+        "cls AS (SELECT e, r, unnest(generate_series(0, w - 1)) AS c FROM rws), "
+        "sums AS (SELECT e, SUM((e*7 + r*13 + c*31) % 256) AS px_sum "
+        "FROM cls GROUP BY e) "
+        "SELECT 'img' || CAST(g.e AS VARCHAR) || '.tif' AS file, "
+        "CAST(g.w AS BIGINT) AS w, CAST(g.h AS BIGINT) AS h, "
+        "CAST(1 AS BIGINT) AS bands, "
+        "CAST(x_u AS DOUBLE)/1000000 AS x0, CAST(y_u AS DOUBLE)/1000000 AS y0, "
+        "0.01 AS sx, 0.01 AS sy, CAST(4326 AS BIGINT) AS crs, "
+        "CAST(CASE WHEN g.e % 2 = 0 THEN 8 ELSE 1 END AS BIGINT) AS compression, "
+        "CAST(s.px_sum AS BIGINT) AS px_sum "
+        "FROM gt g JOIN sums s ON g.e = s.e",
+        "ingest_plugins": fmt_ev
+        + "SELECT 'gdelt' AS fmt, count(*) AS n FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0 "
+        "UNION ALL SELECT 'geolife', count(*) FROM ev WHERE e % 3 = 0 "
+        "UNION ALL SELECT 'geotiff', count(*) FROM ev WHERE e % 19 = 0 "
+        "UNION ALL SELECT 'gpx', count(*) FROM ev WHERE e % 5 = 1 AND e % 10 <> 1 "
+        "UNION ALL SELECT 'tdrive', count(*) FROM ev "
+        "UNION ALL SELECT 'twitter', count(*) FROM ev "
+        "WHERE e % 2 = 1 AND e % 23 <> 0 AND e % 29 <> 0",
         "pii_scan": (
             "SELECT i AS doc_id, CAST(i % 3 AS BIGINT) AS n_email, "
             "CAST(i % 2 AS BIGINT) AS n_phone, "

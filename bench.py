@@ -214,6 +214,19 @@ def main():
         # row visibility + authorizations + JSON field masking: one
         # distinct agg, then a pushed In() filter + codegen CASE
         "visibility_scan",
+        # round-5 wave 2 — ingest-format plugins (extensions/formats/*):
+        # raw-file parse plans (split/cast/filter codegen; GPX is the
+        # one Arrow-batched XML path). gdelt = 58-col TSV with skip
+        # rules; tdrive = trajectory CSV + per-taxi window;
+        # twitter = schema'd JSON scan; ingest_plugins = directory
+        # walk + plugin routing + all five readers end-to-end
+        "gdelt_ingest",
+        "tdrive_points",
+        "twitter_points",
+        "ingest_plugins",
+        # from-scratch GeoTIFF strip decode (mixed deflate/raw) incl.
+        # full pixel re-emission in the typed RAW container
+        "geotiff_scan",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,
@@ -255,6 +268,10 @@ def main():
     qs["geom_poly_join"](spark, sf_dir).count()
     qs["geom_line_join"](spark, sf_dir).count()
     e._snapped(spark, sf_dir)
+    # raw-format fixture tree generation is ingest-time data PRODUCTION
+    # (the files exist in production; the engine only reads them) — build
+    # it outside the timing window so format queries time the parse
+    e._formats_root(sf_dir)
 
     # best-of-N per query (default 2, full recompute each pass — only
     # the documented ingest-time fixtures are cached): the pure-JVM

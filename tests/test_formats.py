@@ -1,0 +1,288 @@
+"""Ingest-format plugin tests (sources/formats.py vs extensions/formats/*).
+
+Beyond the driver gate's events-arithmetic oracle, these tests re-parse
+the raw fixture files through a SECOND independent parser (DuckDB
+read_csv) and assert equality — a wrong column index or skip rule in
+either parser breaks the match.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from geowave_spark.sources import formats as FM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def root():
+    return FM.formats_fixture_dir(SF)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ GDELT
+
+
+def test_gdelt_vs_duckdb_reparse(spark, root):
+    """Independent raw-file parse: DuckDB reads the same TSVs with its
+    own CSV engine and applies the reference's skip rules."""
+    got = (
+        FM.read_gdelt(spark, root + "/gdelt")
+        .select("eventid", "Latitude", "Longitude", "numMentions", "avgTone")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        SELECT CAST(column00 AS INT) AS eventid,
+               CAST(column53 AS DOUBLE) AS Latitude,
+               CAST(column54 AS DOUBLE) AS Longitude,
+               CAST(column31 AS INT) AS numMentions,
+               CAST(column34 AS DOUBLE) AS avgTone
+        FROM read_csv('{root}/gdelt/*.export.csv', sep='\t', header=false,
+                      all_varchar=true, null_padding=true)
+        WHERE CAST(column49 AS INT) <> 0
+          AND trim(column53) <> '' AND trim(column54) <> ''
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_gdelt_skip_rules(spark, root):
+    df = FM.read_gdelt(spark, root + "/gdelt").toPandas()
+    # geoType==0 (e%97) and empty-latlon (e%89) rows are gone
+    assert not (df["eventid"] % 97 == 0).any()
+    assert not (df["eventid"] % 89 == 0).any()
+    # 57-column lines have no sourceUrl; 58-column lines always do
+    short = df["eventid"] % 5 == 0
+    assert df.loc[short, "sourceUrl"].isna().all()
+    assert df.loc[~short, "sourceUrl"].notna().all()
+    # empty text fields became null, not ''
+    assert df.loc[df["eventid"] % 7 == 0, "actor1Name"].isna().all()
+    assert (df["actor1Name"].dropna() != "").all()
+
+
+def test_gdelt_core_schema_excludes_supplemental(spark, root):
+    cols = FM.read_gdelt(
+        spark, root + "/gdelt", include_supplemental=False
+    ).columns
+    assert "avgTone" not in cols and "numMentions" not in cols
+    assert "eventid" in cols and "sourceUrl" in cols
+
+
+# ---------------------------------------------------------------- T-Drive
+
+
+def test_tdrive_vs_duckdb_reparse(spark, root):
+    got = (
+        FM.read_tdrive(spark, root + "/tdrive")
+        .select("taxiid", "pointinstance", "Latitude", "Longitude")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        WITH t AS (
+          SELECT CAST(column0 AS DOUBLE) AS taxiid,
+                 strptime(column1, '%Y-%m-%d %H:%M:%S') AS ts,
+                 CAST(column2 AS DOUBLE) AS Longitude,
+                 CAST(column3 AS DOUBLE) AS Latitude
+          FROM read_csv('{root}/tdrive/*.txt', header=false, all_varchar=true))
+        SELECT taxiid,
+               CAST(row_number() OVER (PARTITION BY taxiid
+                    ORDER BY ts, Longitude, Latitude) - 1 AS DOUBLE)
+                 AS pointinstance,
+               Latitude, Longitude
+        FROM t
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(exp))
+
+
+def test_tdrive_pointinstance_dense_per_taxi(spark, root):
+    df = FM.read_tdrive(spark, root + "/tdrive").toPandas()
+    for _, grp in df.groupby("taxiid"):
+        inst = sorted(grp["pointinstance"])
+        assert inst == [float(i) for i in range(len(grp))]
+
+
+# ---------------------------------------------------------------- GeoLife
+
+
+def test_geolife_header_rejected(spark, root, tmp_path):
+    """A PLT file that is ONLY header yields no rows — and a 7-field
+    garbage line inside the header is rejected by the castable check."""
+    p = tmp_path / "empty.plt"
+    p.write_text(
+        "Geolife trajectory\nWGS 84\nAltitude is in Feet\nReserved 3\n"
+        "a,b,c,d,e,f,g\n0\n"
+    )
+    assert FM.read_geolife_points(spark, str(p)).count() == 0
+
+
+def test_geolife_track_linestring(spark, root):
+    from geowave_spark.geom.wkb import wkb_loads
+
+    tr = FM.read_geolife_tracks(spark, root + "/geolife").toPandas()
+    pts = FM.read_geolife_points(spark, root + "/geolife").toPandas()
+    assert len(tr) == pts["trackid"].nunique()
+    row = tr.loc[tr["NumberPoints"].idxmax()]
+    g = wkb_loads(bytes(row["geometry"]))
+    want = pts[pts["trackid"] == row["TrackId"]].sort_values("pointinstance")
+    assert len(g.parts[0]) == len(want)
+    assert g.parts[0][0][0] == pytest.approx(want["Longitude"].iloc[0])
+    assert g.parts[0][-1][1] == pytest.approx(want["Latitude"].iloc[-1])
+    # duration agrees with the min/max timestamps
+    dur = (
+        want["Timestamp"].max() - want["Timestamp"].min()
+    ).total_seconds() * 1000
+    assert row["Duration"] == int(dur)
+
+
+# -------------------------------------------------------------------- GPX
+
+
+def test_gpx_edge_cases(spark, tmp_path):
+    """Handcrafted GPX exercising: namespace prefix, waypoint without
+    ele, trkpt without time (NumberPoints counts it, Duration ignores
+    it), empty trkseg, and multiple segments in one trk."""
+    (tmp_path / "edge.gpx").write_text(
+        '<?xml version="1.0"?>\n'
+        '<gpx xmlns="http://www.topografix.com/GPX/1/0">'
+        '<wpt lat="1.5" lon="-2.25"><name>A</name></wpt>'
+        "<trk><name>T</name><trkseg/>"
+        '<trkseg><trkpt lat="0.5" lon="0.5"><ele>10</ele>'
+        "<time>2020-01-01T00:00:00Z</time></trkpt>"
+        '<trkpt lat="0.6" lon="0.6"/>'
+        '<trkpt lat="0.7" lon="0.7">'
+        "<time>2020-01-01T01:00:00Z</time></trkpt></trkseg></trk></gpx>"
+    )
+    w = FM.read_gpx_waypoints(spark, str(tmp_path)).toPandas()
+    assert len(w) == 1 and w["Name"][0] == "A" and pd.isna(w["Elevation"][0])
+    p = FM.read_gpx_points(spark, str(tmp_path)).toPandas()
+    assert list(p["pointinstance"]) == [0, 1, 2]
+    assert p["Timestamp"].isna().tolist() == [False, True, False]
+    t = FM.read_gpx_tracks(spark, str(tmp_path)).toPandas()
+    assert t["NumberPoints"][0] == 3
+    assert t["Duration"][0] == 3600_000
+
+
+def test_gpx_fixture_counts(spark, root):
+    w = FM.read_gpx_waypoints(spark, root + "/gpx").count()
+    p = FM.read_gpx_points(spark, root + "/gpx").count()
+    t = FM.read_gpx_tracks(spark, root + "/gpx").count()
+    assert t == 16 and w + p == 200  # events with e%5==1 at sf0.001
+
+
+# ---------------------------------------------------------------- Twitter
+
+
+def test_twitter_skips_and_defaults(spark, root):
+    df = FM.read_twitter(spark, root + "/twitter").toPandas()
+    ids = df["tweet_id"].astype(int)
+    assert not (ids % 23 == 0).any()  # no coordinates → skipped
+    assert not (ids % 29 == 0).any()  # bad created_at → skipped
+    assert (ids % 2 == 1).all()
+    # null lang/reply became '' (reference defaults), never null
+    assert df["lang"].notna().all() and df["in_reply_to_user_id"].notna().all()
+    assert (df.loc[ids % 19 == 0, "lang"] == "").all()
+
+
+def test_twitter_malformed_line_skipped(spark, tmp_path):
+    (tmp_path / "t.json").write_text(
+        '{"created_at": "Mon Jan 06 10:00:00 +0000 2020", "id_str": "1", '
+        '"text": "ok", "retweet_count": 2, "lang": "en", '
+        '"in_reply_to_user_id_str": null, "in_reply_to_status_id_str": null, '
+        '"user": {"id_str": "7", "name": "n"}, '
+        '"coordinates": {"type": "Point", "coordinates": [1.0, 2.0]}}\n'
+        "this is not json\n"
+        '{"id_str": "2", "text": "no coords", "retweet_count": 0}\n'
+    )
+    df = FM.read_twitter(spark, str(tmp_path)).toPandas()
+    assert list(df["tweet_id"]) == ["1"]
+    assert df["dtg"][0] == pd.Timestamp("2020-01-06 10:00:00")
+
+
+# ------------------------------------------------- detection / framework
+
+
+def test_detect_format(root):
+    assert FM.detect_format(root + "/gdelt/20100101.export.csv") == "gdelt"
+    assert FM.detect_format(root + "/gpx/route0.gpx") == "gpx"
+    assert FM.detect_format(root + "/geolife/trk0.plt") == "geolife"
+    assert FM.detect_format(root + "/twitter/tweets0.json") == "twitter"
+    assert FM.detect_format(root + "/tdrive/0.txt") == "tdrive"
+    assert FM.detect_format(root + "/geotiff/img0.tif") == "geotiff"
+    assert FM.detect_format(root + "/_SUCCESS") is None
+
+
+def test_tdrive_sniff_rejects_non_tdrive_txt(tmp_path):
+    p = tmp_path / "notes.txt"
+    p.write_text("just,three,fields\n")
+    assert FM.detect_format(str(p)) is None
+
+
+def test_ingest_directory_routes_all(spark, root):
+    out = FM.ingest_directory(spark, root)
+    assert sorted(out) == [
+        "gdelt", "geolife", "geotiff", "gpx", "tdrive", "twitter"
+    ]
+    assert out["tdrive"].count() == 1000
+    only = FM.ingest_directory(spark, root, formats=["gpx"])
+    assert sorted(only) == ["gpx"]
+
+
+def test_fixture_deterministic(tmp_path):
+    """Two independent builds produce byte-identical trees."""
+    import hashlib
+
+    def tree_hash(d):
+        h = hashlib.md5()
+        for dirpath, _dirs, files in sorted(os.walk(d)):
+            for fn in sorted(files):
+                rel = os.path.relpath(os.path.join(dirpath, fn), d)
+                h.update(rel.encode())
+                h.update(open(os.path.join(dirpath, fn), "rb").read())
+        return h.hexdigest()
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    FM.write_format_fixtures(SF, a)
+    FM.write_format_fixtures(SF, b)
+    assert tree_hash(a) == tree_hash(b)
+
+
+def test_micro_degree_keys_match_events_scatter(spark, root):
+    """x_u/y_u recovered from the 6-decimal text round-trip equal the
+    engine's integer scatter for the same event — format rows join
+    losslessly against every spatial operator."""
+    from geowave_spark.sources.testgeo import xy_numpy
+
+    df = (
+        FM.read_tdrive(spark, root + "/tdrive")
+        .select("x_u", "y_u")
+        .toPandas()
+        .sort_values(["x_u", "y_u"])
+        .reset_index(drop=True)
+    )
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    e = pq.read_table(SF + "/events.parquet", columns=["event_id"])
+    x, y = xy_numpy(e["event_id"].to_numpy())
+    exp = (
+        pd.DataFrame({"x_u": x, "y_u": y})
+        .sort_values(["x_u", "y_u"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(df, exp)
