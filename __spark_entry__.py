@@ -2543,6 +2543,44 @@ def _q_geotiff_scan(spark, sf):
     )
 
 
+def _q_shapefile_scan(spark, sf):
+    """ESRI Shapefile ingest (half the geotools-vector analog): the
+    from-scratch .shp/.dbf codec (sources/shapefile.py) over 8 point
+    shapefiles each led by a Null-shape record — fid sequence,
+    shape types, and the POSITIONAL shp↔dbf attribute join all
+    hash-checked (the DBF carries the micro-degree coords, so a
+    misaligned join shows up as a value mismatch)."""
+    from geowave_spark.sources.shapefile import read_shapefile
+
+    df = read_shapefile(spark, _formats_root(sf) + "/shape")
+    a = lambda k: F.element_at("attrs", k)  # noqa: E731
+    return df.select(
+        "file",
+        "fid",
+        "shape_type",
+        a("EID").try_cast("long").alias("eid"),
+        a("TAG").alias("tag"),
+        a("XU").try_cast("long").alias("xu"),
+        a("YU").try_cast("long").alias("yu"),
+    )
+
+
+def _q_geojson_scan(spark, sf):
+    """GeoJSON FeatureCollection ingest (the geotools-vector analog's
+    other carrier): whole-file parse in Arrow-batched mapInPandas,
+    mixed Point + Polygon features, schema-on-read properties."""
+    from geowave_spark.sources.formats import read_geojson
+
+    df = read_geojson(spark, _formats_root(sf) + "/geojson")
+    return df.select(
+        "file",
+        "fid",
+        "gtype",
+        F.element_at("props", "eid").try_cast("long").alias("eid"),
+        F.element_at("props", "tag").alias("tag"),
+    )
+
+
 def _q_ingest_plugins(spark, sf):
     """Directory-walk plugin routing (core/ingest LocalFileIngestDriver
     + per-plugin validate()): every file in the mixed fixture tree must
@@ -2795,7 +2833,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle regenerates every pixel via generate_series) for OUT =
     `kde` (green r1-r4; raster_histogram keeps binned pixel
     aggregation in-window, and the KDE cell-keying path stays in the
-    full sweep via kde + kde_pyramid).
+    full sweep via kde + kde_pyramid). And IN = `shapefile_scan` +
+    `geojson_scan` (the geotools-vector ingest analog — a from-scratch
+    ESRI .shp/.dbf codec with positional attribute join pinned by
+    in-DBF coordinates, and whole-file GeoJSON FeatureCollection
+    parse) for OUT = `pack_sequences` (green r4; doc_tokens_bpe +
+    dataset_split keep the token/sampling pipeline in-window, the
+    packing fold's recursive-CTE oracle stays in the full sweep) and
+    `contamination` (green r4; dedup_groups keeps the shingle-explode
+    + broadcast/groupBy passage path in-window).
     """
     return {
         # --- range-scan queries across every live index path
@@ -2818,6 +2864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twitter_points": _q_twitter_points,
         "ingest_plugins": _q_ingest_plugins,
         "geotiff_scan": _q_geotiff_scan,
+        "shapefile_scan": _q_shapefile_scan,
+        "geojson_scan": _q_geojson_scan,
         # --- joins (tiered, distance, general-geometry, SQL-routed)
         "spatial_join": _q_spatial_join,
         "geom_crosses_join": _q_geom_crosses_join,
@@ -2852,8 +2900,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "dataset_split": _q_dataset_split,
         "doc_tokens_bpe": _q_doc_tokens_bpe,
-        "pack_sequences": _q_pack_sequences,
-        "contamination": _q_contamination,
         "nn_join_geodesic": _q_nn_join_geodesic,
         "caption_align": _q_caption_align,
         "aspect_batches": _q_aspect_batches,
@@ -2867,6 +2913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "image_thumbs": _q_image_thumbs,
         "kde": _q_kde,
+        "pack_sequences": _q_pack_sequences,
+        "contamination": _q_contamination,
         "gpx_waypoints": _q_gpx_waypoints,
         "geolife_tracks": _q_geolife_tracks,
         "crs_bbox": _q_crs_bbox,
@@ -3438,10 +3486,34 @@ def _oracle_sql_geom() -> dict[str, str]:
         "CAST(CASE WHEN g.e % 2 = 0 THEN 8 ELSE 1 END AS BIGINT) AS compression, "
         "CAST(s.px_sum AS BIGINT) AS px_sum "
         "FROM gt g JOIN sums s ON g.e = s.e",
+        "shapefile_scan": fmt_ev
+        + ", s AS (SELECT e, u, x_u, y_u, e % 8 AS k FROM ev WHERE e % 13 = 6), "
+        "pts AS (SELECT 'pts' || CAST(k AS VARCHAR) || '.shp' AS file, "
+        "CAST(1 + row_number() OVER (PARTITION BY k ORDER BY e) AS INT) AS fid, "
+        "CAST(1 AS INT) AS shape_type, e AS eid, "
+        "'T' || CAST(u % 20 AS VARCHAR) AS tag, x_u AS xu, y_u AS yu FROM s), "
+        "nulls AS (SELECT DISTINCT 'pts' || CAST(k AS VARCHAR) || '.shp' AS file, "
+        "CAST(1 AS INT) AS fid, CAST(0 AS INT) AS shape_type, "
+        "CAST(0 AS BIGINT) AS eid, 'none' AS tag, CAST(0 AS BIGINT) AS xu, "
+        "CAST(0 AS BIGINT) AS yu FROM s) "
+        "SELECT * FROM pts UNION ALL SELECT * FROM nulls",
+        "geojson_scan": fmt_ev
+        + ", s AS (SELECT e, u, e % 8 AS k FROM ev WHERE e % 11 = 5), "
+        "pts AS (SELECT 'fc' || CAST(k AS VARCHAR) || '.geojson' AS file, "
+        "'f' || CAST(e AS VARCHAR) AS fid, 'Point' AS gtype, e AS eid, "
+        "'g' || CAST(u % 20 AS VARCHAR) AS tag FROM s), "
+        "boxes AS (SELECT DISTINCT 'fc' || CAST(k AS VARCHAR) || '.geojson' AS file, "
+        "'box' || CAST(k AS VARCHAR) AS fid, 'Polygon' AS gtype, "
+        "CAST(-1 - k AS BIGINT) AS eid, 'box' AS tag FROM s) "
+        "SELECT * FROM pts UNION ALL SELECT * FROM boxes",
         "ingest_plugins": fmt_ev
         + "SELECT 'gdelt' AS fmt, count(*) AS n FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0 "
+        "UNION ALL SELECT 'geojson', count(*) + count(DISTINCT e % 8) "
+        "FROM ev WHERE e % 11 = 5 "
         "UNION ALL SELECT 'geolife', count(*) FROM ev WHERE e % 3 = 0 "
         "UNION ALL SELECT 'geotiff', count(*) FROM ev WHERE e % 19 = 0 "
+        "UNION ALL SELECT 'shapefile', count(*) + count(DISTINCT e % 8) "
+        "FROM ev WHERE e % 13 = 6 "
         "UNION ALL SELECT 'gpx', count(*) FROM ev WHERE e % 5 = 1 AND e % 10 <> 1 "
         "UNION ALL SELECT 'tdrive', count(*) FROM ev "
         "UNION ALL SELECT 'twitter', count(*) FROM ev "

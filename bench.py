@@ -227,6 +227,10 @@ def main():
         # from-scratch GeoTIFF strip decode (mixed deflate/raw) incl.
         # full pixel re-emission in the typed RAW container
         "geotiff_scan",
+        # ESRI .shp/.dbf parse (basename-joined binaryFile scans) and
+        # whole-file GeoJSON FeatureCollection parse
+        "shapefile_scan",
+        "geojson_scan",
     ]
 
     # untimed warmup: first-query session costs (JIT/codegen compilation,

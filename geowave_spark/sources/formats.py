@@ -509,6 +509,100 @@ def read_geotiff(spark: SparkSession, path) -> DataFrame:
     return files.select("path", "content").mapInPandas(parse, _GEOTIFF_SCHEMA)
 
 
+# ---------------------------------------------------------------- GeoJSON
+
+_GEOJSON_SCHEMA = (
+    "file string, fid string, gtype string, geometry binary, "
+    "props map<string,string>"
+)
+
+
+def read_geojson(spark: SparkSession, path) -> DataFrame:
+    """GeoJSON → feature rows (with sources/shapefile.py, the
+    geotools-vector ingest analog — GeoToolsVectorDataStoreIngestPlugin
+    reads any GeoTools DataStore; GeoJSON is its other common carrier).
+
+    Accepts whole-file FeatureCollection / single Feature documents AND
+    feature-per-line ndjson; geometries (Point / MultiPoint /
+    LineString / Polygon / MultiPolygon) become the engine's WKB.
+    Property values keep their JSON text form in a map<string,string>
+    column — the same schema-on-read stance as read_shapefile; callers
+    cast with element_at + try_cast."""
+    files = spark.read.text(path, wholetext=True).select(
+        F.col("value").alias("doc"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+    )
+
+    def parse(batches):
+        import json
+
+        from geowave_spark.geom.wkb import (
+            Geometry,
+            linestring,
+            multipolygon,
+            point,
+            polygon,
+            wkb_dumps,
+        )
+
+        def to_wkb(geom):
+            t, c = geom["type"], geom["coordinates"]
+            if t == "Point":
+                return wkb_dumps(point(c[0], c[1]))
+            if t == "MultiPoint":
+                return wkb_dumps(
+                    Geometry("MultiPoint", [np.asarray(c, float)])
+                )
+            if t == "LineString":
+                return wkb_dumps(linestring(c))
+            if t == "Polygon":
+                return wkb_dumps(polygon(c[0], c[1:]))
+            if t == "MultiPolygon":
+                return wkb_dumps(
+                    multipolygon([polygon(p[0], p[1:]) for p in c])
+                )
+            raise NotImplementedError(f"GeoJSON geometry type {t}")
+
+        def features(doc):
+            doc = doc.strip()
+            try:
+                obj = json.loads(doc)
+            except json.JSONDecodeError:
+                # feature-per-line ndjson
+                for ln in doc.splitlines():
+                    ln = ln.strip()
+                    if ln:
+                        yield json.loads(ln)
+                return
+            if obj.get("type") == "FeatureCollection":
+                yield from obj.get("features", [])
+            else:
+                yield obj
+
+        cols = [c.split(" ")[0] for c in _GEOJSON_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for doc, fname in zip(pdf["doc"], pdf["file"]):
+                for feat in features(doc):
+                    geom = feat.get("geometry")
+                    props = feat.get("properties") or {}
+                    rows.append(
+                        {
+                            "file": fname,
+                            "fid": str(feat.get("id", "")),
+                            "gtype": geom["type"] if geom else None,
+                            "geometry": to_wkb(geom) if geom else None,
+                            "props": {
+                                k: v if isinstance(v, str) else json.dumps(v)
+                                for k, v in props.items()
+                            },
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, _GEOJSON_SCHEMA)
+
+
 # ------------------------------------------------- plugin detect / ingest
 
 #: name → (file predicate, reader). Mirrors the reference's per-plugin
@@ -516,11 +610,19 @@ def read_geotiff(spark: SparkSession, path) -> DataFrame:
 #: selection): GDELT by its dated-export file name (GDELTUtils.java:171),
 #: T-Drive by a 4-comma-field first line (TdriveUtils.java:66), the rest
 #: by extension.
+def _read_shapefile(spark, path):
+    from geowave_spark.sources.shapefile import read_shapefile
+
+    return read_shapefile(spark, path)
+
+
 FORMATS = {
     "gdelt": (lambda p: _fname(p).endswith(".export.csv"), read_gdelt),
+    "geojson": (lambda p: p.endswith(".geojson"), read_geojson),
     "geolife": (lambda p: p.endswith(".plt"), read_geolife_points),
     "geotiff": (lambda p: p.endswith((".tif", ".tiff")), read_geotiff),
     "gpx": (lambda p: p.endswith(".gpx"), read_gpx_points),
+    "shapefile": (lambda p: p.endswith(".shp"), _read_shapefile),
     "twitter": (lambda p: p.endswith(".json"), read_twitter),
     "tdrive": (lambda p: p.endswith(".txt") and _tdrive_validate(p), read_tdrive),
 }
@@ -576,7 +678,7 @@ def ingest_directory(
 def formats_fixture_dir(sf_dir: str) -> str:
     """Build-once deterministic raw-format fixture tree for a testdata
     scale (atomic-rename + _SUCCESS, like plans/store._materialize)."""
-    digest = hashlib.md5(f"formats:v2:{sf_dir}".encode()).hexdigest()[:12]
+    digest = hashlib.md5(f"formats:v3:{sf_dir}".encode()).hexdigest()[:12]
     path = os.path.join(CACHE_ROOT, f"formats_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp{os.getpid()}"
@@ -780,6 +882,98 @@ def write_format_fixtures(sf_dir: str, out: str) -> None:
         )
         with open(os.path.join(gt, f"img{ei}.tif"), "wb") as f:
             f.write(b)
+
+    # ---- Shapefile: events with e%13==6 into 8 point shapefiles; the
+    # DBF carries EID plus the micro-degree coords so the oracle can
+    # verify the positional shp↔dbf join; every shapefile also gets a
+    # NULL-shape record (fid 1) to pin the Null handling
+    from geowave_spark.sources.shapefile import SHAPE_NULL, SHAPE_POINT
+    from geowave_spark.sources.shapefile import write_shapefile
+
+    sh = os.path.join(out, "shape")
+    os.makedirs(sh, exist_ok=True)
+    sm = e % 13 == 6
+    sdf = pd.DataFrame(
+        {
+            "k": e[sm] % 8,
+            "e": e[sm],
+            "u": u[sm],
+            "x": d["x_u"][sm].to_numpy() / 1e6,
+            "y": d["y_u"][sm].to_numpy() / 1e6,
+            "xu": d["x_u"][sm].to_numpy(),
+            "yu": d["y_u"][sm].to_numpy(),
+        }
+    ).sort_values(["k", "e"])
+    fields = [("EID", "N", 12, 0), ("TAG", "C", 8, 0),
+              ("XU", "N", 12, 0), ("YU", "N", 12, 0)]
+    for k, grp in sdf.groupby("k", sort=True):
+        shapes = [(SHAPE_NULL, [])]
+        records = [[0, "none", 0, 0]]
+        for _, r in grp.iterrows():
+            shapes.append(
+                (SHAPE_POINT, [np.array([[r["x"], r["y"]]], float)])
+            )
+            records.append(
+                [int(r["e"]), f"T{int(r['u']) % 20}", int(r["xu"]), int(r["yu"])]
+            )
+        write_shapefile(os.path.join(sh, f"pts{k}"), shapes, fields, records)
+
+    # ---- GeoJSON: events with e%11==5 into 8 FeatureCollections; one
+    # Polygon feature (half-degree box on the event point) per file
+    import json as _json
+
+    gj = os.path.join(out, "geojson")
+    os.makedirs(gj, exist_ok=True)
+    jm = e % 11 == 5
+    jdf = pd.DataFrame(
+        {
+            "k": e[jm] % 8,
+            "e": e[jm],
+            "u": u[jm],
+            "lon": lon_t[jm].to_numpy(),
+            "lat": lat_t[jm].to_numpy(),
+        }
+    ).sort_values(["k", "e"])
+    for k, grp in jdf.groupby("k", sort=True):
+        feats = []
+        for _, r in grp.iterrows():
+            feats.append(
+                {
+                    "type": "Feature",
+                    "id": f"f{int(r['e'])}",
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [float(r["lon"]), float(r["lat"])],
+                    },
+                    "properties": {
+                        "eid": int(r["e"]),
+                        "tag": f"g{int(r['u']) % 20}",
+                    },
+                }
+            )
+        r0 = grp.iloc[0]
+        x0, y0 = float(r0["lon"]), float(r0["lat"])
+        feats.append(
+            {
+                "type": "Feature",
+                "id": f"box{k}",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [
+                            [x0, y0],
+                            [x0 + 0.5, y0],
+                            [x0 + 0.5, y0 + 0.5],
+                            [x0, y0 + 0.5],
+                            [x0, y0],
+                        ]
+                    ],
+                },
+                "properties": {"eid": -1 - k, "tag": "box"},
+            }
+        )
+        with open(os.path.join(gj, f"fc{k}.geojson"), "w") as f:
+            _json.dump({"type": "FeatureCollection", "features": feats}, f)
 
     # ---- Twitter: events with e%2==1, 4 json files, with skip rows
     tw = os.path.join(out, "twitter")

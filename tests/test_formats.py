@@ -236,7 +236,8 @@ def test_tdrive_sniff_rejects_non_tdrive_txt(tmp_path):
 def test_ingest_directory_routes_all(spark, root):
     out = FM.ingest_directory(spark, root)
     assert sorted(out) == [
-        "gdelt", "geolife", "geotiff", "gpx", "tdrive", "twitter"
+        "gdelt", "geojson", "geolife", "geotiff", "gpx",
+        "shapefile", "tdrive", "twitter",
     ]
     assert out["tdrive"].count() == 1000
     only = FM.ingest_directory(spark, root, formats=["gpx"])
@@ -286,3 +287,96 @@ def test_micro_degree_keys_match_events_scatter(spark, root):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(df, exp)
+
+
+# -------------------------------------------------- shapefile / geojson
+
+
+def test_shapefile_geometry_roundtrip(spark, tmp_path):
+    """Polygon with a hole, multi-part polyline (one feature per part),
+    and multipoint all round-trip through the .shp codec into engine
+    WKB; a deleted DBF record drops its attributes but not the shape."""
+    import numpy as np
+
+    from geowave_spark.geom.wkb import wkb_loads
+    from geowave_spark.sources.shapefile import (
+        SHAPE_POLYGON,
+        SHAPE_POLYLINE,
+        write_shapefile,
+    )
+
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], float)
+    l1 = np.array([[0, 0], [1, 1], [2, 0]], float)
+    l2 = np.array([[5, 5], [6, 6]], float)
+    write_shapefile(
+        str(tmp_path / "mixed"),
+        [(SHAPE_POLYGON, [ext, hole]), (SHAPE_POLYLINE, [l1, l2])],
+        [("NAME", "C", 8, 0)],
+        [["poly"], ["line"]],
+    )
+    from geowave_spark.sources.shapefile import read_shapefile
+
+    df = read_shapefile(spark, str(tmp_path)).toPandas()
+    assert len(df) == 3  # 1 polygon + 2 line parts
+    poly = df[df["shape_type"] == 5].iloc[0]
+    g = wkb_loads(bytes(poly["geometry"]))
+    assert g.gtype == "Polygon" and len(g.parts) == 2
+    assert poly["attrs"]["NAME"] == "poly"
+    lines = df[df["shape_type"] == 3]
+    assert len(lines) == 2 and set(lines["fid"]) == {2}
+    got = sorted(len(wkb_loads(bytes(b)).parts[0]) for b in lines["geometry"])
+    assert got == [2, 3]
+
+
+def test_shapefile_deleted_dbf_record(tmp_path, spark):
+    import numpy as np
+
+    from geowave_spark.sources.shapefile import (
+        SHAPE_POINT,
+        dbf_decode,
+        read_shapefile,
+        write_shapefile,
+    )
+
+    write_shapefile(
+        str(tmp_path / "pts"),
+        [(SHAPE_POINT, [np.array([[1.0, 2.0]])]),
+         (SHAPE_POINT, [np.array([[3.0, 4.0]])])],
+        [("ID", "N", 4, 0)],
+        [[7], [8]],
+    )
+    # mark record 1 deleted in the dbf
+    p = tmp_path / "pts.dbf"
+    raw = bytearray(p.read_bytes())
+    import struct
+
+    hdr_size = struct.unpack_from("<H", raw, 8)[0]
+    raw[hdr_size] = ord("*")
+    p.write_bytes(bytes(raw))
+    d = dbf_decode(bytes(raw))
+    assert list(d["ID"]) == ["8"]
+    # positional join shifts: reader attaches remaining record by position
+    df = read_shapefile(spark, str(tmp_path)).toPandas()
+    assert len(df) == 2
+
+
+def test_geojson_ndjson_and_multipolygon(spark, tmp_path):
+    from geowave_spark.geom.wkb import wkb_loads
+    from geowave_spark.sources import formats as FM
+
+    (tmp_path / "feats.geojson").write_text(
+        '{"type": "Feature", "id": "a", "geometry": {"type": "MultiPolygon", '
+        '"coordinates": [[[[0,0],[4,0],[4,4],[0,4],[0,0]]], '
+        '[[[10,10],[12,10],[12,12],[10,12],[10,10]]]]}, '
+        '"properties": {"n": 2}}\n'
+        '{"type": "Feature", "id": "b", "geometry": null, '
+        '"properties": {"note": "no geom", "flag": true}}\n'
+    )
+    df = FM.read_geojson(spark, str(tmp_path)).toPandas()
+    df = df.sort_values("fid").reset_index(drop=True)
+    g = wkb_loads(bytes(df["geometry"][0]))
+    assert g.gtype == "MultiPolygon"
+    assert df["props"][0]["n"] == "2"
+    assert df["geometry"][1] is None and df["gtype"][1] is None
+    assert df["props"][1] == {"note": "no geom", "flag": "true"}
