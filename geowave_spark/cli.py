@@ -1,0 +1,265 @@
+"""Command-line surface — the `geowave` CLI analog, Spark-first.
+
+Mirrors the reference's operation groups (core/cli + core/store/cli +
+core/ingest/operations):
+
+  ingest listplugins      ListIngestPluginsCommand.java
+  ingest localtogw        LocalToGeoWaveCommand.java (+ the distributed
+                          SparkToGeoWaveCommand — here they are the same
+                          thing: every ingest IS a Spark job)
+  type list / describe / rm   cli/type/{ListTypes,DescribeType,RemoveType}Command.java
+  query                   cli/query/GWQLQuery.java with console/CSV
+                          output (ConsoleQueryOutputFormat / CSVQueryOutputFormat)
+  stat list               cli/stats/ListStatsCommand.java
+
+A "store" is a directory of parquet-backed types plus a `types.json`
+manifest — the single-backend stance of SURVEY.md §2.1 applied to the
+CLI (the reference's 9 `store add` backends collapse to a path).
+Everything runs through the same engine surfaces the driver gate
+checks: sources/formats.ingest_directory → parquet, api.DataStore +
+plans/gwql for queries, native aggregations for stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+
+def _spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("geowave-spark-cli")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def _manifest_path(store: str) -> str:
+    return os.path.join(store, "types.json")
+
+
+def _load_manifest(store: str) -> dict:
+    try:
+        with open(_manifest_path(store)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _save_manifest(store: str, manifest: dict) -> None:
+    os.makedirs(store, exist_ok=True)
+    with open(_manifest_path(store), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+
+def _datastore(spark, store: str):
+    from geowave_spark.api import DataStore
+
+    ds = DataStore(spark)
+    for name in sorted(_load_manifest(store)):
+        ds.add_type(name, spark.read.parquet(os.path.join(store, name)))
+    return ds
+
+
+def _emit(df, fmt: str, limit: int | None, out=None) -> None:
+    out = out if out is not None else sys.stdout  # bind at call time
+    if limit is not None:
+        df = df.limit(limit)
+    pdf = df.toPandas()
+    if fmt == "csv":
+        pdf.to_csv(out, index=False)
+    else:  # console
+        out.write(pdf.to_string(index=False, max_rows=None) + "\n")
+        out.write(f"({len(pdf)} rows)\n")
+
+
+# ------------------------------------------------------------------ verbs
+
+
+def cmd_ingest_listplugins(args) -> int:
+    from geowave_spark.sources.formats import FORMATS
+
+    for name in sorted(FORMATS):
+        print(name)
+    return 0
+
+
+def cmd_ingest_localtogw(args) -> int:
+    """localToGW: walk a directory, route files to format plugins, and
+    land each format as a parquet-backed type in the store."""
+    from geowave_spark.sources.formats import ingest_directory
+
+    spark = _spark(args.cpus)
+    frames = ingest_directory(
+        spark, args.src, formats=args.formats.split(",") if args.formats else None
+    )
+    if not frames:
+        print("no ingestable files found", file=sys.stderr)
+        return 1
+    manifest = _load_manifest(args.store)
+    for fmt, df in sorted(frames.items()):
+        name = args.type_prefix + fmt
+        path = os.path.join(args.store, name)
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        manifest[name] = {"format": fmt, "rows": n}
+        print(f"ingested {n} rows into type '{name}'")
+    _save_manifest(args.store, manifest)
+    return 0
+
+
+def cmd_type_list(args) -> int:
+    manifest = _load_manifest(args.store)
+    for name, meta in sorted(manifest.items()):
+        print(f"{name}\t{meta.get('format', '?')}\t{meta.get('rows', '?')} rows")
+    return 0
+
+
+def cmd_type_describe(args) -> int:
+    spark = _spark(args.cpus)
+    if args.type_name not in _load_manifest(args.store):
+        print(f"unknown type: {args.type_name}", file=sys.stderr)
+        return 1
+    df = spark.read.parquet(os.path.join(args.store, args.type_name))
+    for f in df.schema.fields:
+        print(f"{f.name}\t{f.dataType.simpleString()}")
+    return 0
+
+
+def cmd_type_rm(args) -> int:
+    manifest = _load_manifest(args.store)
+    if args.type_name not in manifest:
+        print(f"unknown type: {args.type_name}", file=sys.stderr)
+        return 1
+    del manifest[args.type_name]
+    _save_manifest(args.store, manifest)
+    shutil.rmtree(os.path.join(args.store, args.type_name), ignore_errors=True)
+    print(f"removed type '{args.type_name}'")
+    return 0
+
+
+def cmd_query(args) -> int:
+    """GWQL statement against the store's registered types (SELECT
+    prints rows; DELETE reports the count and persists the survivors)."""
+    spark = _spark(args.cpus)
+    ds = _datastore(spark, args.store)
+    result = ds.gwql(args.statement)
+    if isinstance(result, int):  # DELETE → count; persist the type
+        import re
+
+        m = re.search(r"\bFROM\s+(\w+)", args.statement, re.I)
+        name = m.group(1)
+        path = os.path.join(args.store, name)
+        tmp = path + ".tmp"
+        ds.type(name).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        manifest = _load_manifest(args.store)
+        manifest[name]["rows"] = manifest[name]["rows"] - result
+        _save_manifest(args.store, manifest)
+        print(f"deleted {result} rows from '{name}'")
+        return 0
+    _emit(result, args.format, args.limit)
+    return 0
+
+
+def cmd_stat_list(args) -> int:
+    """Per-type, per-field statistics: COUNT plus numeric MIN/MAX —
+    the ListStatsCommand view over the engine's statistics surface."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    manifest = _load_manifest(args.store)
+    names = [args.type_name] if args.type_name else sorted(manifest)
+    for name in names:
+        if name not in manifest:
+            print(f"unknown type: {name}", file=sys.stderr)
+            return 1
+        df = spark.read.parquet(os.path.join(args.store, name))
+        print(f"{name}: COUNT = {df.count()}")
+        aggs, labels = [], []
+        for f in df.schema.fields:
+            if f.dataType.simpleString() in (
+                "int", "bigint", "double", "float", "smallint", "timestamp"
+            ):
+                aggs += [F.min(f.name), F.max(f.name)]
+                labels.append(f.name)
+        if aggs:
+            row = df.agg(*aggs).collect()[0]
+            for i, col in enumerate(labels):
+                print(
+                    f"{name}.{col}: FIELD_MIN_MAX = "
+                    f"[{row[2 * i]}, {row[2 * i + 1]}]"
+                )
+    return 0
+
+
+# ------------------------------------------------------------------ main
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="geowave-spark",
+        description="Spark-first GeoWave-equivalent CLI",
+    )
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ing = sub.add_parser("ingest", help="ingest operations").add_subparsers(
+        dest="sub", required=True
+    )
+    ing.add_parser("listplugins").set_defaults(fn=cmd_ingest_listplugins)
+    lg = ing.add_parser("localtogw", help="ingest a directory into a store")
+    lg.add_argument("src")
+    lg.add_argument("store")
+    lg.add_argument("--formats", help="comma-separated plugin subset")
+    lg.add_argument("--type-prefix", default="", dest="type_prefix")
+    lg.set_defaults(fn=cmd_ingest_localtogw)
+
+    ty = sub.add_parser("type", help="type operations").add_subparsers(
+        dest="sub", required=True
+    )
+    tl = ty.add_parser("list")
+    tl.add_argument("store")
+    tl.set_defaults(fn=cmd_type_list)
+    td = ty.add_parser("describe")
+    td.add_argument("store")
+    td.add_argument("type_name")
+    td.set_defaults(fn=cmd_type_describe)
+    tr = ty.add_parser("rm")
+    tr.add_argument("store")
+    tr.add_argument("type_name")
+    tr.set_defaults(fn=cmd_type_rm)
+
+    q = sub.add_parser("query", help="run a GWQL statement")
+    q.add_argument("store")
+    q.add_argument("statement")
+    q.add_argument("--format", choices=("console", "csv"), default="console")
+    q.add_argument("--limit", type=int)
+    q.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("stat", help="statistics").add_subparsers(
+        dest="sub", required=True
+    )
+    sl = st.add_parser("list")
+    sl.add_argument("store")
+    sl.add_argument("--type", dest="type_name")
+    sl.set_defaults(fn=cmd_stat_list)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

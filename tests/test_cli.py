@@ -1,0 +1,124 @@
+"""CLI tests (geowave_spark/cli.py vs the reference's command groups)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+from geowave_spark import cli
+from geowave_spark.sources import formats as FM
+
+SF = "/root/testdata/sf0.001"
+
+
+def run(argv):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(argv)
+    return rc, buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, spark):
+    """Ingest the gdelt + tdrive fixture formats into a CLI store."""
+    src = FM.formats_fixture_dir(SF)
+    store = str(tmp_path_factory.mktemp("cli_store"))
+    rc, out = run(
+        ["ingest", "localtogw", src, store, "--formats", "gdelt,tdrive"]
+    )
+    assert rc == 0, out
+    return store
+
+
+def test_ingest_listplugins():
+    rc, out = run(["ingest", "listplugins"])
+    assert rc == 0
+    assert set(out.split()) == set(FM.FORMATS)
+
+
+def test_ingest_and_type_list(store):
+    rc, out = run(["type", "list", store])
+    assert rc == 0
+    lines = dict(
+        (ln.split("\t")[0], ln) for ln in out.strip().splitlines()
+    )
+    assert set(lines) == {"gdelt", "tdrive"}
+    assert "978 rows" in lines["gdelt"]  # skip rules applied at ingest
+    assert "1000 rows" in lines["tdrive"]
+    manifest = json.load(open(os.path.join(store, "types.json")))
+    assert manifest["gdelt"]["rows"] == 978
+
+
+def test_type_describe(store):
+    rc, out = run(["type", "describe", store, "gdelt"])
+    assert rc == 0
+    schema = dict(ln.split("\t") for ln in out.strip().splitlines())
+    assert schema["eventid"] == "int" and schema["x_u"] == "bigint"
+    rc, _ = run(["type", "describe", store, "nope"])
+    assert rc == 1
+
+
+def test_query_select_console_and_csv(store):
+    stmt = "SELECT eventid, x_u, y_u FROM gdelt WHERE eventid < 50 LIMIT 5"
+    rc, out = run(["query", store, stmt])
+    assert rc == 0 and "(5 rows)" in out
+    rc, out = run(["query", store, stmt, "--format", "csv"])
+    assert rc == 0
+    assert out.splitlines()[0] == "eventid,x_u,y_u"
+    assert len(out.strip().splitlines()) == 6
+
+
+def test_query_spatial_predicate(store):
+    """BBOX over the ingested micro-degree keys — the GWQL spatial
+    surface works against CLI-ingested format data unchanged."""
+    rc, out = run(
+        [
+            "query",
+            store,
+            "SELECT eventid FROM gdelt "
+            "WHERE BBOX(geom, -10000000, -10000000, 10000000, 10000000)",
+            "--format",
+            "csv",
+        ]
+    )
+    assert rc == 0
+    n = len(out.strip().splitlines()) - 1
+    assert 0 < n < 978  # a real spatial subset
+
+
+def test_stat_list(store):
+    rc, out = run(["stat", "list", store, "--type", "gdelt"])
+    assert rc == 0
+    assert "gdelt: COUNT = 978" in out
+    assert "gdelt.eventid: FIELD_MIN_MAX" in out
+
+
+def test_query_delete_persists(store, spark):
+    """GWQL DELETE through the CLI rewrites the stored type (the
+    in-memory anti-join keys on the unique leading column)."""
+    rc, out = run(["query", store, "DELETE FROM gdelt WHERE eventid < 50"])
+    assert rc == 0 and "deleted" in out
+    rc, out = run(
+        [
+            "query",
+            store,
+            "SELECT eventid FROM gdelt WHERE eventid < 50",
+            "--format",
+            "csv",
+        ]
+    )
+    assert len(out.strip().splitlines()) == 1  # header only — durably gone
+    manifest = json.load(open(os.path.join(store, "types.json")))
+    df = spark.read.parquet(os.path.join(store, "gdelt"))
+    assert manifest["gdelt"]["rows"] == df.count() < 978
+
+
+def test_type_rm(store):
+    rc, out = run(["type", "rm", store, "gdelt"])
+    assert rc == 0
+    rc, out = run(["type", "list", store])
+    assert "gdelt" not in out
