@@ -2581,6 +2581,24 @@ def _q_geojson_scan(spark, sf):
     )
 
 
+def _q_avro_scan(spark, sf):
+    """Avro container ingest (GeoWaveAvroIngestPlugin analog): the
+    from-scratch Object Container File codec (sources/avro.py) over
+    mixed deflate/null-codec files — zigzag longs, IEEE doubles,
+    union-with-null, blocked arrays, schema-driven Spark mapping."""
+    from geowave_spark.sources.avro import read_avro
+
+    df = read_avro(spark, _formats_root(sf) + "/avro")
+    return df.select(
+        "event_id",
+        "lon",
+        "lat",
+        "name",
+        F.array_join("tags", ",").alias("tag_s"),
+        "weight",
+    )
+
+
 def _q_ingest_plugins(spark, sf):
     """Directory-walk plugin routing (core/ingest LocalFileIngestDriver
     + per-plugin validate()): every file in the mixed fixture tree must
@@ -2915,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde": _q_kde,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
+        "avro_scan": _q_avro_scan,
         "gpx_waypoints": _q_gpx_waypoints,
         "geolife_tracks": _q_geolife_tracks,
         "crs_bbox": _q_crs_bbox,
@@ -3506,8 +3525,16 @@ def _oracle_sql_geom() -> dict[str, str]:
         "'box' || CAST(k AS VARCHAR) AS fid, 'Polygon' AS gtype, "
         "CAST(-1 - k AS BIGINT) AS eid, 'box' AS tag FROM s) "
         "SELECT * FROM pts UNION ALL SELECT * FROM boxes",
+        "avro_scan": fmt_ev
+        + ", a AS (SELECT e, u, x_u, y_u FROM ev WHERE e % 17 = 2) "
+        "SELECT e AS event_id, CAST(x_u AS DOUBLE)/1000000 AS lon, "
+        "CAST(y_u AS DOUBLE)/1000000 AS lat, "
+        "CASE WHEN e % 21 = 2 THEN NULL ELSE 'n' || CAST(u % 30 AS VARCHAR) END AS name, "
+        "'t' || CAST(u % 7 AS VARCHAR) || ',t' || CAST(e % 11 AS VARCHAR) AS tag_s, "
+        "e % 997 AS weight FROM a",
         "ingest_plugins": fmt_ev
-        + "SELECT 'gdelt' AS fmt, count(*) AS n FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0 "
+        + "SELECT 'avro' AS fmt, count(*) AS n FROM ev WHERE e % 17 = 2 "
+        "UNION ALL SELECT 'gdelt', count(*) FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0 "
         "UNION ALL SELECT 'geojson', count(*) + count(DISTINCT e % 8) "
         "FROM ev WHERE e % 11 = 5 "
         "UNION ALL SELECT 'geolife', count(*) FROM ev WHERE e % 3 = 0 "

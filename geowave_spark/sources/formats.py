@@ -616,7 +616,14 @@ def _read_shapefile(spark, path):
     return read_shapefile(spark, path)
 
 
+def _read_avro(spark, path):
+    from geowave_spark.sources.avro import read_avro
+
+    return read_avro(spark, path)
+
+
 FORMATS = {
+    "avro": (lambda p: p.endswith(".avro"), _read_avro),
     "gdelt": (lambda p: _fname(p).endswith(".export.csv"), read_gdelt),
     "geojson": (lambda p: p.endswith(".geojson"), read_geojson),
     "geolife": (lambda p: p.endswith(".plt"), read_geolife_points),
@@ -678,7 +685,7 @@ def ingest_directory(
 def formats_fixture_dir(sf_dir: str) -> str:
     """Build-once deterministic raw-format fixture tree for a testdata
     scale (atomic-rename + _SUCCESS, like plans/store._materialize)."""
-    digest = hashlib.md5(f"formats:v3:{sf_dir}".encode()).hexdigest()[:12]
+    digest = hashlib.md5(f"formats:v4:{sf_dir}".encode()).hexdigest()[:12]
     path = os.path.join(CACHE_ROOT, f"formats_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp{os.getpid()}"
@@ -882,6 +889,53 @@ def write_format_fixtures(sf_dir: str, out: str) -> None:
         )
         with open(os.path.join(gt, f"img{ei}.tif"), "wb") as f:
             f.write(b)
+
+    # ---- Avro: events with e%17==2 into 4 container files, deflate on
+    # even file ids; union-with-null name, array + map fields
+    from geowave_spark.sources.avro import avro_write
+
+    av = os.path.join(out, "avro")
+    os.makedirs(av, exist_ok=True)
+    am = e % 17 == 2
+    aschema = {
+        "type": "record",
+        "name": "feature",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "lon", "type": "double"},
+            {"name": "lat", "type": "double"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "weight", "type": "long"},
+        ],
+    }
+    adf = pd.DataFrame(
+        {
+            "k": e[am] % 4,
+            "e": e[am],
+            "u": u[am],
+            "lon": lon_t[am].to_numpy(),
+            "lat": lat_t[am].to_numpy(),
+        }
+    ).sort_values(["k", "e"])
+    for k, grp in adf.groupby("k", sort=True):
+        recs = [
+            {
+                "event_id": int(r["e"]),
+                "lon": float(r["lon"]),
+                "lat": float(r["lat"]),
+                "name": None if int(r["e"]) % 21 == 2 else f"n{int(r['u']) % 30}",
+                "tags": [f"t{int(r['u']) % 7}", f"t{int(r['e']) % 11}"],
+                "weight": int(r["e"]) % 997,
+            }
+            for _, r in grp.iterrows()
+        ]
+        avro_write(
+            os.path.join(av, f"feat{k}.avro"),
+            aschema,
+            recs,
+            codec="deflate" if k % 2 == 0 else "null",
+        )
 
     # ---- Shapefile: events with e%13==6 into 8 point shapefiles; the
     # DBF carries EID plus the micro-degree coords so the oracle can

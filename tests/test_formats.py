@@ -236,7 +236,7 @@ def test_tdrive_sniff_rejects_non_tdrive_txt(tmp_path):
 def test_ingest_directory_routes_all(spark, root):
     out = FM.ingest_directory(spark, root)
     assert sorted(out) == [
-        "gdelt", "geojson", "geolife", "geotiff", "gpx",
+        "avro", "gdelt", "geojson", "geolife", "geotiff", "gpx",
         "shapefile", "tdrive", "twitter",
     ]
     assert out["tdrive"].count() == 1000
@@ -380,3 +380,55 @@ def test_geojson_ndjson_and_multipolygon(spark, tmp_path):
     assert df["props"][0]["n"] == "2"
     assert df["geometry"][1] is None and df["gtype"][1] is None
     assert df["props"][1] == {"note": "no geom", "flag": "true"}
+
+
+# ------------------------------------------------------------------- avro
+
+
+def test_avro_codec_edge_cases(tmp_path):
+    from geowave_spark.sources.avro import avro_read, avro_write
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "BLUE"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                    "size": 4}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {"name": "nested", "type": {
+                "type": "record", "name": "inner",
+                "fields": [{"name": "x", "type": "long"}]}},
+        ],
+    }
+    recs = [
+        {"i": -(2**31) + 1, "e": "BLUE", "fx": b"abcd",
+         "m": {"a": 0.5, "b": -1.25}, "nested": {"x": 2**62}},
+    ]
+    p = str(tmp_path / "t.avro")
+    avro_write(p, schema, recs, codec="deflate")
+    s2, got = avro_read(open(p, "rb").read())
+    assert got == recs
+    # corrupted sync marker is detected
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        avro_read(bytes(raw))
+
+
+def test_avro_spark_reader(spark, root):
+    from geowave_spark.sources.avro import read_avro
+
+    df = read_avro(spark, root + "/avro").toPandas()
+    eid = df["event_id"]
+    assert (eid % 17 == 2).all() and len(df) > 40
+    assert df.loc[eid % 21 == 2, "name"].isna().all()
+    assert df.loc[eid % 21 != 2, "name"].notna().all()
+    # every tags array is [t<u%7>, t<e%11>] — second element is checkable
+    # from event_id alone (the first needs user_id, pinned by the oracle)
+    assert all(
+        t[1] == f"t{e % 11}" for t, e in zip(df["tags"], eid)
+    )
+    assert (df["weight"] == eid % 997).all()
