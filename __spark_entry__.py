@@ -2599,6 +2599,26 @@ def _q_avro_scan(spark, sf):
     )
 
 
+def _q_stanag_points(spark, sf):
+    """STANAG 4676 TrackMessage XML parse (Stanag4676IngestPlugin +
+    NATO4676Decoder.java:204-400): per-track metadata, xsi:type item
+    dispatch incl. the untyped fallback, skipped non-TrackPoint items,
+    and both speed-null decoder paths (missing element, unparseable
+    number)."""
+    from geowave_spark.sources.formats import read_stanag4676
+
+    df = read_stanag4676(spark, _formats_root(sf) + "/stanag")
+    return df.select(
+        "file", "track_uuid", "track_number", "status", "mission",
+        "point_uuid",
+        F.unix_timestamp("Timestamp").alias("ts_s"),
+        F.col("Latitude").alias("lat"),
+        F.col("Longitude").alias("lon"),
+        F.col("Elevation").alias("elev"),
+        "speed", "course",
+    )
+
+
 def _q_ingest_plugins(spark, sf):
     """Directory-walk plugin routing (core/ingest LocalFileIngestDriver
     + per-plugin validate()): every file in the mixed fixture tree must
@@ -2934,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
         "avro_scan": _q_avro_scan,
+        "stanag_points": _q_stanag_points,
         "gpx_waypoints": _q_gpx_waypoints,
         "geolife_tracks": _q_geolife_tracks,
         "crs_bbox": _q_crs_bbox,
@@ -3532,8 +3553,22 @@ def _oracle_sql_geom() -> dict[str, str]:
         "CASE WHEN e % 21 = 2 THEN NULL ELSE 'n' || CAST(u % 30 AS VARCHAR) END AS name, "
         "'t' || CAST(u % 7 AS VARCHAR) || ',t' || CAST(e % 11 AS VARCHAR) AS tag_s, "
         "e % 997 AS weight FROM a",
+        "stanag_points": fmt_ev
+        + ", s AS (SELECT e, u, ts, x_u, y_u, e % 8 AS k, u % 5 AS t "
+        "FROM ev WHERE e % 23 = 3) "
+        "SELECT 'msg' || CAST(k AS VARCHAR) || '.xml' AS file, "
+        "'uuid-' || CAST(k AS VARCHAR) || '-' || CAST(t AS VARCHAR) AS track_uuid, "
+        "'TN' || CAST(t AS VARCHAR) AS track_number, 'CONFIRMED' AS status, "
+        "'M' || CAST(k AS VARCHAR) AS mission, 'p' || CAST(e AS VARCHAR) AS point_uuid, "
+        "CAST(epoch(ts) AS BIGINT) AS ts_s, "
+        "CAST(y_u AS DOUBLE)/1000000 AS lat, CAST(x_u AS DOUBLE)/1000000 AS lon, "
+        "CAST(e % 3000 AS DOUBLE) AS elev, "
+        "CASE WHEN e % 31 = 3 OR e % 37 = 3 THEN NULL "
+        "ELSE CAST(e % 90 AS DOUBLE) + 0.25 END AS speed, "
+        "CAST(e % 360 AS DOUBLE) AS course FROM s",
         "ingest_plugins": fmt_ev
         + "SELECT 'avro' AS fmt, count(*) AS n FROM ev WHERE e % 17 = 2 "
+        "UNION ALL SELECT 'stanag4676', count(*) FROM ev WHERE e % 23 = 3 "
         "UNION ALL SELECT 'gdelt', count(*) FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0 "
         "UNION ALL SELECT 'geojson', count(*) + count(DISTINCT e % 8) "
         "FROM ev WHERE e % 11 = 5 "

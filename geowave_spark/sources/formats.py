@@ -402,6 +402,86 @@ read_gpx_points = _gpx_reader("pt", _GPX_PT_SCHEMA)
 read_gpx_tracks = _gpx_reader("trk", _GPX_TRK_SCHEMA)
 
 
+# ------------------------------------------------------------ STANAG 4676
+
+_STANAG_SCHEMA = (
+    "file string, track_uuid string, track_number string, status string, "
+    "mission string, point_uuid string, Timestamp timestamp, "
+    "Latitude double, Longitude double, Elevation double, "
+    "speed double, course double"
+)
+_XSI = "{http://www.w3.org/2001/XMLSchema-instance}type"
+
+
+def _stanag_parse(xml: str, file: str):
+    """TrackMessage → per-trackPoint records (NATO4676Decoder.java:
+    readTrackMessage 204 → readTrackEvent 277 → readTrackPoint 357 →
+    readGeodeticPosition 686). `items` children dispatch on
+    xsi:type="TrackPoint"; untyped items are read as track points,
+    exactly the decoder's fallback branch; other item types
+    (identity/classification/management/imagery) are skipped as
+    non-spatial, matching the ingest plugin's feature selection."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)
+    if _strip_ns(root.tag) != "TrackMessage":
+        return
+    for tracks in root:
+        if _strip_ns(tracks.tag) != "tracks":
+            continue
+        t_uuid = _gpx_text(tracks, "trackUUID")
+        t_num = _gpx_text(tracks, "trackNumber")
+        status = _gpx_text(tracks, "trackStatus")
+        mission = _gpx_text(tracks, "missionID")
+        for item in tracks:
+            if _strip_ns(item.tag) != "items":
+                continue
+            xsi = item.get(_XSI)
+            if xsi is not None and xsi != "TrackPoint":
+                continue
+            pos = None
+            for c in item:
+                if _strip_ns(c.tag) == "trackPointPosition":
+                    pos = c
+            def num(el, name):
+                v = _gpx_text(el, name) if el is not None else None
+                try:
+                    return float(v) if v is not None else None
+                except ValueError:
+                    return None  # decoder's NumberFormatException → null
+            ts = _gpx_text(item, "trackItemTime")
+            yield {
+                "file": file,
+                "track_uuid": t_uuid,
+                "track_number": t_num,
+                "status": status,
+                "mission": mission,
+                "point_uuid": _gpx_text(item, "trackItemUUID"),
+                "Timestamp": _gpx_time(ts),
+                "Latitude": num(pos, "latitude"),
+                "Longitude": num(pos, "longitude"),
+                "Elevation": num(pos, "elevation"),
+                "speed": num(item, "trackPointSpeed"),
+                "course": num(item, "trackPointCourse"),
+            }
+
+
+def read_stanag4676(spark: SparkSession, path) -> DataFrame:
+    """STANAG 4676 track-message XML → track-point features
+    (Stanag4676IngestPlugin.java + NATO4676Decoder.java). Same
+    whole-file Arrow-batched XML pattern as GPX."""
+    cols = [c.split(" ")[0] for c in _STANAG_SCHEMA.split(", ")]
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for xml, file in zip(pdf["xml"], pdf["file"]):
+                rows.extend(_stanag_parse(xml, file))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _gpx_frames(spark, path).mapInPandas(parse, _STANAG_SCHEMA)
+
+
 # ---------------------------------------------------------------- Twitter
 
 _TWITTER_SCHEMA = (
@@ -624,6 +704,7 @@ def _read_avro(spark, path):
 
 FORMATS = {
     "avro": (lambda p: p.endswith(".avro"), _read_avro),
+    "stanag4676": (lambda p: p.endswith(".xml"), read_stanag4676),
     "gdelt": (lambda p: _fname(p).endswith(".export.csv"), read_gdelt),
     "geojson": (lambda p: p.endswith(".geojson"), read_geojson),
     "geolife": (lambda p: p.endswith(".plt"), read_geolife_points),
@@ -685,7 +766,7 @@ def ingest_directory(
 def formats_fixture_dir(sf_dir: str) -> str:
     """Build-once deterministic raw-format fixture tree for a testdata
     scale (atomic-rename + _SUCCESS, like plans/store._materialize)."""
-    digest = hashlib.md5(f"formats:v4:{sf_dir}".encode()).hexdigest()[:12]
+    digest = hashlib.md5(f"formats:v5:{sf_dir}".encode()).hexdigest()[:12]
     path = os.path.join(CACHE_ROOT, f"formats_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp{os.getpid()}"
@@ -889,6 +970,68 @@ def write_format_fixtures(sf_dir: str, out: str) -> None:
         )
         with open(os.path.join(gt, f"img{ei}.tif"), "wb") as f:
             f.write(b)
+
+    # ---- STANAG 4676: events with e%23==3 into 8 TrackMessage XMLs;
+    # per-file tracks keyed u%5; plants the decoder's null paths
+    # (missing speed, unparseable speed) + untyped-items fallback +
+    # a skipped non-TrackPoint item per track
+    st = os.path.join(out, "stanag")
+    os.makedirs(st, exist_ok=True)
+    stm = e % 23 == 3
+    stf = pd.DataFrame(
+        {
+            "k": e[stm] % 8,
+            "t": u[stm] % 5,
+            "e": e[stm],
+            "lat": lat_t[stm].to_numpy(),
+            "lon": lon_t[stm].to_numpy(),
+            "iso": ts[stm].strftime("%Y-%m-%dT%H:%M:%SZ"),
+        }
+    ).sort_values(["k", "t", "e"])
+    xsi_ns = (
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"'
+    )
+    for k, kg in stf.groupby("k", sort=True):
+        parts = [
+            '<?xml version="1.0"?>',
+            f'<TrackMessage xmlns="urn:nato:stanag:4676" {xsi_ns}>',
+            "<stanagVersion>1.0</stanagVersion>",
+        ]
+        for t, tg in kg.groupby("t", sort=True):
+            parts.append("<tracks>")
+            parts.append(f"<trackUUID>uuid-{k}-{t}</trackUUID>")
+            parts.append(f"<trackNumber>TN{t}</trackNumber>")
+            parts.append("<trackStatus>CONFIRMED</trackStatus>")
+            parts.append(f"<missionID>M{k}</missionID>")
+            parts.append(
+                '<items xsi:type="TrackIdentityInformation">'
+                "<identity>FRIEND</identity></items>"
+            )
+            for _, r in tg.iterrows():
+                ei = int(r["e"])
+                typed = ' xsi:type="TrackPoint"' if ei % 4 != 3 else ""
+                if ei % 31 == 3:
+                    speed = ""
+                elif ei % 37 == 3:
+                    speed = "<trackPointSpeed>fast</trackPointSpeed>"
+                else:
+                    speed = (
+                        f"<trackPointSpeed>{ei % 90}.25</trackPointSpeed>"
+                    )
+                parts.append(
+                    f"<items{typed}><trackItemUUID>p{ei}</trackItemUUID>"
+                    f"<trackItemTime>{r['iso']}</trackItemTime>"
+                    f"<trackPointPosition><latitude>{r['lat']}</latitude>"
+                    f"<longitude>{r['lon']}</longitude>"
+                    f"<elevation>{ei % 3000}</elevation>"
+                    f"</trackPointPosition>{speed}"
+                    f"<trackPointCourse>{ei % 360}</trackPointCourse>"
+                    "</items>"
+                )
+            parts.append("</tracks>")
+        parts.append("</TrackMessage>")
+        with open(os.path.join(st, f"msg{k}.xml"), "w") as f:
+            f.write("\n".join(parts) + "\n")
 
     # ---- Avro: events with e%17==2 into 4 container files, deflate on
     # even file ids; union-with-null name, array + map fields

@@ -237,7 +237,7 @@ def test_ingest_directory_routes_all(spark, root):
     out = FM.ingest_directory(spark, root)
     assert sorted(out) == [
         "avro", "gdelt", "geojson", "geolife", "geotiff", "gpx",
-        "shapefile", "tdrive", "twitter",
+        "shapefile", "stanag4676", "tdrive", "twitter",
     ]
     assert out["tdrive"].count() == 1000
     only = FM.ingest_directory(spark, root, formats=["gpx"])
@@ -432,3 +432,27 @@ def test_avro_spark_reader(spark, root):
         t[1] == f"t{e % 11}" for t, e in zip(df["tags"], eid)
     )
     assert (df["weight"] == eid % 997).all()
+
+
+# ------------------------------------------------------------ STANAG 4676
+
+
+def test_stanag_decoder_paths(spark, root):
+    df = FM.read_stanag4676(spark, root + "/stanag").toPandas()
+    eid = df["point_uuid"].str.removeprefix("p").astype(int)
+    assert (eid % 23 == 3).all() and len(df) > 30
+    # untyped items (e%4==3) parsed via the fallback branch — present
+    assert (eid % 4 == 3).any()
+    # speed null paths: missing element and NumberFormatException
+    assert df.loc[(eid % 31 == 3) | (eid % 37 == 3), "speed"].isna().all()
+    ok = ~((eid % 31 == 3) | (eid % 37 == 3))
+    assert (df.loc[ok, "speed"] == (eid[ok] % 90) + 0.25).all()
+    # non-TrackPoint items were skipped, not parsed as points
+    assert not df["point_uuid"].isna().any()
+
+
+def test_stanag_non_trackmessage_ignored(spark, tmp_path):
+    (tmp_path / "other.xml").write_text(
+        '<?xml version="1.0"?><SomethingElse><tracks/></SomethingElse>'
+    )
+    assert FM.read_stanag4676(spark, str(tmp_path)).count() == 0
