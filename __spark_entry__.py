@@ -2623,12 +2623,22 @@ def _q_ingest_plugins(spark, sf):
     """Directory-walk plugin routing (core/ingest LocalFileIngestDriver
     + per-plugin validate()): every file in the mixed fixture tree must
     reach exactly its own format's reader — per-format parsed row
-    counts, including T-Drive's first-line content sniff."""
+    counts, including T-Drive's first-line content sniff. All ten
+    readers union into ONE aggregation job (parallel subtrees, no
+    driver-side per-format counting)."""
+    from functools import reduce
+
     from geowave_spark.sources.formats import ingest_directory
 
     ing = ingest_directory(spark, _formats_root(sf))
-    rows = [(name, df.count()) for name, df in sorted(ing.items())]
-    return spark.createDataFrame(rows, "fmt string, n long")
+    tagged = [
+        df.select(F.lit(name).alias("fmt")) for name, df in sorted(ing.items())
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("fmt")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -215,15 +215,15 @@ def main():
         # distinct agg, then a pushed In() filter + codegen CASE
         "visibility_scan",
         # round-5 wave 2 — ingest-format plugins (extensions/formats/*):
-        # raw-file parse plans (split/cast/filter codegen; GPX is the
-        # one Arrow-batched XML path). gdelt = 58-col TSV with skip
-        # rules; tdrive = trajectory CSV + per-taxi window;
-        # twitter = schema'd JSON scan; ingest_plugins = directory
-        # walk + plugin routing + all five readers end-to-end
+        # raw-file parse plans (split/cast/filter codegen; GPX/STANAG
+        # are the Arrow-batched XML paths). gdelt = 58-col TSV with
+        # skip rules; tdrive = trajectory CSV + per-taxi window;
+        # twitter = schema'd JSON scan. ingest_plugins (gate row) is
+        # NOT timed here — it re-runs every reader end-to-end and
+        # would double-count the individually-timed parses
         "gdelt_ingest",
         "tdrive_points",
         "twitter_points",
-        "ingest_plugins",
         # from-scratch GeoTIFF strip decode (mixed deflate/raw) incl.
         # full pixel re-emission in the typed RAW container
         "geotiff_scan",
