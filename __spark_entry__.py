@@ -2403,6 +2403,46 @@ def _formats_root(sf):
     return formats_fixture_dir(sf)
 
 
+def _conus_box(df):
+    """Conic service-area filter (CONUS-ish): lon -130..-60, lat 15..60."""
+    return df.where(
+        "x_u BETWEEN -130000000 AND -60000000 "
+        "AND y_u BETWEEN 15000000 AND 60000000"
+    )
+
+
+_CONUS_WHERE = (
+    "x_u BETWEEN -130000000 AND -60000000 "
+    "AND y_u BETWEEN 15000000 AND 60000000"
+)
+
+
+def _q_lcc_transform(spark, sf):
+    """WGS84 → Lambert Conformal Conic 2SP (CONUS 33/45 set) → WGS84
+    over the service-area events (geom/transform.lcc_stages): chained
+    selectExpr stages collapsed into one codegen projection; inverse =
+    fixed-point inversion of the exact forward t (Snyder 15-9/7-9).
+    The oracle runs the SAME stage strings as a DuckDB CTE chain."""
+    from geowave_spark.geom.transform import conic_roundtrip, lcc_stages
+
+    pts = _conus_box(events_points(spark, sf).select("event_id", "x_u", "y_u"))
+    return conic_roundtrip(pts, stages_fn=lcc_stages).select(
+        "event_id", "e_m", "n_m", "rt_x_u", "rt_y_u"
+    )
+
+
+def _q_albers_transform(spark, sf):
+    """WGS84 → Albers Equal-Area 2SP (CONUS 29.5/45.5 set) → WGS84
+    (geom/transform.albers_stages; inverse latitude via Snyder 3-16
+    iteration on the exact forward q)."""
+    from geowave_spark.geom.transform import albers_stages, conic_roundtrip
+
+    pts = _conus_box(events_points(spark, sf).select("event_id", "x_u", "y_u"))
+    return conic_roundtrip(pts, stages_fn=albers_stages).select(
+        "event_id", "e_m", "n_m", "rt_x_u", "rt_y_u"
+    )
+
+
 def _q_gdelt_ingest(spark, sf):
     """GDELT 57/58-column TSV parse (GDELTIngestPlugin.java:161-300):
     every skip rule (geoType 0, empty lat/lon, 57-column no-URL lines)
@@ -2963,6 +3003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde": _q_kde,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
+        "lcc_transform": _q_lcc_transform,
+        "albers_transform": _q_albers_transform,
         "avro_scan": _q_avro_scan,
         "stanag_points": _q_stanag_points,
         "gpx_waypoints": _q_gpx_waypoints,
@@ -3048,6 +3090,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _stop_list_sql(words):
     return ", ".join(f"'{w}'" for w in words)
+
+
+def _conic_oracle(stages_fn, prefix: str) -> str:
+    from geowave_spark.geom.transform import conic_roundtrip_sql
+
+    return (
+        f"{_pts_cte()}, _conus AS (SELECT event_id, x_u, y_u FROM "
+        f"{EVENTS_PTS} WHERE {_CONUS_WHERE}), "
+        + conic_roundtrip_sql(
+            "_conus",
+            stages_fn=stages_fn,
+            prefix=prefix,
+            cols="event_id, e_m, n_m, rt_x_u, rt_y_u",
+        )
+    )
+
+
+def _lcc_oracle() -> str:
+    from geowave_spark.geom.transform import lcc_stages
+
+    return _conic_oracle(lcc_stages, "_lcc")
+
+
+def _albers_oracle() -> str:
+    from geowave_spark.geom.transform import albers_stages
+
+    return _conic_oracle(albers_stages, "_aea")
 
 
 def _utm_transform_oracle() -> str:
@@ -3651,6 +3720,8 @@ def _oracle_sql_geom() -> dict[str, str]:
         ),
         "crs_transform": _crs_transform_oracle(),
         "utm_transform": _utm_transform_oracle(),
+        "lcc_transform": _lcc_oracle(),
+        "albers_transform": _albers_oracle(),
         "interval_join": f"WITH ivs AS {events_intervals_sql('')}, "
         f"a AS (SELECT event_id AS a_id, ts_start AS a_s, ts_end AS a_e "
         f"FROM ivs WHERE event_id % {IVJ_MOD_A} = 0), "

@@ -363,3 +363,262 @@ def utm_roundtrip_sql(src_sql: str, cols: str = "*", **kw) -> str:
         parts.append(f"{name} AS (SELECT {', '.join(stage)} FROM {prev})")
         prev = name
     return ", ".join(parts) + f" SELECT {cols} FROM {prev}"
+
+
+# ===================================================================
+# WGS84 ↔ Lambert Conformal Conic (2SP) and Albers Equal-Area (2SP)
+# ===================================================================
+#
+# The conic families a reference user reprojects into for continental
+# rasters and equal-area statistics (GeoTools wires them via EPSG —
+# e.g. the CONUS LCC and EPSG:5070-style Albers parameter sets used
+# below). Same single-source-of-truth stance as utm_stages: every
+# stage is a SQL expression string evaluated by Spark selectExpr
+# (whole-stage codegen) AND verbatim as the DuckDB oracle's CTE
+# chain; the inverse is a fixed-point inversion of the exact forward
+# map (Snyder 1987 formulas 15-1..15-11, 14-1..14-24), so no
+# independently-derived series can introduce its own error. Both
+# parameter sets use n > 0 (northern standard parallels).
+
+E1_WGS84 = math.sqrt(F_WGS84 * (2.0 - F_WGS84))  # first eccentricity
+
+# CONUS Lambert Conformal Conic 2SP (the classic 33/45 set)
+LCC_LAT1_DEG = 33.0
+LCC_LAT2_DEG = 45.0
+LCC_LAT0_DEG = 39.0
+LCC_LON0_DEG = -96.0
+
+# CONUS Albers Equal-Area 2SP (EPSG:5070-style 29.5/45.5 set)
+AEA_LAT1_DEG = 29.5
+AEA_LAT2_DEG = 45.5
+AEA_LAT0_DEG = 23.0
+AEA_LON0_DEG = -96.0
+
+
+def _m_py(phi: float, e: float) -> float:
+    return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+
+def _t_py(phi: float, e: float) -> float:
+    return math.tan(math.pi / 4 - phi / 2) / (
+        (1 - e * math.sin(phi)) / (1 + e * math.sin(phi))
+    ) ** (e / 2)
+
+
+def _q_py(phi: float, e: float) -> float:
+    s = math.sin(phi)
+    return (1 - e * e) * (
+        s / (1 - (e * s) ** 2) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _t_sql(phi: str, e: float) -> str:
+    """Snyder 15-9 as SQL text (the exact forward t — also the kernel
+    the inverse latitude iteration contracts against)."""
+    es = repr(e)
+    return (
+        f"(tan({repr(math.pi / 4.0)} - ({phi}) / 2) / "
+        f"pow((1 - {es} * sin({phi})) / (1 + {es} * sin({phi})), {repr(e / 2.0)}))"
+    )
+
+
+def lcc_stages(
+    a_m: float = R_MAJOR_M,
+    e: float = E1_WGS84,
+    lat1: float = LCC_LAT1_DEG,
+    lat2: float = LCC_LAT2_DEG,
+    lat0: float = LCC_LAT0_DEG,
+    lon0: float = LCC_LON0_DEG,
+    carry: tuple[str, ...] = ("event_id",),
+) -> list[list[str]]:
+    """WGS84(µdeg) → LCC meters → WGS84(µdeg) round trip as a stage
+    chain over (x_u, y_u) + carry. Output: carry + e_m, n_m (integer
+    meters) + rt_x_u, rt_y_u. Valid away from the poles and for
+    longitudes within ±(180/n)° of the central meridian — callers
+    filter to the projection's service area, as with any conic."""
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = _m_py(p1, e), _m_py(p2, e)
+    t1, t2, t0 = _t_py(p1, e), _t_py(p2, e), _t_py(p0, e)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    big_f = m1 / (n * t1**n)
+    af = a_m * big_f
+    rho0 = af * t0**n
+    c = list(carry)
+
+    s1 = c + [
+        "x_u AS _ox",
+        "y_u AS _oy",
+        "radians(y_u / 1e6) AS _phi",
+        f"radians(x_u / 1e6 - {repr(lon0)}) AS _dl",
+    ]
+    s2 = c + [
+        "_ox",
+        "_oy",
+        "_dl",
+        f"{_t_sql('_phi', e)} AS _t",
+    ]
+    s3 = c + [
+        "_ox",
+        "_oy",
+        f"{repr(af)} * pow(_t, {repr(n)}) AS _rho",
+        f"{repr(n)} * _dl AS _th",
+    ]
+    s4 = c + [
+        "_ox",
+        "_oy",
+        "_rho * sin(_th) AS _e_raw",
+        f"{repr(rho0)} - _rho * cos(_th) AS _n_raw",
+    ]
+    # inverse (n > 0): rho' from the projected pair, t' = (rho'/aF)^(1/n)
+    s5 = c + [
+        "_ox",
+        "_oy",
+        "CAST(round(_e_raw) AS BIGINT) AS e_m",
+        "CAST(round(_n_raw) AS BIGINT) AS n_m",
+        f"sqrt(_e_raw * _e_raw + ({repr(rho0)} - _n_raw) * ({repr(rho0)} - _n_raw)) AS _rhop",
+        f"atan2(_e_raw, {repr(rho0)} - _n_raw) AS _thp",
+    ]
+    s6 = c + [
+        "_ox",
+        "_oy",
+        "e_m",
+        "n_m",
+        "_thp",
+        f"pow(_rhop / {repr(af)}, {repr(1.0 / n)}) AS _tp",
+    ]
+    stages = [s1, s2, s3, s4, s5, s6]
+    # φ from t' by fixed point φ = π/2 − 2·atan(t'·((1−e sinφ)/(1+e sinφ))^(e/2))
+    # (Snyder 7-9; contraction ~e² ≈ 6.7e-3 per round, 5 rounds < 1e-13)
+    keep = c + ["_ox", "_oy", "e_m", "n_m", "_thp", "_tp"]
+    pv = f"({repr(math.pi / 2.0)} - 2 * atan(_tp))"
+    es = repr(e)
+    for i in range(5):
+        stages.append(
+            keep
+            + [
+                f"{repr(math.pi / 2.0)} - 2 * atan(_tp * pow("
+                f"(1 - {es} * sin({pv})) / (1 + {es} * sin({pv})), {repr(e / 2.0)}"
+                f")) AS _ph{i}"
+            ]
+        )
+        pv = f"_ph{i}"
+    stages.append(
+        c
+        + [
+            "e_m",
+            "n_m",
+            f"CAST(round((degrees(_thp / {repr(n)}) + {repr(lon0)}) * 1e6) AS BIGINT) AS rt_x_u",
+            f"CAST(round(degrees({pv}) * 1e6) AS BIGINT) AS rt_y_u",
+        ]
+    )
+    return stages
+
+
+def albers_stages(
+    a_m: float = R_MAJOR_M,
+    e: float = E1_WGS84,
+    lat1: float = AEA_LAT1_DEG,
+    lat2: float = AEA_LAT2_DEG,
+    lat0: float = AEA_LAT0_DEG,
+    lon0: float = AEA_LON0_DEG,
+    carry: tuple[str, ...] = ("event_id",),
+) -> list[list[str]]:
+    """WGS84(µdeg) → Albers equal-area meters → WGS84(µdeg) round trip
+    (Snyder 14-1..14-24; inverse latitude via Snyder 3-16 iteration on
+    the exact forward q). Same output contract as lcc_stages."""
+    p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+    m1, m2 = _m_py(p1, e), _m_py(p2, e)
+    q1, q2, q0 = _q_py(p1, e), _q_py(p2, e), _q_py(p0, e)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    big_c = m1 * m1 + n * q1
+    rho0 = a_m * math.sqrt(big_c - n * q0) / n
+    c = list(carry)
+    es = repr(e)
+    e2 = repr(e * e)
+
+    def q_sql(phi: str) -> str:
+        return (
+            f"({repr(1 - e * e)} * (sin({phi}) / (1 - {e2} * sin({phi}) * sin({phi}))"
+            f" - {repr(1.0 / (2 * e))} * ln((1 - {es} * sin({phi})) / (1 + {es} * sin({phi})))))"
+        )
+
+    s1 = c + [
+        "x_u AS _ox",
+        "y_u AS _oy",
+        "radians(y_u / 1e6) AS _phi",
+        f"radians(x_u / 1e6 - {repr(lon0)}) AS _dl",
+    ]
+    s2 = c + ["_ox", "_oy", "_dl", f"{q_sql('_phi')} AS _q"]
+    s3 = c + [
+        "_ox",
+        "_oy",
+        f"{repr(a_m)} * sqrt({repr(big_c)} - {repr(n)} * _q) / {repr(n)} AS _rho",
+        f"{repr(n)} * _dl AS _th",
+    ]
+    s4 = c + [
+        "_ox",
+        "_oy",
+        "_rho * sin(_th) AS _e_raw",
+        f"{repr(rho0)} - _rho * cos(_th) AS _n_raw",
+    ]
+    s5 = c + [
+        "_ox",
+        "_oy",
+        "CAST(round(_e_raw) AS BIGINT) AS e_m",
+        "CAST(round(_n_raw) AS BIGINT) AS n_m",
+        f"sqrt(_e_raw * _e_raw + ({repr(rho0)} - _n_raw) * ({repr(rho0)} - _n_raw)) AS _rhop",
+        f"atan2(_e_raw, {repr(rho0)} - _n_raw) AS _thp",
+    ]
+    s6 = c + [
+        "_ox",
+        "_oy",
+        "e_m",
+        "n_m",
+        "_thp",
+        f"({repr(big_c)} - pow(_rhop * {repr(n)} / {repr(a_m)}, 2.0)) / {repr(n)} AS _qp",
+    ]
+    stages = [s1, s2, s3, s4, s5, s6]
+    # φ from q' by Snyder 3-16: φ += (1−e²sin²φ)²/(2cosφ) · [q'/(1−e²)
+    # − sinφ/(1−e²sin²φ) + (1/2e)·ln((1−e sinφ)/(1+e sinφ))]
+    keep = c + ["_ox", "_oy", "e_m", "n_m", "_thp", "_qp"]
+    pv = "asin(least(greatest(_qp / 2, -1.0), 1.0))"
+    for i in range(4):
+        corr = (
+            f"pow(1 - {e2} * sin({pv}) * sin({pv}), 2.0) / (2 * cos({pv})) * "
+            f"(_qp / {repr(1 - e * e)}"
+            f" - sin({pv}) / (1 - {e2} * sin({pv}) * sin({pv}))"
+            f" + {repr(1.0 / (2 * e))} * ln((1 - {es} * sin({pv})) / (1 + {es} * sin({pv}))))"
+        )
+        stages.append(keep + [f"({pv}) + {corr} AS _ph{i}"])
+        pv = f"_ph{i}"
+    stages.append(
+        c
+        + [
+            "e_m",
+            "n_m",
+            f"CAST(round((degrees(_thp / {repr(n)}) + {repr(lon0)}) * 1e6) AS BIGINT) AS rt_x_u",
+            f"CAST(round(degrees({pv}) * 1e6) AS BIGINT) AS rt_y_u",
+        ]
+    )
+    return stages
+
+
+def conic_roundtrip(df, stages_fn=lcc_stages, **kw):
+    """Spark side: one whole-stage-codegen projection per conic chain."""
+    out = df
+    for stage in stages_fn(**kw):
+        out = out.selectExpr(*stage)
+    return out
+
+
+def conic_roundtrip_sql(src_sql: str, stages_fn=lcc_stages,
+                        cols: str = "*", prefix: str = "_lcc", **kw) -> str:
+    """DuckDB side: the SAME stage strings as a CTE chain."""
+    stages = stages_fn(**kw)
+    parts = []
+    prev = src_sql
+    for i, stage in enumerate(stages):
+        name = f"{prefix}{i + 1}"
+        parts.append(f"{name} AS (SELECT {', '.join(stage)} FROM {prev})")
+        prev = name
+    return ", ".join(parts) + f" SELECT {cols} FROM {prev}"

@@ -262,3 +262,112 @@ def test_utm_antimeridian_wraps_into_zone_1(spark):
     assert 150_000 < out[1]["e_m"] < 300_000
     assert out[1]["rt_x_u"] == out[2]["rt_x_u"] == -180_000_000
     assert out[1]["rt_y_u"] == 20_000_000
+
+
+# ------------------------------------------------- LCC / Albers conics
+
+
+def test_conic_origin_and_roundtrip(spark):
+    """Both conics map (λ0, φ0) to exactly (0, 0) and round-trip every
+    service-area probe point to the exact input micro-degrees."""
+    from geowave_spark.geom.transform import (
+        albers_stages,
+        conic_roundtrip,
+        lcc_stages,
+    )
+
+    pts = [
+        (0, -96_000_000, 39_000_000),   # LCC origin
+        (1, -96_000_000, 23_000_000),   # Albers origin
+        (2, -120_500_000, 35_250_000),
+        (3, -70_000_000, 45_000_000),
+        (4, -96_000_000, 33_000_000),   # standard parallel
+        (5, -129_900_000, 15_100_000),  # service-area corners
+        (6, -60_100_000, 59_900_000),
+    ]
+    df = spark.createDataFrame(pts, "event_id LONG, x_u LONG, y_u LONG")
+    for fn, origin_id in ((lcc_stages, 0), (albers_stages, 1)):
+        out = {r["event_id"]: r for r in conic_roundtrip(df, stages_fn=fn).collect()}
+        assert out[origin_id]["e_m"] == 0 and out[origin_id]["n_m"] == 0
+        for i, x, y in pts:
+            assert out[i]["rt_x_u"] == x, (fn.__name__, i)
+            assert out[i]["rt_y_u"] == y, (fn.__name__, i)
+
+
+def test_albers_is_equal_area(spark):
+    """The defining property: the projected area of a geodetic cell
+    equals its authalic-sphere area (within the quadrature error of a
+    small cell) — checked for two cells at very different latitudes,
+    which a conformal projection (LCC) cannot satisfy simultaneously."""
+    import math
+
+    from geowave_spark.geom.transform import (
+        E1_WGS84,
+        R_MAJOR_M,
+        albers_stages,
+        conic_roundtrip,
+        _q_py,
+    )
+
+    def cell(eid, lon, lat, d=0.5):
+        return [
+            (eid * 10 + k, int((lon + dx) * 1e6), int((lat + dy) * 1e6))
+            for k, (dx, dy) in enumerate(
+                [(0, 0), (d, 0), (d, d), (0, d)]
+            )
+        ]
+
+    rows = cell(1, -110.0, 25.0) + cell(2, -80.0, 48.0)
+    df = spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG")
+    out = {r["event_id"]: r for r in conic_roundtrip(df, stages_fn=albers_stages).collect()}
+
+    def shoelace(ids):
+        xs = [(out[i]["e_m"], out[i]["n_m"]) for i in ids]
+        area = 0.0
+        for (x1, y1), (x2, y2) in zip(xs, xs[1:] + xs[:1]):
+            area += x1 * y2 - x2 * y1
+        return abs(area) / 2
+
+    e2 = E1_WGS84 ** 2
+    # authalic radius² = a²·q(π/2)/2 ; cell area on the ellipsoid =
+    # R_q²·Δλ·(q(φ2)−q(φ1))/2 (exact for a lon-lat quad)
+    def true_area(lat, d=0.5):
+        q1 = _q_py(math.radians(lat), E1_WGS84)
+        q2 = _q_py(math.radians(lat + d), E1_WGS84)
+        dlam = math.radians(d)
+        return R_MAJOR_M ** 2 * dlam * (q2 - q1) / 2
+
+    for eid, lat in ((1, 25.0), (2, 48.0)):
+        got = shoelace([eid * 10 + k for k in range(4)])
+        want = true_area(lat)
+        # straight-edge quadrature of the curved cell: ~1e-4 relative
+        assert abs(got - want) / want < 5e-4, (eid, got, want)
+
+
+def test_lcc_preserves_meridian_scale_at_standard_parallels(spark):
+    """Conformal pin: along a standard parallel the LCC scale factor is
+    exactly 1 — a 0.1° arc of the parallel projects to its ellipsoidal
+    ground length (r·Δλ with r = a·cosφ/√(1−e²sin²φ))."""
+    import math
+
+    from geowave_spark.geom.transform import (
+        E1_WGS84,
+        R_MAJOR_M,
+        conic_roundtrip,
+        lcc_stages,
+    )
+
+    lat = 33.0
+    rows = [(1, -96_000_000, int(lat * 1e6)), (2, -95_900_000, int(lat * 1e6))]
+    df = spark.createDataFrame(rows, "event_id LONG, x_u LONG, y_u LONG")
+    out = {r["event_id"]: r for r in conic_roundtrip(df, stages_fn=lcc_stages).collect()}
+    dx = out[2]["e_m"] - out[1]["e_m"]
+    dy = out[2]["n_m"] - out[1]["n_m"]
+    got = math.hypot(dx, dy)
+    phi = math.radians(lat)
+    r = R_MAJOR_M * math.cos(phi) / math.sqrt(1 - (E1_WGS84 * math.sin(phi)) ** 2)
+    want = r * math.radians(0.1)
+    # chord-vs-arc of a 0.1° parallel arc is ~5e-4 m; the dominant
+    # error is the INTEGER-meter rounding of both endpoints (≤1 m
+    # each) — so pin to 2 m absolute on the ~9.3 km arc (2e-4 rel)
+    assert abs(got - want) < 2.0, (got, want)
