@@ -192,6 +192,41 @@ if jobs is None or "tile_cut_merge" in jobs:
     imgs = images_table(spark, n_img, w=64, h=64, partitions=int(cpus) * 4)
     imgs = imgs.persist(); imgs.count()  # materialize generation outside the timed cut+merge
     run("tile_cut_merge", lambda: tile_cut_and_merge(imgs, 600_000, tile_size=64))
+if jobs is not None and "format_parse" in jobs:
+    # raw-format ingest scaling (round-5 wave 13): parse a scale//4-x
+    # replicated GDELT fixture tree through the full 58-column
+    # split/try_cast/filter plan. Embarrassingly parallel by
+    # construction (one task per file split, zero shuffle) — the job
+    # evidences that the reader plans actually realize that shape.
+    # The replicated tree is data PRODUCTION, built once outside the
+    # timed window (same stance as the bench fixture warmups).
+    import glob as _glob
+
+    from geowave_spark.sources.formats import formats_fixture_dir, read_gdelt
+
+    src = formats_fixture_dir(sf_dir) + "/gdelt"
+    rep = max(scale // 4, 1)
+    scaled = os.path.join(
+        os.environ.get("GEOWAVE_SPARK_CACHE", "/tmp/geowave_spark_cache"),
+        f"gdelt_scaled_{os.path.basename(sf_dir.rstrip('/'))}_{rep}",
+    )
+    if not os.path.exists(os.path.join(scaled, "_SUCCESS")):
+        tmp = scaled + f".tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for f in sorted(_glob.glob(src + "/*.export.csv")):
+            data = open(f, "rb").read()
+            base = os.path.basename(f)[: -len(".export.csv")]
+            for i in range(rep):
+                with open(
+                    os.path.join(tmp, f"{base}_{i}.export.csv"), "wb"
+                ) as out:
+                    out.write(data)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, scaled)
+        except OSError:
+            pass  # concurrent winner; identical content
+    run("format_parse", lambda: read_gdelt(spark, scaled), reuse_df=True)
 
 print(json.dumps({
     "cpus": int(cpus),
