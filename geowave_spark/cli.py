@@ -171,6 +171,63 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """`vector localexport` analog (extensions/adapters/vector/.../
+    export/VectorLocalExportCommand.java — batched Avro DataFileWriter
+    with deflate): export a type, optionally CQL-filtered, to one
+    local Avro container (the reference's export format) or a GeoJSON
+    FeatureCollection. A local single-file export is driver-side by
+    nature; memory stays bounded (toLocalIterator + block flushing —
+    the reference's batchSize)."""
+    spark = _spark(args.cpus)
+    ds = _datastore(spark, args.store)
+    if args.type_name not in _load_manifest(args.store):
+        print(f"unknown type: {args.type_name}", file=sys.stderr)
+        return 1
+    df = (
+        ds.cql(args.type_name, args.cql) if args.cql else ds.type(args.type_name)
+    )
+    if args.format == "avro":
+        from geowave_spark.sources.avro import export_avro
+
+        n = export_avro(df, args.out, block_records=args.batch_size)
+    else:  # geojson
+        import json as _json
+
+        cols = [c for c in df.columns if c not in ("x_u", "y_u")]
+        has_xy = "x_u" in df.columns and "y_u" in df.columns
+        n = 0
+        with open(args.out, "w") as f:
+            f.write('{"type": "FeatureCollection", "features": [\n')
+            for row in df.toLocalIterator():
+                d = row.asDict()
+                geom = (
+                    {
+                        "type": "Point",
+                        "coordinates": [d["x_u"] / 1e6, d["y_u"] / 1e6],
+                    }
+                    if has_xy
+                    else None
+                )
+                props = {
+                    k: (str(v) if not isinstance(
+                        v, (int, float, str, bool, type(None))
+                    ) else v)
+                    for k, v in d.items()
+                    if k in cols
+                }
+                feat = {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": props,
+                }
+                f.write(("," if n else "") + _json.dumps(feat) + "\n")
+                n += 1
+            f.write("]}\n")
+    print(f"exported {n} rows from '{args.type_name}' to {args.out}")
+    return 0
+
+
 def cmd_stat_list(args) -> int:
     """Per-type, per-field statistics: COUNT plus numeric MIN/MAX —
     the ListStatsCommand view over the engine's statistics surface."""
@@ -245,6 +302,16 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--format", choices=("console", "csv"), default="console")
     q.add_argument("--limit", type=int)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("export", help="vector localexport analog")
+    ex.add_argument("store")
+    ex.add_argument("type_name")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", choices=("avro", "geojson"), default="avro")
+    ex.add_argument("--cql", help="optional (E)CQL filter")
+    ex.add_argument("--batch-size", type=int, default=10_000,
+                    dest="batch_size")
+    ex.set_defaults(fn=cmd_export)
 
     st = sub.add_parser("stat", help="statistics").add_subparsers(
         dest="sub", required=True

@@ -25,7 +25,6 @@ implementation.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib
@@ -179,34 +178,43 @@ def _decode(schema, r: _Reader):
 # ------------------------------------------------------------- container
 
 
-def avro_write(path: str, schema: dict, records: list[dict],
-               codec: str = "null", block_records: int = 1000) -> None:
-    """Write an Avro Object Container File (null or deflate codec)."""
+def avro_write(path: str, schema: dict, records,
+               codec: str = "null", block_records: int = 1000) -> int:
+    """Write an Avro Object Container File (null or deflate codec).
+    `records` may be any iterable — blocks stream to disk every
+    `block_records`, so an export never holds more than one block in
+    memory. Returns the record count."""
     meta = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
-    out = bytearray(MAGIC)
-    _encode(
-        {"type": "map", "values": "bytes"},
-        meta,
-        out,
-    )
-    out += SYNC
-    for i in range(0, max(len(records), 1), block_records):
-        chunk = records[i : i + block_records]
-        if not chunk:
-            break
-        body = bytearray()
-        for rec in chunk:
-            _encode(schema, rec, body)
-        payload = bytes(body)
-        if codec == "deflate":
-            payload = zlib.compress(payload)[2:-4]  # raw DEFLATE per spec
-        out += _zz_encode(len(chunk)) + _zz_encode(len(payload))
-        out += payload + SYNC
+    head = bytearray(MAGIC)
+    _encode({"type": "map", "values": "bytes"}, meta, head)
+    head += SYNC
+    total = 0
     with open(path, "wb") as f:
-        f.write(bytes(out))
+        f.write(bytes(head))
+
+        def flush(chunk):
+            body = bytearray()
+            for rec in chunk:
+                _encode(schema, rec, body)
+            payload = bytes(body)
+            if codec == "deflate":
+                payload = zlib.compress(payload)[2:-4]  # raw DEFLATE per spec
+            f.write(_zz_encode(len(chunk)) + _zz_encode(len(payload)))
+            f.write(payload + SYNC)
+
+        buf: list = []
+        for rec in records:
+            buf.append(rec)
+            total += 1
+            if len(buf) >= block_records:
+                flush(buf)
+                buf = []
+        if buf:
+            flush(buf)
+    return total
 
 
 def avro_read(data: bytes) -> tuple[dict, list[dict]]:
@@ -309,3 +317,68 @@ def read_avro(spark: SparkSession, path) -> DataFrame:
             yield pd.DataFrame(rows, columns=names)
 
     return df.select("content").mapInPandas(parse, ddl)
+
+
+_AVRO_OF_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "smallint": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def spark_to_avro_schema(schema, name: str = "feature") -> dict:
+    """Spark StructType → Avro record schema (the export direction —
+    VectorLocalExportCommand.java writes Avro feature collections).
+    Every field is union-with-null (Spark columns are nullable by
+    default); timestamps export as epoch-microsecond longs."""
+
+    def field_type(dt) -> object:
+        s = dt.simpleString()
+        if s in _AVRO_OF_SPARK:
+            return _AVRO_OF_SPARK[s]
+        if s == "timestamp":
+            return "long"  # epoch micros, converted by the exporter
+        if s.startswith("array<"):
+            return {"type": "array", "items": field_type(dt.elementType)}
+        if s.startswith("map<"):
+            return {"type": "map", "values": field_type(dt.valueType)}
+        raise NotImplementedError(f"avro export of spark type {s}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": ["null", field_type(f.dataType)]}
+            for f in schema.fields
+        ],
+    }
+
+
+def export_avro(df, path: str, codec: str = "deflate",
+                block_records: int = 10_000) -> int:
+    """Export a DataFrame as ONE local Avro container — the
+    `vector localexport` path (VectorLocalExportCommand.java: batched
+    DataFileWriter with deflate). A local single-file export is
+    driver-side by nature; memory stays bounded by toLocalIterator +
+    per-block flushing (the reference's batchSize). Returns rows."""
+    schema = spark_to_avro_schema(df.schema)
+    ts_cols = {
+        f.name for f in df.schema.fields
+        if f.dataType.simpleString() == "timestamp"
+    }
+
+    def rows():
+        for row in df.toLocalIterator():
+            d = row.asDict(recursive=True)
+            for c in ts_cols:
+                if d[c] is not None:
+                    d[c] = int(d[c].timestamp() * 1_000_000)
+            yield d
+
+    return avro_write(path, schema, rows(), codec=codec,
+                      block_records=block_records)

@@ -122,3 +122,55 @@ def test_type_rm(store):
     assert rc == 0
     rc, out = run(["type", "list", store])
     assert "gdelt" not in out
+
+
+def test_export_avro_roundtrip(store, spark, tmp_path):
+    """export → read_avro is the identity on the parsed rows
+    (ingest ∘ export round trip through the from-scratch codec)."""
+    out = str(tmp_path / "tdrive.avro")
+    rc, msg = run(["export", store, "tdrive", "--out", out])
+    assert rc == 0 and "exported 1000 rows" in msg
+    from geowave_spark.sources.avro import avro_read, read_avro
+
+    schema, recs = avro_read(open(out, "rb").read())
+    assert len(recs) == 1000
+    names = [f["name"] for f in schema["fields"]]
+    assert names[:2] == ["taxiid", "pointinstance"]
+    # spot-check against the stored parquet (timestamps = epoch micros)
+    import os
+
+    df = (
+        spark.read.parquet(os.path.join(store, "tdrive"))
+        .orderBy("taxiid", "pointinstance")
+        .limit(1)
+        .collect()[0]
+    )
+    first = min(recs, key=lambda r: (r["taxiid"], r["pointinstance"]))
+    assert first["taxiid"] == df["taxiid"]
+    assert first["x_u"] == df["x_u"]
+    assert first["Timestamp"] == int(df["Timestamp"].timestamp() * 1e6)
+    # and the Spark reader loads the exported container distributed
+    back = read_avro(spark, out)
+    assert back.count() == 1000
+
+
+def test_export_geojson_with_cql(store, spark, tmp_path):
+    out = str(tmp_path / "t.geojson")
+    rc, msg = run(
+        ["export", store, "tdrive", "--format", "geojson", "--out", out,
+         "--cql", "taxiid < 5.0"]
+    )
+    assert rc == 0
+    from geowave_spark.sources import formats as FM
+
+    df = FM.read_geojson(spark, str(tmp_path)).toPandas()
+    import os
+
+    want = (
+        spark.read.parquet(os.path.join(store, "tdrive"))
+        .where("taxiid < 5.0")
+        .count()
+    )
+    assert 0 < len(df) == want < 1000
+    assert (df["gtype"] == "Point").all()
+    assert (df["props"].map(lambda p: float(p["taxiid"]) < 5)).all()
