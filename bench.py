@@ -26,6 +26,7 @@ def main():
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("geowave-spark-bench")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -298,10 +298,21 @@ def read_avro(spark: SparkSession, path) -> DataFrame:
     if not isinstance(path, str):
         path = list(path)
     df = files.load(path).select("path", "content")
-    first = df.select("content").limit(1).collect()
+    first = df.select("path").limit(1).collect()
     if not first:
         raise ValueError(f"no avro files under {path}")
-    schema = avro_schema_bytes(bytes(first[0][0]))
+    # header-sized read: the schema lives in the first few hundred
+    # bytes; open the file directly when it is locally reachable and
+    # only fall back to collecting one file's bytes otherwise
+    p = first[0][0]
+    local = p[len("file:") :] if p.startswith("file:") else p
+    try:
+        with open(local, "rb") as f:
+            head = f.read(1 << 16)
+        schema = avro_schema_bytes(head)
+    except (OSError, ValueError, IndexError):
+        blob = df.where(df["path"] == p).select("content").collect()[0][0]
+        schema = avro_schema_bytes(bytes(blob))
     if (schema["type"] if isinstance(schema, dict) else schema) != "record":
         raise NotImplementedError("top-level avro schema must be a record")
     fields = [(f["name"], _spark_type(f["type"])) for f in schema["fields"]]

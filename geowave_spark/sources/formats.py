@@ -158,14 +158,17 @@ def read_tdrive(spark: SparkSession, path: str) -> DataFrame:
         path, schema="taxiid INT, ts_s STRING, Longitude DOUBLE, Latitude DOUBLE"
     )
     ts = F.try_to_timestamp("ts_s", F.lit("yyyy-MM-dd HH:mm:ss"))
-    w = Window.partitionBy("taxiid").orderBy(ts, "Longitude", "Latitude")
+    ts0 = F.coalesce(ts, F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    w = Window.partitionBy("taxiid").orderBy(ts0, "Longitude", "Latitude")
     return (
         df.where(
             F.col("taxiid").isNotNull()
             & F.col("Longitude").isNotNull()
             & F.col("Latitude").isNotNull()
         )
-        .withColumn("Timestamp", ts)
+        # a bad date is NOT a skip in the reference: it warns and
+        # stores timestamp 0 (TdriveIngestPlugin.java:101-104)
+        .withColumn("Timestamp", ts0)
         .withColumn("pointinstance", (F.row_number().over(w) - 1).cast("double"))
         .select(
             F.col("taxiid").cast("double").alias("taxiid"),
@@ -223,6 +226,7 @@ def read_geolife_points(spark: SparkSession, path: str) -> DataFrame:
             F.element_at("v", 4).try_cast("double").alias("Elevation"),
             ts.alias("Timestamp"),
         )
+        .where(F.col("Timestamp").isNotNull())
         .withColumn("pointinstance", (F.row_number().over(w) - 1).cast("int"))
         .withColumn("x_u", _udeg(F.col("Longitude")))
         .withColumn("y_u", _udeg(F.col("Latitude")))
@@ -328,6 +332,8 @@ def _gpx_parse(xml: str, file: str):
     for el in root:
         kind = _strip_ns(el.tag)
         if kind == "wpt":
+            if el.get("lat") is None or el.get("lon") is None:
+                continue  # malformed waypoint: skipped, not fatal
             ele = _gpx_text(el, "ele")
             yield "wpt", {
                 "file": file,
@@ -349,6 +355,8 @@ def _gpx_parse(xml: str, file: str):
                 for pt in seg:
                     if _strip_ns(pt.tag) != "trkpt":
                         continue
+                    if pt.get("lat") is None or pt.get("lon") is None:
+                        continue  # malformed trackpoint: skipped
                     ele = _gpx_text(pt, "ele")
                     t = _gpx_time(_gpx_text(pt, "time"))
                     yield "pt", {
@@ -625,21 +633,26 @@ def read_geojson(spark: SparkSession, path) -> DataFrame:
             wkb_dumps,
         )
 
+        def xy(coords):
+            # RFC 7946 positions may carry a third (altitude) element;
+            # the engine's WKB is 2-D — keep x/y only
+            return np.asarray(coords, float)[:, :2]
+
         def to_wkb(geom):
             t, c = geom["type"], geom["coordinates"]
             if t == "Point":
                 return wkb_dumps(point(c[0], c[1]))
             if t == "MultiPoint":
-                return wkb_dumps(
-                    Geometry("MultiPoint", [np.asarray(c, float)])
-                )
+                return wkb_dumps(Geometry("MultiPoint", [xy(c)]))
             if t == "LineString":
-                return wkb_dumps(linestring(c))
+                return wkb_dumps(linestring(xy(c)))
             if t == "Polygon":
-                return wkb_dumps(polygon(c[0], c[1:]))
+                return wkb_dumps(polygon(xy(c[0]), [xy(h) for h in c[1:]]))
             if t == "MultiPolygon":
                 return wkb_dumps(
-                    multipolygon([polygon(p[0], p[1:]) for p in c])
+                    multipolygon(
+                        [polygon(xy(p[0]), [xy(h) for h in p[1:]]) for p in c]
+                    )
                 )
             raise NotImplementedError(f"GeoJSON geometry type {t}")
 
@@ -723,7 +736,7 @@ def _fname(p: str) -> str:
 def _tdrive_validate(p: str) -> bool:
     """TdriveUtils.validate: first line splits to exactly 4 comma fields."""
     try:
-        with open(p, "r", encoding="utf-8") as f:
+        with open(p, "r", encoding="utf-8", errors="replace") as f:
             return len(f.readline().rstrip("\n").split(",")) == 4
     except OSError:
         return False

@@ -113,7 +113,9 @@ def write_shapefile(
             struct.pack(">i", 9994)
             + b"\0" * 20
             + struct.pack(">i", length_words)
-            + struct.pack("<ii", 1000, shapes[0][0] if shapes else SHAPE_NULL)
+            + struct.pack("<ii", 1000, next(
+                (s for s, _p in shapes if s != SHAPE_NULL), SHAPE_NULL
+            ))
             + struct.pack("<4d", *bbox)
             + struct.pack("<4d", 0, 0, 0, 0)
         )
@@ -147,7 +149,12 @@ def write_shapefile(
         for (name, ftype, length, dec), val in zip(fields, rec):
             if ftype == "N":
                 txt = ("" if val is None else f"{val:.{dec}f}" if dec else str(int(val)))
-                out += txt.rjust(length).encode()[:length]
+                if len(txt) > length:
+                    raise ValueError(
+                        f"dBase N field {name!r} overflow: {txt!r} "
+                        f"exceeds width {length}"
+                    )
+                out += txt.rjust(length).encode()
             else:
                 out += str("" if val is None else val).ljust(length).encode()[:length]
     out += b"\x1a"
@@ -202,10 +209,13 @@ def shp_decode(data: bytes) -> list[tuple[int, int, list[np.ndarray]]]:
     return out
 
 
-def dbf_decode(data: bytes) -> pd.DataFrame:
-    """Parse .dbf bytes → DataFrame of string values (deleted records
-    dropped; numeric conversion is the caller's cast, matching the
-    map<string,string> schema-on-read stance)."""
+def dbf_decode(data: bytes, keep_deleted: bool = False) -> pd.DataFrame:
+    """Parse .dbf bytes → DataFrame of string values (numeric
+    conversion is the caller's cast — the map<string,string>
+    schema-on-read stance). Deleted records are dropped by default;
+    ``keep_deleted=True`` keeps them (flagged in a ``_deleted``
+    column) so POSITIONAL consumers stay aligned — dBase record i
+    always corresponds to shape record i, deleted or not."""
     buf = bytes(data)
     n_rec, hdr_size, rec_size = struct.unpack_from("<IHH", buf, 4)
     fields = []
@@ -220,14 +230,20 @@ def dbf_decode(data: bytes) -> pd.DataFrame:
     for _ in range(n_rec):
         rec = buf[pos : pos + rec_size]
         pos += rec_size
-        if not rec or rec[0:1] == b"*":  # deleted
+        if not rec:
+            continue
+        deleted = rec[0:1] == b"*"
+        if deleted and not keep_deleted:
             continue
         vals, off = {}, 1
         for name, length in fields:
             vals[name] = rec[off : off + length].decode("ascii").strip()
             off += length
+        if keep_deleted:
+            vals["_deleted"] = deleted
         rows.append(vals)
-    return pd.DataFrame(rows, columns=[n for n, _l in fields])
+    cols = [n for n, _l in fields] + (["_deleted"] if keep_deleted else [])
+    return pd.DataFrame(rows, columns=cols)
 
 
 _SHAPE_GEOM = {
@@ -253,7 +269,10 @@ def read_shapefile(spark: SparkSession, path) -> DataFrame:
     multi-part polylines one LineString feature per part (the
     reference's feature-per-geometry ingest)."""
     if isinstance(path, str):
-        shp_path, dbf_path = [path], [path]
+        shp_path = [path]
+        # a single-.shp call still needs its sibling .dbf: glob the
+        # containing directory (a directory path matches both globs)
+        dbf_path = [os.path.dirname(path)] if path.endswith(".shp") else [path]
     else:
         # explicit .shp file list (ingest_directory routing): the .dbf
         # siblings live in the same directories — scan those
@@ -292,7 +311,7 @@ def read_shapefile(spark: SparkSession, path) -> DataFrame:
                 pdf["path"], pdf["shp"], pdf["dbf"]
             ):
                 attrs = (
-                    dbf_decode(bytes(dbf_bytes))
+                    dbf_decode(bytes(dbf_bytes), keep_deleted=True)
                     if dbf_bytes is not None
                     else None
                 )
@@ -320,11 +339,21 @@ def read_shapefile(spark: SparkSession, path) -> DataFrame:
                                 )
                             )
                         ]
-                    amap = (
-                        dict(attrs.iloc[rec_no - 1])
-                        if attrs is not None and rec_no - 1 < len(attrs)
-                        else {}
-                    )
+                    if attrs is not None and rec_no - 1 < len(attrs):
+                        arow = attrs.iloc[rec_no - 1]
+                        # a deleted dBase record keeps its positional
+                        # slot (alignment) but contributes no attributes
+                        amap = (
+                            {}
+                            if arow["_deleted"]
+                            else {
+                                k: v
+                                for k, v in arow.items()
+                                if k != "_deleted"
+                            }
+                        )
+                    else:
+                        amap = {}
                     for wkb in wkbs:
                         rows.append(
                             {

@@ -9,6 +9,7 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("geowave-spark-tests")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

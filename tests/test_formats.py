@@ -356,9 +356,42 @@ def test_shapefile_deleted_dbf_record(tmp_path, spark):
     p.write_bytes(bytes(raw))
     d = dbf_decode(bytes(raw))
     assert list(d["ID"]) == ["8"]
-    # positional join shifts: reader attaches remaining record by position
-    df = read_shapefile(spark, str(tmp_path)).toPandas()
+    # POSITIONAL alignment survives the deletion: the deleted record
+    # keeps its slot, so shape 2 still gets ITS OWN attributes and the
+    # deleted shape gets none (not record 2's, shifted)
+    df = (
+        read_shapefile(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("fid")
+        .reset_index(drop=True)
+    )
     assert len(df) == 2
+    assert df["attrs"][0] == {}
+    assert df["attrs"][1] == {"ID": "8"}
+
+
+def test_dbf_numeric_overflow_raises(tmp_path):
+    import numpy as np
+
+    from geowave_spark.sources.shapefile import SHAPE_POINT, write_shapefile
+
+    with pytest.raises(ValueError, match="overflow"):
+        write_shapefile(
+            str(tmp_path / "o"),
+            [(SHAPE_POINT, [np.array([[0.0, 0.0]])])],
+            [("ID", "N", 4, 0)],
+            [[123456]],
+        )
+
+
+def test_shapefile_single_file_path_keeps_dbf(spark, root):
+    """A single-.shp call still finds its sibling .dbf (review fix:
+    the str branch used to glob the FILE for *.dbf and lose attrs)."""
+    from geowave_spark.sources.shapefile import read_shapefile
+
+    df = read_shapefile(spark, root + "/shape/pts0.shp").toPandas()
+    pts = df[df["shape_type"] == 1]
+    assert len(pts) > 0 and all(("EID" in a) for a in pts["attrs"])
 
 
 def test_geojson_ndjson_and_multipolygon(spark, tmp_path):
@@ -456,3 +489,85 @@ def test_stanag_non_trackmessage_ignored(spark, tmp_path):
         '<?xml version="1.0"?><SomethingElse><tracks/></SomethingElse>'
     )
     assert FM.read_stanag4676(spark, str(tmp_path)).count() == 0
+
+
+# ------------------------------------------------ review-fix regressions
+
+
+def test_geojson_altitude_positions(spark, tmp_path):
+    """RFC 7946 3-element positions: altitude is dropped, x/y kept."""
+    from geowave_spark.geom.wkb import wkb_loads
+    from geowave_spark.sources import formats as FM
+
+    (tmp_path / "alt.geojson").write_text(
+        '{"type": "Feature", "id": "l", "geometry": {"type": "LineString", '
+        '"coordinates": [[0, 0, 5], [1, 1, 6]]}, "properties": {}}\n'
+        '{"type": "Feature", "id": "p", "geometry": {"type": "Polygon", '
+        '"coordinates": [[[0,0,1],[2,0,1],[2,2,1],[0,2,1],[0,0,1]]]}, '
+        '"properties": {}}\n'
+    )
+    df = FM.read_geojson(spark, str(tmp_path)).toPandas()
+    df = df.sort_values("fid").reset_index(drop=True)
+    line = wkb_loads(bytes(df["geometry"][0]))
+    assert line.parts[0].shape == (2, 2)
+    assert list(line.parts[0][1]) == [1.0, 1.0]
+    poly = wkb_loads(bytes(df["geometry"][1]))
+    assert poly.parts[0].shape[1] == 2
+
+
+def test_gpx_missing_latlon_skipped(spark, tmp_path):
+    from geowave_spark.sources import formats as FM
+
+    (tmp_path / "bad.gpx").write_text(
+        '<gpx><wpt lon="1.0"><name>nolat</name></wpt>'
+        '<wpt lat="2.0" lon="3.0"><name>ok</name></wpt>'
+        '<trk><trkseg><trkpt lat="0.5"/>'
+        '<trkpt lat="0.6" lon="0.6"/></trkseg></trk></gpx>'
+    )
+    w = FM.read_gpx_waypoints(spark, str(tmp_path)).toPandas()
+    assert list(w["Name"]) == ["ok"]
+    p = FM.read_gpx_points(spark, str(tmp_path)).toPandas()
+    assert len(p) == 1 and p["Longitude"][0] == 0.6
+    t = FM.read_gpx_tracks(spark, str(tmp_path)).toPandas()
+    assert t["NumberPoints"][0] == 1  # skipped point not counted
+
+
+def test_tdrive_bad_date_is_epoch_zero(spark, tmp_path):
+    """TdriveIngestPlugin.java:101-104: a bad date stores timestamp 0,
+    it does not skip the row."""
+    import pandas as pd
+
+    from geowave_spark.sources import formats as FM
+
+    (tmp_path / "9.txt").write_text(
+        "9,garbage,116.5,39.9\n9,2020-01-01 00:00:01,116.6,39.8\n"
+    )
+    df = (
+        FM.read_tdrive(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("pointinstance")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 2
+    assert df["Timestamp"][0] == pd.Timestamp("1970-01-01")
+    assert df["pointinstance"].tolist() == [0.0, 1.0]
+
+
+def test_tdrive_sniff_tolerates_binary(tmp_path):
+    p = tmp_path / "blob.txt"
+    p.write_bytes(b"\xff\xfe\x00\x01 not utf8 at all")
+    from geowave_spark.sources.formats import detect_format
+
+    assert detect_format(str(p)) is None
+
+
+def test_geolife_bad_date_skipped(spark, tmp_path):
+    from geowave_spark.sources import formats as FM
+
+    (tmp_path / "t.plt").write_text(
+        "header\n1.5,2.5,0,100,0,NOT-A-DATE,xx:yy:zz\n"
+        "1.6,2.6,0,101,0,2020-01-01,00:00:05\n"
+    )
+    df = FM.read_geolife_points(spark, str(tmp_path)).toPandas()
+    assert len(df) == 1 and df["Elevation"][0] == 101.0
+    assert df["pointinstance"][0] == 0

@@ -39,6 +39,7 @@ def main():
 
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
