@@ -2659,6 +2659,25 @@ def _q_stanag_points(spark, sf):
     )
 
 
+def _q_gdelt_gwql(spark, sf):
+    """Composition: a format-plugin table flows through the SAME engine
+    surfaces as native data — read_gdelt rows registered as a DataStore
+    type (cell materialization via add_type) and queried with a GWQL
+    BBOX + attribute statement. The oracle reconstructs the parse AND
+    the predicate from events arithmetic, so a break anywhere in
+    format→index→GWQL shows up as a mismatch."""
+    from geowave_spark.api import DataStore
+    from geowave_spark.sources.formats import read_gdelt
+
+    ds = DataStore(spark)
+    ds.add_type("gdelt_fmt", read_gdelt(spark, _formats_root(sf) + "/gdelt"))
+    return ds.gwql(
+        "SELECT eventid, numMentions FROM gdelt_fmt "
+        "WHERE BBOX(geom, -60000000, -30000000, 60000000, 30000000) "
+        "AND numMentions BETWEEN 20 AND 80"
+    )
+
+
 def _q_ingest_plugins(spark, sf):
     """Directory-walk plugin routing (core/ingest LocalFileIngestDriver
     + per-plugin validate()): every file in the mixed fixture tree must
@@ -3007,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "albers_transform": _q_albers_transform,
         "avro_scan": _q_avro_scan,
         "stanag_points": _q_stanag_points,
+        "gdelt_gwql": _q_gdelt_gwql,
         "gpx_waypoints": _q_gpx_waypoints,
         "geolife_tracks": _q_geolife_tracks,
         "crs_bbox": _q_crs_bbox,
@@ -3645,6 +3665,12 @@ def _oracle_sql_geom() -> dict[str, str]:
         "CASE WHEN e % 31 = 3 OR e % 37 = 3 THEN NULL "
         "ELSE CAST(e % 90 AS DOUBLE) + 0.25 END AS speed, "
         "CAST(e % 360 AS DOUBLE) AS course FROM s",
+        "gdelt_gwql": fmt_ev
+        + "SELECT CAST(e AS INT) AS eventid, CAST(e % 100 AS INT) AS numMentions "
+        "FROM ev WHERE e % 97 <> 0 AND e % 89 <> 0 "
+        "AND x_u BETWEEN -60000000 AND 60000000 "
+        "AND y_u BETWEEN -30000000 AND 30000000 "
+        "AND e % 100 BETWEEN 20 AND 80",
         "ingest_plugins": fmt_ev
         + "SELECT 'avro' AS fmt, count(*) AS n FROM ev WHERE e % 17 = 2 "
         "UNION ALL SELECT 'stanag4676', count(*) FROM ev WHERE e % 23 = 3 "
