@@ -93,10 +93,21 @@ def read_gdelt(
     date (col 1). Empty strings for the nullable text fields become
     null (the reference leaves the attribute unset)."""
 
+    return gdelt_project(spark.read.text(path), include_supplemental)
+
+
+def gdelt_project(
+    lines: DataFrame, include_supplemental: bool = True
+) -> DataFrame:
+    """The GDELT parse as a pure projection over a `value: string`
+    frame — shared by the batch reader above and streaming ingest
+    (spark.readStream.text through the SAME skip rules; the
+    reference's Kafka path runs the identical plugin parse on
+    streamed file payloads, KafkaToGeoWaveCommand → ingest plugin)."""
+
     def col(i):  # 1-based element_at over the split array
         return F.element_at("v", i + 1)
 
-    lines = spark.read.text(path)
     df = (
         lines.select(F.split("value", "\t").alias("v"))
         .where(F.size("v").between(GDELT_MIN_COLUMNS, GDELT_MAX_COLUMNS))

@@ -571,3 +571,32 @@ def test_geolife_bad_date_skipped(spark, tmp_path):
     df = FM.read_geolife_points(spark, str(tmp_path)).toPandas()
     assert len(df) == 1 and df["Elevation"][0] == 101.0
     assert df["pointinstance"][0] == 0
+
+
+def test_gdelt_stream_equals_batch(spark, root, tmp_path):
+    """Streaming format ingest: readStream.text through the SAME gdelt
+    projection (gdelt_project) produces exactly the batch parse — the
+    engine's file-stream analog of the reference's Kafka-to-plugin
+    path (KafkaToGeoWaveCommand runs the identical plugin parse on
+    streamed payloads)."""
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 2)
+        .load(root + "/gdelt")
+    )
+    out = FM.gdelt_project(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gdelt_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM gdelt_stream").toPandas()
+    want = FM.read_gdelt(spark, root + "/gdelt").toPandas()
+    assert len(got) == len(want)
+    g = _sorted(got.drop(columns=["Timestamp"]))
+    w = _sorted(want.drop(columns=["Timestamp"]))
+    pd.testing.assert_frame_equal(g, w)
+    assert sorted(got["Timestamp"]) == sorted(want["Timestamp"])
