@@ -35,7 +35,11 @@ def _spark(cpus: str):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("geowave-spark-cli")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "16")
+        # applies only when this process creates the JVM (the real CLI
+        # case); a 1g default heap OOMs the iterative analytics
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -228,6 +232,50 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_analytic(args) -> int:
+    """`geowave analytic <kde|kmeans|dbscan|nn>` analogs (the
+    analytics CLI operations — KDECommand, KMeansSparkCommand,
+    DBScanCommand, NearestNeighborCommand): run the engine operator
+    over a store type's (x_u, y_u) points and land the result as a
+    NEW parquet-backed type in the same store."""
+    spark = _spark(args.cpus)
+    manifest = _load_manifest(args.store)
+    if args.type_name not in manifest:
+        print(f"unknown type: {args.type_name}", file=sys.stderr)
+        return 1
+    df = spark.read.parquet(os.path.join(args.store, args.type_name))
+    if "x_u" not in df.columns or "y_u" not in df.columns:
+        print(f"type {args.type_name} has no (x_u, y_u) geometry",
+              file=sys.stderr)
+        return 1
+    if args.sub == "kde":
+        from geowave_spark.operators.kde import kde_level
+
+        out = kde_level(df, args.level)
+    elif args.sub == "kmeans":
+        from geowave_spark.operators.clustering import kmeans_clusters
+
+        out, centers = kmeans_clusters(df, args.k)
+        for i, (cx, cy) in enumerate(centers):
+            print(f"center {i}: ({cx / 1e6:.6f}, {cy / 1e6:.6f})")
+    elif args.sub == "dbscan":
+        from geowave_spark.operators.dbscan import dbscan
+
+        out = dbscan(df, args.eps_u, args.min_pts, key=args.key)
+    else:  # nn
+        from geowave_spark.operators.nn_join import nn_self_join
+
+        out = nn_self_join(df, args.max_dist_u, args.k, key=args.key)
+    name = args.out_type
+    path = os.path.join(args.store, name)
+    out.write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    manifest[name] = {"format": f"analytic:{args.sub}", "rows": n}
+    _save_manifest(args.store, manifest)
+    print(f"analytic {args.sub}: {n} rows into type '{name}'")
+    return 0
+
+
 def cmd_stat_list(args) -> int:
     """Per-type, per-field statistics: COUNT plus numeric MIN/MAX —
     the ListStatsCommand view over the engine's statistics surface."""
@@ -302,6 +350,39 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--format", choices=("console", "csv"), default="console")
     q.add_argument("--limit", type=int)
     q.set_defaults(fn=cmd_query)
+
+    an = sub.add_parser("analytic", help="analytics operations").add_subparsers(
+        dest="sub", required=True
+    )
+
+    def _an(name, **extra):
+        p_ = an.add_parser(name)
+        p_.add_argument("store")
+        p_.add_argument("type_name")
+        p_.add_argument("--out-type", required=True, dest="out_type")
+        for flag, kw in extra.items():
+            p_.add_argument(flag, **kw)
+        p_.set_defaults(fn=cmd_analytic)
+        return p_
+
+    _an("kde", **{"--level": dict(type=int, default=8)})
+    _an("kmeans", **{"--k": dict(type=int, default=8)})
+    _an(
+        "dbscan",
+        **{
+            "--eps-u": dict(type=int, required=True, dest="eps_u"),
+            "--min-pts": dict(type=int, default=3, dest="min_pts"),
+            "--key": dict(default="eventid"),
+        },
+    )
+    _an(
+        "nn",
+        **{
+            "--max-dist-u": dict(type=int, required=True, dest="max_dist_u"),
+            "--k": dict(type=int, default=5),
+            "--key": dict(default="eventid"),
+        },
+    )
 
     ex = sub.add_parser("export", help="vector localexport analog")
     ex.add_argument("store")

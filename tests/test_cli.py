@@ -174,3 +174,44 @@ def test_export_geojson_with_cql(store, spark, tmp_path):
     assert 0 < len(df) == want < 1000
     assert (df["gtype"] == "Point").all()
     assert (df["props"].map(lambda p: float(p["taxiid"]) < 5)).all()
+
+
+def test_analytic_kde_and_kmeans(store):
+    rc, msg = run(
+        ["analytic", "kde", store, "tdrive", "--out-type", "heat", "--level", "6"]
+    )
+    assert rc == 0 and "rows into type 'heat'" in msg
+    rc, out = run(["type", "list", store])
+    assert "heat" in out and "analytic:kde" in out
+    rc, msg = run(
+        ["analytic", "kmeans", store, "tdrive", "--out-type", "km", "--k", "4"]
+    )
+    assert rc == 0 and msg.count("center ") == 4
+    rc, out = run(["query", store, "SELECT count(*) AS n FROM km",
+                   "--format", "csv"])
+    # clustered output keeps every input row
+    assert rc == 0
+
+
+def test_analytic_nn_and_dbscan(tmp_path_factory, spark):
+    """nn/dbscan verbs over a fresh gdelt store (unique eventid key)."""
+    src = FM.formats_fixture_dir(SF)
+    st = str(tmp_path_factory.mktemp("an_store"))
+    rc, _ = run(["ingest", "localtogw", src, st, "--formats", "gdelt"])
+    assert rc == 0
+    rc, msg = run(
+        ["analytic", "nn", st, "gdelt", "--out-type", "nn3",
+         "--max-dist-u", "4000000", "--k", "3", "--key", "eventid"]
+    )
+    assert rc == 0 and "rows into type 'nn3'" in msg
+    nn = spark.read.parquet(os.path.join(st, "nn3")).toPandas()
+    assert set(nn.columns) >= {"a_id", "b_id", "rank"}
+    assert (nn.groupby("a_id")["rank"].max() <= 3).all()
+    rc, msg = run(
+        ["analytic", "dbscan", st, "gdelt", "--out-type", "clusters",
+         "--eps-u", "1500000", "--min-pts", "3", "--key", "eventid"]
+    )
+    assert rc == 0
+    cl = spark.read.parquet(os.path.join(st, "clusters")).toPandas()
+    assert {"cluster", "is_core"} <= set(cl.columns)
+    assert cl["cluster"].notna().any()  # the hotspot clusters exist
