@@ -267,6 +267,14 @@ def cmd_analytic(args) -> int:
 
         out = nn_self_join(df, args.max_dist_u, args.k, key=args.key)
     name = args.out_type
+    if name in manifest:
+        # never clobber an existing type (and never overwrite a path
+        # the lazy plan may still be reading from)
+        print(
+            f"type {name!r} already exists — `type rm` it first",
+            file=sys.stderr,
+        )
+        return 1
     path = os.path.join(args.store, name)
     out.write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()

@@ -169,7 +169,8 @@ def read_tdrive(spark: SparkSession, path: str) -> DataFrame:
         path, schema="taxiid INT, ts_s STRING, Longitude DOUBLE, Latitude DOUBLE"
     )
     ts = F.try_to_timestamp("ts_s", F.lit("yyyy-MM-dd HH:mm:ss"))
-    ts0 = F.coalesce(ts, F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    # absolute epoch 0 (new Date(0)), not a session-tz string cast
+    ts0 = F.coalesce(ts, F.timestamp_seconds(F.lit(0)))
     w = Window.partitionBy("taxiid").orderBy(ts0, "Longitude", "Latitude")
     return (
         df.where(
@@ -178,7 +179,11 @@ def read_tdrive(spark: SparkSession, path: str) -> DataFrame:
             & F.col("Latitude").isNotNull()
         )
         # a bad date is NOT a skip in the reference: it warns and
-        # stores timestamp 0 (TdriveIngestPlugin.java:101-104)
+        # stores timestamp 0 (TdriveIngestPlugin.java:101-104). NOTE a
+        # documented divergence: the reference numbers pointinstance in
+        # FILE order, so a mid-file bad date keeps its slot; here the
+        # epoch-0 sentinel sorts first in the time-ordered window. On
+        # T-Drive's time-ordered, well-formed files the two agree.
         .withColumn("Timestamp", ts0)
         .withColumn("pointinstance", (F.row_number().over(w) - 1).cast("double"))
         .select(
@@ -645,9 +650,9 @@ def read_geojson(spark: SparkSession, path) -> DataFrame:
         )
 
         def xy(coords):
-            # RFC 7946 positions may carry a third (altitude) element;
-            # the engine's WKB is 2-D — keep x/y only
-            return np.asarray(coords, float)[:, :2]
+            # RFC 7946 positions may carry a third (altitude) element —
+            # per POSITION, so the array can be ragged; keep x/y only
+            return np.asarray([p[:2] for p in coords], float)
 
         def to_wkb(geom):
             t, c = geom["type"], geom["coordinates"]

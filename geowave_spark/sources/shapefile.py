@@ -237,7 +237,13 @@ def dbf_decode(data: bytes, keep_deleted: bool = False) -> pd.DataFrame:
             continue
         vals, off = {}, 1
         for name, length in fields:
-            vals[name] = rec[off : off + length].decode("ascii").strip()
+            raw_f = rec[off : off + length]
+            # deleted records routinely hold stale/garbage bytes (only
+            # the flag byte changes on deletion) — decode them leniently;
+            # active records keep the strict dBase-ASCII contract
+            vals[name] = raw_f.decode(
+                "ascii", errors="replace" if deleted else "strict"
+            ).strip()
             off += length
         if keep_deleted:
             vals["_deleted"] = deleted
@@ -268,11 +274,16 @@ def read_shapefile(spark: SparkSession, path) -> DataFrame:
     per spec). Multi-part polygons become one WKB Polygon with rings;
     multi-part polylines one LineString feature per part (the
     reference's feature-per-geometry ingest)."""
+    dbf_glob = "*.dbf"
     if isinstance(path, str):
         shp_path = [path]
-        # a single-.shp call still needs its sibling .dbf: glob the
-        # containing directory (a directory path matches both globs)
-        dbf_path = [os.path.dirname(path)] if path.endswith(".shp") else [path]
+        if path.endswith(".shp"):
+            # a single-.shp call reads ONLY its own sibling .dbf: scan
+            # the containing directory with a basename-specific glob
+            dbf_path = [os.path.dirname(path) or "."]
+            dbf_glob = os.path.basename(path)[: -len(".shp")] + ".dbf"
+        else:
+            dbf_path = [path]
     else:
         # explicit .shp file list (ingest_directory routing): the .dbf
         # siblings live in the same directories — scan those
@@ -289,7 +300,7 @@ def read_shapefile(spark: SparkSession, path) -> DataFrame:
     )
     dbf = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.dbf")
+        .option("pathGlobFilter", dbf_glob)
         .load(dbf_path)
         .select(base.alias("base"), F.col("content").alias("dbf"))
     )

@@ -46,7 +46,9 @@ def test_ingest_and_type_list(store):
     lines = dict(
         (ln.split("\t")[0], ln) for ln in out.strip().splitlines()
     )
-    assert set(lines) == {"gdelt", "tdrive"}
+    # superset, not equality: later CLI tests land analytic output
+    # types in this shared store
+    assert {"gdelt", "tdrive"} <= set(lines)
     assert "978 rows" in lines["gdelt"]  # skip rules applied at ingest
     assert "1000 rows" in lines["tdrive"]
     manifest = json.load(open(os.path.join(store, "types.json")))
@@ -189,8 +191,9 @@ def test_analytic_kde_and_kmeans(store):
     assert rc == 0 and msg.count("center ") == 4
     rc, out = run(["query", store, "SELECT count(*) AS n FROM km",
                    "--format", "csv"])
-    # clustered output keeps every input row
     assert rc == 0
+    # clustered output keeps every input row
+    assert out.strip().splitlines()[1] == "1000"
 
 
 def test_analytic_nn_and_dbscan(tmp_path_factory, spark):

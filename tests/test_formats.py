@@ -539,8 +539,11 @@ def test_tdrive_bad_date_is_epoch_zero(spark, tmp_path):
 
     from geowave_spark.sources import formats as FM
 
+    # bad row placed MID-FILE: the documented divergence is that the
+    # epoch-0 sentinel sorts FIRST in the time-ordered window (the
+    # reference's file-order counter would keep it in place)
     (tmp_path / "9.txt").write_text(
-        "9,garbage,116.5,39.9\n9,2020-01-01 00:00:01,116.6,39.8\n"
+        "9,2020-01-01 00:00:01,116.6,39.8\n9,garbage,116.5,39.9\n"
     )
     df = (
         FM.read_tdrive(spark, str(tmp_path))
