@@ -195,6 +195,53 @@ def cmd_export(args) -> int:
         from geowave_spark.sources.avro import export_avro
 
         n = export_avro(df, args.out, block_records=args.batch_size)
+    elif args.format == "shapefile":
+        import numpy as np
+
+        from geowave_spark.sources.shapefile import (
+            SHAPE_POINT,
+            write_shapefile,
+        )
+
+        if "x_u" not in df.columns or "y_u" not in df.columns:
+            print("shapefile export needs (x_u, y_u) point geometry",
+                  file=sys.stderr)
+            return 1
+        # dBase fields from the Spark schema: ints N(18,0), doubles
+        # N(18,6), timestamps C(19) ISO, strings C(32); names truncate
+        # to the 11-char dBase limit
+        fields, getters = [], []
+        for f in df.schema.fields:
+            if f.name in ("x_u", "y_u"):
+                continue
+            s = f.dataType.simpleString()
+            nm = f.name[:11]
+            if s in ("int", "bigint", "smallint"):
+                fields.append((nm, "N", 18, 0))
+                getters.append((f.name, lambda v: v))
+            elif s in ("double", "float"):
+                fields.append((nm, "N", 18, 6))
+                getters.append((f.name, lambda v: v))
+            elif s == "timestamp":
+                fields.append((nm, "C", 19, 0))
+                getters.append(
+                    (f.name, lambda v: v.isoformat(sep=" ") if v else None)
+                )
+            elif s == "string":
+                fields.append((nm, "C", 32, 0))
+                getters.append((f.name, lambda v: v))
+            # other types (binary/array/map) have no dBase form: skipped
+        shapes, records = [], []
+        for row in df.toLocalIterator():
+            d = row.asDict()
+            shapes.append(
+                (SHAPE_POINT,
+                 [np.array([[d["x_u"] / 1e6, d["y_u"] / 1e6]])])
+            )
+            records.append([g(d[name]) for name, g in getters])
+        base = args.out[:-4] if args.out.endswith(".shp") else args.out
+        write_shapefile(base, shapes, fields, records)
+        n = len(shapes)
     else:  # geojson
         import json as _json
 
@@ -396,7 +443,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("store")
     ex.add_argument("type_name")
     ex.add_argument("--out", required=True)
-    ex.add_argument("--format", choices=("avro", "geojson"), default="avro")
+    ex.add_argument(
+        "--format", choices=("avro", "geojson", "shapefile"), default="avro"
+    )
     ex.add_argument("--cql", help="optional (E)CQL filter")
     ex.add_argument("--batch-size", type=int, default=10_000,
                     dest="batch_size")

@@ -218,3 +218,33 @@ def test_analytic_nn_and_dbscan(tmp_path_factory, spark):
     cl = spark.read.parquet(os.path.join(st, "clusters")).toPandas()
     assert {"cluster", "is_core"} <= set(cl.columns)
     assert cl["cluster"].notna().any()  # the hotspot clusters exist
+
+
+def test_export_shapefile_roundtrip(store, spark, tmp_path):
+    """export --format shapefile → read_shapefile recovers every point
+    and its attributes through the from-scratch .shp/.dbf codec."""
+    out = str(tmp_path / "td.shp")
+    rc, msg = run(
+        ["export", store, "tdrive", "--format", "shapefile", "--out", out,
+         "--cql", "taxiid < 2.0"]
+    )
+    assert rc == 0
+    from geowave_spark.sources.shapefile import read_shapefile
+
+    df = read_shapefile(spark, str(tmp_path)).toPandas()
+    want = (
+        spark.read.parquet(os.path.join(store, "tdrive"))
+        .where("taxiid < 2.0")
+        .toPandas()
+    )
+    assert len(df) == len(want) > 0
+    assert (df["shape_type"] == 1).all()
+    # attributes survive (dBase numeric text)
+    taxis = sorted({float(a["taxiid"]) for a in df["attrs"]})
+    assert taxis == sorted(want["taxiid"].unique())
+    # geometry: decode one point and match a stored row
+    from geowave_spark.geom.wkb import wkb_loads
+
+    g = wkb_loads(bytes(df["geometry"].iloc[0]))
+    x = g.parts[0][0][0]
+    assert any(abs(want["Longitude"] - x) < 1e-9)
