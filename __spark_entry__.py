@@ -2659,6 +2659,23 @@ def _q_stanag_points(spark, sf):
     )
 
 
+def _q_stanag_tracks(spark, sf):
+    """STANAG per-track aggregate features (track line + start/end/
+    duration/NumberPoints — the ingest plugin's second feature type)."""
+    from geowave_spark.sources.formats import read_stanag4676_tracks
+
+    df = read_stanag4676_tracks(spark, _formats_root(sf) + "/stanag")
+    return df.select(
+        "track_uuid",
+        "track_number",
+        "mission",
+        F.unix_timestamp("StartTimeStamp").alias("start_s"),
+        F.unix_timestamp("EndTimeStamp").alias("end_s"),
+        F.col("Duration").alias("duration_ms"),
+        F.col("NumberPoints").alias("n"),
+    )
+
+
 def _q_gdelt_gwql(spark, sf):
     """Composition: a format-plugin table flows through the SAME engine
     surfaces as native data — read_gdelt rows registered as a DataStore
@@ -3027,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_scan": _q_avro_scan,
         "stanag_points": _q_stanag_points,
         "gdelt_gwql": _q_gdelt_gwql,
+        "stanag_tracks": _q_stanag_tracks,
         "gpx_waypoints": _q_gpx_waypoints,
         "geolife_tracks": _q_geolife_tracks,
         "crs_bbox": _q_crs_bbox,
@@ -3671,6 +3689,15 @@ def _oracle_sql_geom() -> dict[str, str]:
         "AND x_u BETWEEN -60000000 AND 60000000 "
         "AND y_u BETWEEN -30000000 AND 30000000 "
         "AND e % 100 BETWEEN 20 AND 80",
+        "stanag_tracks": fmt_ev
+        + ", s AS (SELECT e, ts, e % 8 AS k, u % 5 AS t "
+        "FROM ev WHERE e % 23 = 3) "
+        "SELECT 'uuid-' || CAST(k AS VARCHAR) || '-' || CAST(t AS VARCHAR) AS track_uuid, "
+        "'TN' || CAST(t AS VARCHAR) AS track_number, 'M' || CAST(k AS VARCHAR) AS mission, "
+        "CAST(epoch(min(ts)) AS BIGINT) AS start_s, "
+        "CAST(epoch(max(ts)) AS BIGINT) AS end_s, "
+        "CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms, "
+        "count(*) AS n FROM s GROUP BY k, t",
         "ingest_plugins": fmt_ev
         + "SELECT 'avro' AS fmt, count(*) AS n FROM ev WHERE e % 17 = 2 "
         "UNION ALL SELECT 'stanag4676', count(*) FROM ev WHERE e % 23 = 3 "

@@ -506,6 +506,50 @@ def read_stanag4676(spark: SparkSession, path) -> DataFrame:
     return _gpx_frames(spark, path).mapInPandas(parse, _STANAG_SCHEMA)
 
 
+def read_stanag4676_tracks(spark: SparkSession, path) -> DataFrame:
+    """STANAG 4676 per-track features (Stanag4676IngestPlugin.java:
+    ~500-540 builds a track LINE feature with start/end/duration/
+    NumberPoints alongside the points): aggregated from the point
+    parse, trajectory LineString in one Arrow batch per track —
+    the same shape as read_geolife_tracks."""
+    pts = read_stanag4676(spark, path)
+    agg = pts.groupBy("track_uuid", "track_number", "mission").agg(
+        F.min("Timestamp").alias("StartTimeStamp"),
+        F.max("Timestamp").alias("EndTimeStamp"),
+        (
+            F.unix_millis(F.max("Timestamp")) - F.unix_millis(F.min("Timestamp"))
+        ).alias("Duration"),
+        F.count("*").cast("long").alias("NumberPoints"),
+        F.array_sort(
+            F.collect_list(F.struct("Timestamp", "Longitude", "Latitude"))
+        ).alias("pts"),
+    )
+
+    @F.pandas_udf("binary")
+    def line_wkb(pts: pd.Series) -> pd.Series:
+        from geowave_spark.geom.wkb import linestring, point, wkb_dumps
+
+        out = []
+        for arr in pts:
+            coords = [(p["Longitude"], p["Latitude"]) for p in arr]
+            if len(coords) == 1:
+                out.append(wkb_dumps(point(*coords[0])))
+            else:
+                out.append(wkb_dumps(linestring(coords)))
+        return pd.Series(out)
+
+    return agg.select(
+        line_wkb("pts").alias("geometry"),
+        "track_uuid",
+        "track_number",
+        "mission",
+        "StartTimeStamp",
+        "EndTimeStamp",
+        "Duration",
+        "NumberPoints",
+    )
+
+
 # ---------------------------------------------------------------- Twitter
 
 _TWITTER_SCHEMA = (

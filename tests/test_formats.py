@@ -603,3 +603,19 @@ def test_gdelt_stream_equals_batch(spark, root, tmp_path):
     w = _sorted(want.drop(columns=["Timestamp"]))
     pd.testing.assert_frame_equal(g, w)
     assert sorted(got["Timestamp"]) == sorted(want["Timestamp"])
+
+
+def test_stanag_track_linestring(spark, root):
+    from geowave_spark.geom.wkb import wkb_loads
+
+    tr = FM.read_stanag4676_tracks(spark, root + "/stanag").toPandas()
+    pts = FM.read_stanag4676(spark, root + "/stanag").toPandas()
+    assert len(tr) == pts.groupby(["track_uuid"]).ngroups
+    row = tr.loc[tr["NumberPoints"].idxmax()]
+    g = wkb_loads(bytes(row["geometry"]))
+    want = pts[pts["track_uuid"] == row["track_uuid"]].sort_values("Timestamp")
+    assert len(g.parts[0]) == len(want)
+    dur = (
+        want["Timestamp"].max() - want["Timestamp"].min()
+    ).total_seconds() * 1000
+    assert row["Duration"] == int(dur)
